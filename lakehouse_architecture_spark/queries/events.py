@@ -1,0 +1,188 @@
+"""Event-stream analytics (batch form) over the ``events`` table.
+
+The reference has no streaming (SURVEY §2.7) — incrementality is
+event-driven batch. These queries are the batch expressions of the
+streaming-shaped operators (tumbling windows, sessionization, per-day
+actives); lakehouse_architecture_spark.streaming wires the same logic to
+Structured Streaming with watermarks.
+
+Timestamp determinism: the parquet column is ns-precision; Spark reads µs
+and DuckDB ns. Every output therefore goes through date_trunc (hour/day)
+or epoch-milliseconds before comparison, which both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.numeric import davg, dsum
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "events_hourly_by_type",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form): hourly counts and value
+    sums per event type. The streaming twin is
+    ``F.window(ts, '1 hour')`` + watermark (streaming/jobs.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``F.window`` operator itself (window struct -> start/end)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM ordered
+)
+SELECT user_id,
+       CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via LAG — the batch
+    twin of ``applyInPandasWithState`` sessionization. One shuffle on
+    user_id serves both the window and the final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.lag(ts_ms).over(w).isNull()
+            | ((ts_ms - F.lag(ts_ms).over(w)) > SESSION_GAP_MS),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_daily_active_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS n_active_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct actives (two-phase distinct aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_type_value_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        davg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "events_props_extract",
+    oracle="""
+SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON-ish props column via
+    regexp (portable across Spark and the oracle; in production
+    ``get_json_object`` / ``from_json`` does this JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return ev.groupBy(k.alias("k_value")).agg(F.count(F.lit(1)).alias("n_events"))

@@ -1,0 +1,619 @@
+"""Relational operator inventory as named queries (SURVEY.md §2.2-§2.6,
+§2.11): every join type, the aggregate family, window functions, set ops,
+scalar functions, dedup, top-k, NOT-EXISTS insert guards.
+
+Each query is the Spark-first expression of an operator the reference
+exercises (cited per-query) or that its Athena layer implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.numeric import davg, dsum
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table, register_views
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 J1-J5 + §2.11 inner/right/full/cross)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+""",
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dimension side broadcast (fact⋈dim, no shuffle of
+    the fact beyond the scan)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregation: customers keep a row even with zero
+    orders. Reference parity: J2 left_outer violation flagging
+    (/root/reference/src/etl_utils.py:134-140) generalized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer_part_lineitems",
+    oracle="""
+SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_lineitems
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_brand
+""",
+)
+def join_right_outer_part_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer join: every part keeps a row even if never ordered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right_outer")
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+ON c.nk = s.nk
+""",
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides (agg-before-join keeps
+    the shuffled data minimal — at 100 TB you join the rollups, not rows)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk, "full_outer")
+        .select(
+            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_left_semi_active_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+""",
+)
+def join_left_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): reference J3's driver-collected IN-list
+    done properly as a distributed semi-join
+    (/root/reference/src/glue_etl.py:125-147 — the v1 scalability bug)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti_inactive_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): the RI violation finder pattern
+    (/root/reference/src/etl_utils.py:128-130)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""",
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny×tiny only — a guarded operator at scale)."""
+    a = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("a_key"), F.col("r_name").alias("from_region")
+    )
+    b = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("b_key"), F.col("r_name").alias("to_region")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_key") != F.col("b_key"))
+        .select("from_region", "to_region")
+    )
+
+
+@query(
+    "not_exists_insert_guard",
+    oracle="""
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate
+FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+AND o_orderstatus = 'F'
+""",
+)
+def not_exists_insert_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NOT-EXISTS insert-guard (reference S9/J5, README.md:272-277):
+    Catalyst rewrites the correlated NOT EXISTS to a left-anti join."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate
+        FROM orders
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        AND o_orderstatus = 'F'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 + §2.11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_stats_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate family incl. COUNT DISTINCT (two-phase distinct agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_rollup_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_cube_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two flag dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (reference A2,
+    /root/reference/src/glue_etl.py:125)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "case_when_conditional_agg",
+    oracle="""
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+       SUM(CASE WHEN o_totalprice > 200000
+                 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_both
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def case_when_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional aggregation (reference P5's nested
+    when/otherwise, /root/reference/src/etl_utils.py:116-168) + IN-list
+    predicate (P6) kept as a Column expression, never a driver collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    large = F.col("o_totalprice") > 200000
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(large, 1).otherwise(0)).alias("n_large"),
+        F.sum(F.when(large & urgent, 1).otherwise(0)).alias("n_both"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sort, top-k, dedup (SURVEY §2.5, A3 upgrade)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) t WHERE rn <= 3
+""",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: top-3 orders per customer (deterministic total
+    order inside each partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_order_gaps",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       date_diff('day',
+                 LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS days_since_prior_order
+FROM orders
+""",
+)
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: days since prior order per customer — computes the
+    reference's ``days_since_prior_order`` column (FIXTURES.md order_items)
+    instead of ingesting it precomputed."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("orderdate"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prior_order"),
+    )
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total frame window (exact decimal accumulation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "dedup_latest_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+""",
+)
+def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-by-key: the engine's upgrade of the reference's
+    nondeterministic ``dropDuplicates([pk])``
+    (/root/reference/src/etl_utils.py:269) — row_number over a defined
+    ordering, so re-runs (and the oracle) agree on the surviving row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark executes as TakeOrderedAndProject (no full
+    sort shuffle). Reference W2 (/root/reference/src/glue_etl.py:285-288)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.5 W3 + §2.11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "setop_union_all_parties",
+    oracle="""
+SELECT c_custkey AS party_key, c_name AS party_name, 'customer' AS party_type FROM customer
+UNION ALL
+SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS party_type FROM supplier
+""",
+)
+def setop_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (the multi-file-scan union of reference W3 made
+    explicit)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.lit("customer").alias("party_type"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.lit("supplier").alias("party_type"),
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "setop_intersect_keys",
+    oracle="""
+SELECT c_custkey AS shared_key FROM customer
+INTERSECT
+SELECT s_suppkey AS shared_key FROM supplier
+""",
+)
+def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics in both engines)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("shared_key"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("shared_key"))
+    return cust.intersect(supp)
+
+
+@query(
+    "setop_except_no_order_customers",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def setop_except_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys never seen in orders.
+    ``DataFrame.subtract`` carries EXCEPT DISTINCT semantics."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(ordered)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.6 + §2.11 date/string/math)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_type) AS type_lower,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_type, ' ', '_') AS type_slug,
+       TRIM(p_name) AS name_trim
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (reference F4's concat generalized)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str
+FROM orders
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (reference F2/F3 generalized: to_timestamp
+    parsing exists at ingestion; here extraction/truncation/arithmetic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.cast("date").alias("orderdate"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.date_format(d, "yyyy-MM-dd").alias("orderdate_str"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       CAST(ABS(p_retailprice - 1000.0) AS DOUBLE) AS price_dev,
+       CAST(ROUND(p_retailprice, 1) AS DOUBLE) AS price_round,
+       CAST(FLOOR(p_retailprice) AS DOUBLE) AS price_floor,
+       CAST(CEIL(p_retailprice) AS DOUBLE) AS price_ceil,
+       CAST(SQRT(CAST(p_size AS DOUBLE)) AS DOUBLE) AS size_sqrt,
+       CAST(p_size % 7 AS INT) AS size_mod7,
+       CAST(LN(p_retailprice) AS DOUBLE) AS price_ln,
+       CAST(POWER(CAST(p_size AS DOUBLE), 2.0) AS DOUBLE) AS size_sq
+FROM part
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family — all per-row IEEE-deterministic expressions."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.log(F.col("p_retailprice")).alias("price_ln"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+    )

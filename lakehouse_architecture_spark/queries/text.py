@@ -1,0 +1,250 @@
+"""Text-analysis and document-dedup queries over ``documents`` — the
+LLM-training-data operators (BASELINE.json north star): exact dedup,
+token/quality stats, language-ID heuristic, fingerprinting, shingling.
+
+All of it is built-in expression work (regexp/array/hash functions) that
+stays inside whole-stage codegen — no Python in the hot path. At 100 TB
+the only shuffle in this family is the dedup groupBy on the 128-bit
+content hash.
+
+Oracle portability notes: DuckDB ``regexp_replace`` needs the 'g' flag to
+match Spark's replace-all; token extraction uses ``regexp_extract_all``
+with the full-match group on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import (
+    content_hash,
+    duplicate_groups,
+    normalize_text,
+)
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table
+
+# DuckDB twin of operators.dedup.normalize_text
+SQL_NORM = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(r"\S+"), 0)
+
+
+@query(
+    "docs_exact_dup_groups",
+    oracle=f"""
+SELECT md5({SQL_NORM}) AS content_hash,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS canonical_id
+FROM documents
+GROUP BY 1
+""",
+)
+def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup cluster view: every distinct normalized content hash
+    with its group size and canonical (min) id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_groups(docs, "text", "doc_id")
+
+
+@query(
+    "docs_exact_dedupe_count",
+    oracle=f"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5({SQL_NORM})) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5({SQL_NORM})) AS n_duplicates
+FROM documents
+""",
+)
+def docs_exact_dedupe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = content_hash(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_duplicates"),
+    )
+
+
+@query(
+    "docs_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+''?[A-Za-z]*')) AS n_words
+FROM documents
+""",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a word-shaped (BPE-ish
+    pre-tokenizer) regex count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_unique_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+'?[A-Za-z]*"), 0)
+        ).alias("n_words"),
+    )
+
+
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+@query(
+    "docs_quality_score",
+    oracle=rf"""
+SELECT doc_id,
+       ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             / LENGTH(text), 6) AS punct_ratio,
+       len(regexp_extract_all(text, '{_STOPWORDS}')) AS n_stopwords,
+       ROUND(CAST(len(regexp_extract_all(text, '{_STOPWORDS}')) AS DOUBLE)
+             / len(regexp_extract_all(text, '\S+')), 6) AS stopword_ratio,
+       CASE WHEN LENGTH(text) >= 100
+             AND len(regexp_extract_all(text, '\S+')) >= 20
+            THEN 1 ELSE 0 END AS passes_length_gate
+FROM documents
+""",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: punctuation ratio, stopword ratio,
+    length gate — the usual pre-training corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(_tokens(text))
+    n_stop = F.size(F.regexp_extract_all(text, F.lit(_STOPWORDS), 0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id",
+        F.round(n_punct.cast("double") / F.length(text), 6).alias("punct_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.when((F.length(text) >= 100) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("passes_length_gate"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|with)\b",
+    "de": r"\b(der|die|und|nicht)\b",
+    "es": r"\b(el|la|los|que)\b",
+    "fr": r"\b(le|les|est|une)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+@query(
+    "docs_lang_id",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(LOWER(text), '{_LANG_MARKERS["en"]}')) AS s_en,
+         len(regexp_extract_all(LOWER(text), '{_LANG_MARKERS["de"]}')) AS s_de,
+         len(regexp_extract_all(LOWER(text), '{_LANG_MARKERS["es"]}')) AS s_es,
+         len(regexp_extract_all(LOWER(text), '{_LANG_MARKERS["fr"]}')) AS s_fr,
+         len(regexp_extract_all(text, '{_LANG_MARKERS["zh"]}')) AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN s_zh > 0 THEN 'zh'
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_guess
+FROM scored
+""",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic tie order
+    (zh by script, then en > de > es > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    s = {
+        k: F.size(
+            F.regexp_extract_all(
+                F.col("text") if k == "zh" else lower, F.lit(v), 0
+            )
+        )
+        for k, v in _LANG_MARKERS.items()
+    }
+    guess = (
+        F.when(s["zh"] > 0, "zh")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "docs_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({SQL_NORM}) AS fingerprint,
+       SUBSTRING(md5({SQL_NORM}), 1, 16) AS fingerprint_prefix
+FROM documents
+""",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (dedup join key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = content_hash(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint_prefix"),
+    )
+
+
+@query(
+    "docs_shingle_stats",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, str_split({SQL_NORM}, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       )) AS n_distinct_shingles
+FROM norm
+""",
+)
+def docs_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram word shingling (the MinHash front end): distinct shingle
+    count per document, computed with array expressions only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    docs = docs.select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+    )

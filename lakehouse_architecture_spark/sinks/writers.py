@@ -1,0 +1,135 @@
+"""Curated-zone sinks: partitioned writes, append (rejected zone), and a
+MERGE upsert.
+
+The reference upserts with Delta Lake MERGE
+(/root/reference/src/glue_etl.py:332-373). delta-spark is not available in
+this environment, so :func:`merge_upsert` implements the same contract on
+plain Parquet the way Delta's MERGE physically behaves: rewrite only the
+partitions touched by the update set (survivors = target ∖ updates via
+left-anti on the PK, union the updates, swap the partition directories).
+When delta-spark IS on the classpath (real deployment), ``merge_upsert``
+delegates to ``DeltaTable.merge`` — same call sites, ACID log included.
+
+Scale notes: the anti-join shuffles only the AFFECTED partitions of the
+target (partition pruning via the update set's partition values), and the
+update side of a MERGE is typically tiny relative to the table, so at
+100 TB this touches GBs, not the table. The staging-directory swap keeps
+reads consistent (never read-and-overwrite the same path in one job).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable
+
+    HAVE_DELTA = True
+except Exception:  # pragma: no cover
+    DeltaTable = None
+    HAVE_DELTA = False
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned columnar write (reference S6,
+    /root/reference/src/glue_etl.py:361-366)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
+def append_rejected(df: DataFrame, base_path: str, name: str) -> None:
+    """Rejected-zone append sink (reference S7,
+    /root/reference/src/glue_etl.py:274-277)."""
+    df.write.format("parquet").mode("append").save(os.path.join(base_path, name))
+
+
+def _delta_merge(
+    spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
+) -> None:  # pragma: no cover - requires delta-spark
+    target = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"existing.{k} = updates.{k}" for k in keys)
+    (
+        target.alias("existing")
+        .merge(updates.alias("updates"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> None:
+    """Idempotent MERGE: rows matching on ``keys`` are replaced by the
+    update row; new keys are inserted. Re-running the same updates is a
+    no-op on row counts (the reference's idempotency contract,
+    /root/reference/src/glue_etl.py:339-349).
+    """
+    exists = os.path.exists(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    )
+    if not exists:
+        write_partitioned(updates, path, partition_by)
+        return
+
+    if HAVE_DELTA:  # pragma: no cover
+        _delta_merge(spark, updates, path, keys)
+        return
+
+    target = spark.read.parquet(path)
+
+    if partition_by:
+        # Partition pruning: only partitions present in the update set are
+        # read, anti-joined, and rewritten. Collecting DISTINCT partition
+        # VALUES is a driver-side list of partitions (dates), not keys —
+        # bounded and cheap at any scale.
+        parts = [
+            r[0] for r in updates.select(partition_by).distinct().collect()
+        ]
+        affected = target.filter(F.col(partition_by).isin(parts))
+        untouched_path_ok = True
+    else:
+        affected = target
+        untouched_path_ok = False
+
+    survivors = affected.join(
+        updates.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*affected.columns))
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    write_partitioned(merged, staging, partition_by)
+
+    if untouched_path_ok and partition_by:
+        # Swap only the affected partition directories.
+        for entry in os.listdir(staging):
+            if entry.startswith(("_", ".")):
+                continue
+            dst = os.path.join(path, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(staging, entry), dst)
+        shutil.rmtree(staging)
+    else:
+        backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(path, backup)
+        shutil.move(staging, path)
+        shutil.rmtree(backup)
