@@ -1,0 +1,147 @@
+"""MinHash + LSH near-duplicate detection, Spark-first.
+
+Classic shingle -> minhash -> band -> bucket-join pipeline (Broder 1997;
+Leskovec/Rajaraman/Ullman ch.3), built entirely from relational
+primitives so it runs at any scale and is reproducible across engines:
+
+- shingles: 3-gram word shingles from normalized text (array exprs);
+- hash family: ``md5(seed || ':' || shingle)`` — the k-th signature is
+  the MINIMUM md5 hex string per doc. Fixed-length lowercase hex compares
+  lexicographically exactly like the underlying 128-bit integer, so
+  ``MIN(string)`` IS min-hash, portable to any SQL engine, no UDF;
+- bands: md5 over r consecutive signatures -> band key; docs sharing any
+  band key are candidates (one shuffle on band key);
+- verification: exact Jaccard on the candidate pairs only (shingle
+  semi-join), never all-pairs.
+
+Scale: the only all-to-all structure is the groupBy on band keys;
+candidate verification joins exploded shingles for candidate docs only.
+Skewed buckets (boilerplate docs) are AQE's skew-join case; a salt on
+band key + second-level dedup of pairs handles the pathological case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import normalize_text
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2  # r; bands b = num_hashes / r
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct n-gram word shingles.
+
+    Docs with fewer than ``n`` tokens contribute their full token string
+    as a single shingle so they can still be compared.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """One row per doc with columns sig_0..sig_{k-1} (min md5 per seed)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """(doc, band, band_key): md5 over each band's signatures."""
+    assert num_hashes % band_size == 0
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    return (
+        sigs.select("doc", F.explode(F.array(*bands)).alias("bk"))
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the shingle sets."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left_outer")
+        .na.fill({"n_common": 0})
+        .join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedupe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH)."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes)
+    bands = lsh_band_keys(sigs, num_hashes, band_size)
+    pairs = candidate_pairs(bands)
+    return (
+        jaccard_verify(pairs, sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns: exact brute-force top-k
+(baseline) and LSH-bucketed approximate variants (the 100 TB path).
+
+Random-hyperplane LSH (Charikar 2002) with DETERMINISTIC hyperplanes:
+plane p's j-th component is derived from md5(f"{p}:{j}") — reproducible
+across runs/engines with no RNG state, which matters for incremental
+index maintenance (new vectors bucket identically forever).
+
+Scale: bucketing replaces the O(N·Q) cross product with a join on
+(plane-sign bucket key); probing multiple buckets (multi-probe LSH)
+trades recall for fan-out without re-hashing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.vectors import dot
+
+
+def _plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1)."""
+    h = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:12]
+    return int(h, 16) / float(1 << 47) - 1.0
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_plane_component(p, j) for j in range(dim)] for p in range(num_planes)
+    ]
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int, dim: int) -> DataFrame:
+    """Add a ``bucket`` column: sign pattern across the hyperplanes."""
+    planes = hyperplanes(num_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        sign = (dot(F.col(vec_col), arr) > 0).cast("long")
+        bucket = bucket + F.shiftleft(sign, p)
+    return df.withColumn("bucket", bucket)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of each query row against the corpus.
+
+    query: (query_id, embedding). The query side is broadcast; the corpus
+    is scanned once, no shuffle of corpus rows — per-query top-k via
+    window over (query_id).
+    """
+    from pyspark.sql import Window
+
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(dot(F.col(vec_col), F.col(vec_col)) * dot(F.col("q_vec"), F.col("q_vec")))
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    query: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-rank inside the bucket. Recall < 1 by construction; raise
+    ``num_planes`` for smaller buckets, probe neighbors for recall."""
+    from pyspark.sql import Window
+
+    c = lsh_bucket(corpus, vec_col, num_planes, dim)
+    q = lsh_bucket(query, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bucket",
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(dot(F.col(vec_col), F.col(vec_col)) * dot(F.col("q_vec"), F.col("q_vec")))
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
+    self-join — the embedding-space analog of MinHash dedup. Buckets with
+    few planes are coarse (high recall, more comparisons)."""
+    b = lsh_bucket(df, vec_col, num_planes, dim)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("va"),
+        F.col(f"b.{vec_col}").alias("vb"),
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb")))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

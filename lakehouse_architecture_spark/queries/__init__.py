@@ -18,3 +18,5 @@ from lakehouse_architecture_spark.queries import validation_queries  # noqa: F40
 from lakehouse_architecture_spark.queries import events  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import text  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import embeddings  # noqa: F401,E402
+from lakehouse_architecture_spark.queries import dedup_sim  # noqa: F401,E402
+from lakehouse_architecture_spark.queries import advanced  # noqa: F401,E402

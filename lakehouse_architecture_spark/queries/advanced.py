@@ -1,0 +1,226 @@
+"""Advanced operator queries: as-of join, range join over an inline
+VALUES relation, pivot, scalar subqueries, quantiles, approximate
+aggregates. These go beyond the reference's own operator set (SURVEY.md
+§2.11) but are standard analytics surface its Athena layer implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.numeric import dsum
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table, register_views
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       MAX(epoch_ms(c.ts)) AS asof_click_ms
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, epoch_ms(p.ts)
+""",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent click at-or-before
+    it by the same user.
+
+    Spark has no ASOF JOIN operator; the scalable expression is the
+    union-and-carry-forward trick: union both sides, one window pass per
+    user ordered by time carrying the last click forward. ONE shuffle on
+    user_id — versus the oracle's O(clicks × purchases) inequality join,
+    which is the textbook anti-pattern at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lit(0).alias("side"),          # clicks sort before purchases on ties
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "asof_click_ms",
+        F.last(F.when(F.col("side") == 0, F.col("ms")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ms").alias("purchase_ms"),
+            "asof_click_ms",
+        )
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+SELECT b.band, COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
+FROM (VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 400000.0),
+             ('whale', 400000.0, 1e18)) AS b(band, lo, hi)
+LEFT JOIN orders ON o_totalprice >= b.lo AND o_totalprice < b.hi
+GROUP BY b.band
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against an inline VALUES relation — the
+    reference's S10 VALUES tables (README.md:266-270) joined on interval
+    containment. The VALUES side is 4 rows: Spark broadcasts it and the
+    inequality join is a broadcast-nested-loop, which is exactly right."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT b.band, COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
+        FROM VALUES ('low', 0.0D, 100000.0D),
+                    ('mid', 100000.0D, 250000.0D),
+                    ('high', 250000.0D, 400000.0D),
+                    ('whale', 400000.0D, 1e18D) AS b(band, lo, hi)
+        LEFT JOIN orders ON o_totalprice >= b.lo AND o_totalprice < b.hi
+        GROUP BY b.band
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority with one column per status."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+WITH stats AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(o_totalprice) AS avg_price
+  FROM orders
+)
+SELECT COUNT(*) AS n_above,
+       ROUND((SELECT avg_price FROM stats), 6) AS avg_price
+FROM orders
+WHERE o_totalprice > (SELECT avg_price FROM stats)
+""",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above the global mean)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH stats AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(o_totalprice) AS avg_price
+          FROM orders
+        )
+        SELECT COUNT(*) AS n_above,
+               ROUND((SELECT avg_price FROM stats), 6) AS avg_price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg_price FROM stats)
+        """
+    )
+
+
+@query(
+    "correlated_min_per_group_join",
+    oracle="""
+SELECT p.p_brand, p.p_partkey, p.p_retailprice AS min_price
+FROM part p
+JOIN (SELECT p_brand, MIN(p_retailprice) AS mn FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.mn
+""",
+)
+def correlated_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group back-join (TPC-H Q2's core shape): cheapest part(s)
+    per brand. Aggregate first, join the tiny rollup back broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_brand").alias("mb")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins.mb) & (part.p_retailprice == mins.mn),
+        )
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("min_price"))
+    )
+
+
+@query(
+    "quantiles_exact",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (both engines: linear interpolation
+    over the sorted values — identical doubles, rounded 6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@query("approx_distinct_and_quantile")  # no oracle: sketch outputs are
+# algorithm-specific (HLL++/KLL vs DuckDB's sketches) — rows-only check;
+# accuracy vs exact values is asserted in tests/test_queries_advanced.py
+def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct count + approx quantiles —
+    the sketches that replace exact distinct/sort at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+    )

@@ -1,0 +1,224 @@
+"""Near-duplicate detection and similarity-search queries: MinHash+LSH,
+SimHash, n-gram Jaccard, embedding near-dup, LSH ANN.
+
+The MinHash/SimHash oracles replicate the SAME algorithm in SQL (not just
+the answer): identical md5-derived hash families, so the two engines agree
+on candidate generation — including LSH's recall behavior — bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.minhash import (
+    candidate_pairs,
+    jaccard_verify,
+    lsh_band_keys,
+    minhash_lsh_dedupe,
+    minhash_signatures,
+    shingles,
+)
+from lakehouse_architecture_spark.operators.simhash import (
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from lakehouse_architecture_spark.operators.similarity import knn_lsh
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.queries.text import SQL_NORM
+from lakehouse_architecture_spark.sources.tables import load_table
+
+# Shared oracle CTEs: normalized tokens -> distinct 3-shingles per doc.
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, s AS shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(s)
+)
+"""
+
+_SIGS_SQL = ", ".join(
+    f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+    for b in range(4)
+)
+
+MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(sb.shingle) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc = c.doc_a
+  LEFT JOIN sh sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc = i.doc_a
+JOIN sizes zb ON zb.doc = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.3
+"""
+
+
+@query("minhash_lsh_near_dups", oracle=MINHASH_ORACLE)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH(4 bands of 2) candidates, exact-Jaccard
+    verified at >= 0.3 (operators/minhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedupe(
+        docs, "text", "doc_id", threshold=0.3, num_hashes=8, band_size=2
+    )
+
+
+@query(
+    "minhash_signatures_sample",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc)
+SELECT doc AS doc_id, sig_0, sig_3, sig_7 FROM sigs WHERE doc < 50
+""",
+)
+def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature matrix spot-check (3 of the 8 signature columns)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sigs = minhash_signatures(shingles(docs, "text", "doc_id"), 8)
+    return sigs.select(F.col("doc").alias("doc_id"), "sig_0", "sig_3", "sig_7")
+
+
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents
+),
+dtok AS (SELECT DISTINCT doc_id AS doc, tok FROM toks, UNNEST(t) AS u(tok)),
+hashed AS (SELECT doc, md5(tok) AS h FROM dtok),
+bits AS (
+  SELECT doc, h, i AS bit,
+         ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1)
+          >> (3 - (i % 4))) & 1 AS b
+  FROM hashed, UNNEST(generate_series(0, 15)) AS g(i)
+),
+votes AS (
+  SELECT doc, bit,
+         CASE WHEN SUM(2 * b - 1) > 0 THEN 1 ELSE 0 END AS bit_val
+  FROM bits GROUP BY doc, bit
+),
+fp AS (
+  SELECT doc, CAST(SUM(bit_val * (1 << bit)) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc
+)
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc AS doc_id, simhash FROM fp",
+)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (operators/simhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, "text", "doc_id")
+    return fp.select(F.col("doc").alias("doc_id"), "simhash")
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+WITH {_SIMHASH_CTE},
+seg AS (
+  SELECT doc, simhash, 0 AS seg, simhash % 256 AS key FROM fp
+  UNION ALL
+  SELECT doc, simhash, 1 AS seg, simhash // 256 AS key FROM fp
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM seg a JOIN seg b
+    ON a.seg = b.seg AND a.key = b.key AND a.doc < b.doc
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs within Hamming distance 3 (pigeonhole candidate
+    generation on fingerprint halves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+EMB_NEAR_DUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS na,
+    CAST(SUM(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS nb
+  FROM pairs, UNNEST(generate_series(1, len(va))) AS t(i)
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / SQRT(na * nb), 6) AS cosine_sim
+FROM dots
+WHERE dot / SQRT(na * nb) >= 0.45
+"""
+
+
+@query("emb_near_dup_pairs", oracle=EMB_NEAR_DUP_ORACLE)
+def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), exact all-pairs with
+    order-independent decimal sums. The LSH-bucketed variant of the same
+    operator is ``emb_knn_lsh`` (operators/similarity.py) — this exact
+    form is the oracle baseline it's measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    exploded = pairs.select(
+        "id_a", "id_b", F.posexplode(F.arrays_zip("va", "vb")).alias("i", "p")
+    )
+    x = F.col("p.va").cast("double")
+    y = F.col("p.vb").cast("double")
+    dec = "decimal(30,18)"
+    dots = exploded.groupBy("id_a", "id_b").agg(
+        F.sum((x * y).cast(dec)).cast("double").alias("dot"),
+        F.sum((x * x).cast(dec)).cast("double").alias("na"),
+        F.sum((y * y).cast(dec)).cast("double").alias("nb"),
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        dots.filter(cos >= 0.45)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
+    )
+
+
+@query("emb_knn_lsh")  # no oracle: approximate by construction
+def emb_knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate KNN for 5 query vectors (rows-only check;
+    recall vs brute force is asserted in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = knn_lsh(emb, queries_df, dim=64, k=5, num_planes=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )

@@ -1,0 +1,169 @@
+"""Structured Streaming jobs.
+
+The reference's incrementality is event-driven batch: S3 PutObject ->
+Step Functions -> Glue job with MERGE-on-PK idempotency
+(/root/reference/stepfunctions/delta-lake.json, SURVEY.md §2.7). The
+Spark-native generalization is a file-source stream feeding the SAME
+batch MERGE through ``foreachBatch``, with watermarked windowed
+aggregation and stateful sessionization for the event table.
+
+Everything reuses the batch engine (validation rules, merge_upsert), so
+batch and streaming cannot drift apart — one code path, two drivers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_csv_ingest_merge(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_path: str,
+    keys: list[str],
+    partition_by: str | None,
+    checkpoint_dir: str,
+    rules=None,
+    fk_rules=None,
+    rejected_path: str | None = None,
+):
+    """File-source stream -> validate -> MERGE upsert per micro-batch.
+
+    Late/duplicate data handling is the reference's: upsert on PK makes
+    reprocessing idempotent. Run with ``trigger(availableNow=True)`` for
+    catch-up batch semantics or default trigger for continuous tailing.
+    """
+    from lakehouse_architecture_spark.operators.validation import validate
+    from lakehouse_architecture_spark.sinks.writers import (
+        append_rejected,
+        merge_upsert,
+    )
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, invalid = validate(batch_df, rules or [], fk_rules or [])
+        merge_upsert(spark, valid, target_path, keys, partition_by)
+        if rejected_path is not None and not invalid.isEmpty():
+            append_rejected(invalid, rejected_path, "stream_rejected")
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_hourly_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming twin of
+    queries.events.events_hourly_by_type). ``events`` must be a streaming
+    DataFrame with ``ts``/``event_type``/``value`` columns."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(
+    key, pdfs, state: GroupState
+):  # pragma: no cover - executed on workers
+    """applyInPandasWithState update function: emits closed sessions."""
+    (user_id,) = key
+    rows = []
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        rows.append((user_id, start_ms, last_ms, n))
+        state.remove()
+    else:
+        ts_ms = []
+        for pdf in pdfs:
+            ts_ms.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        ts_ms.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+        for t in ts_ms:
+            if t - last_ms > SESSION_GAP_MS:
+                rows.append((user_id, start_ms, last_ms, n))
+                start_ms, n = t, 0
+            last_ms = t
+            n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutDuration(SESSION_GAP_MS)
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+
+def stream_sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` (30-min inactivity closes a session).
+    The batch twin (same gap logic via LAG) is
+    queries.events.events_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
