@@ -118,6 +118,137 @@ def knn_lsh(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine).
+
+    centroids: (centroid_id, centroid_vec) — small, broadcast. This is
+    the IVF coarse quantizer: at 100 TB the corpus is written out
+    partitioned by ``centroid_id`` so a query touches only its probed
+    lists' partitions (partition pruning does the index lookup).
+    """
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        vec_col,
+        "centroid_id",
+        (
+            dot(F.col(vec_col), F.col("centroid_vec"))
+            / F.sqrt(
+                dot(F.col(vec_col), F.col(vec_col))
+                * dot(F.col("centroid_vec"), F.col("centroid_vec"))
+            )
+        ).alias("centroid_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("centroid_sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid seeding: evenly-spaced corpus vectors by id
+    rank (a k-means init; full Lloyd iterations would refine these with
+    the same assign-aggregate plan shape)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    ranked = corpus.select(
+        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rank") - 1) % F.greatest(
+                (F.col("n") / n_centroids).cast("long"), F.lit(1)
+            )
+            == 0
+        )
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """IVF approximate KNN: coarse-quantize the corpus, probe the
+    ``n_probe`` nearest inverted lists per query, exact re-rank inside.
+
+    Recall/cost dial: n_probe=n_centroids degenerates to exact search.
+    """
+    from pyspark.sql import Window
+
+    cents = sample_centroids(corpus, n_centroids, vec_col, id_col).cache()
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        (
+            dot(F.col("q_vec"), F.col("centroid_vec"))
+            / F.sqrt(
+                dot(F.col("q_vec"), F.col("q_vec"))
+                * dot(F.col("centroid_vec"), F.col("centroid_vec"))
+            )
+        ).alias("centroid_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    cands = assigned.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(
+                dot(F.col(vec_col), F.col(vec_col))
+                * dot(F.col("q_vec"), F.col("q_vec"))
+            )
+        ).alias("cosine_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

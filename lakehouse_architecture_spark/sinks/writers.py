@@ -71,6 +71,36 @@ def _delta_merge(
     )
 
 
+def insert_if_absent(
+    spark: SparkSession,
+    candidates: DataFrame,
+    path: str,
+    keys: list[str],
+) -> int:
+    """ACID-style INSERT ... WHERE NOT EXISTS guard (reference S9,
+    /root/reference/README.md:260-277): append only rows whose key is not
+    already in the target. Returns the number of rows inserted.
+
+    The NOT EXISTS is a left-anti join (what Catalyst rewrites the SQL
+    form to); existing keys are read with column pruning to the key
+    columns only.
+    """
+    exists = os.path.exists(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    )
+    if exists:
+        existing_keys = spark.read.parquet(path).select(*keys)
+        fresh = candidates.join(existing_keys, on=keys, how="left_anti")
+    else:
+        fresh = candidates
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n:
+        fresh.write.format("parquet").mode("append").save(path)
+    fresh.unpersist()
+    return n
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

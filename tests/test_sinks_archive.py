@@ -1,0 +1,58 @@
+"""insert_if_absent guard + archive-step tests."""
+
+from __future__ import annotations
+
+import os
+
+from lakehouse_architecture_spark.plans.archive import archive_files
+from lakehouse_architecture_spark.sinks.writers import insert_if_absent
+
+
+def test_insert_if_absent_guard(spark, tmp_path):
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert insert_if_absent(spark, first, path, ["k"]) == 2
+
+    # re-insert same keys + one new: only the new row lands
+    again = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "c")], "k int, v string"
+    )
+    assert insert_if_absent(spark, again, path, ["k"]) == 1
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}  # existing rows untouched
+
+
+def test_archive_files_moves_batches(tmp_path):
+    src = tmp_path / "raw"
+    dst = tmp_path / "archive"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.csv").write_text("x")
+    (src / "keep.txt").write_text("y")
+
+    res = archive_files(str(src), str(dst), batch_size=2)
+    assert len(res.moved) == 5 and not res.failed
+    assert sorted(os.listdir(dst)) == [f"f{i}.csv" for i in range(5)]
+    assert os.listdir(src) == ["keep.txt"]  # non-matching left behind
+
+    # idempotent second run: nothing left to move
+    assert archive_files(str(src), str(dst)).moved == []
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id) for r in knn_bruteforce(emb, qs, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in knn_ivf(emb, qs, n_centroids=8, n_probe=4, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) > 0.4
