@@ -13,6 +13,7 @@ from lakehouse_architecture_spark.queries.registry import (  # noqa: F401
 
 # Registration side effects:
 from lakehouse_architecture_spark.queries import tpch  # noqa: F401,E402
+from lakehouse_architecture_spark.queries import tpch_extra  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import relational  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import validation_queries  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import events  # noqa: F401,E402

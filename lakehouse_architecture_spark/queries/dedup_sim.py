@@ -222,3 +222,46 @@ def emb_knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+
+
+@query("emb_knn_ivf")  # no oracle: approximate by construction
+def emb_knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN (coarse quantizer + probed inverted lists) for
+    5 query vectors — the scale path for ANN (rows-only check; recall vs
+    brute force is asserted in tests/test_sinks_archive.py)."""
+    from lakehouse_architecture_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = knn_ivf(emb, queries_df, n_centroids=16, n_probe=4, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc = doc_a
+JOIN sizes zb ON zb.doc = doc_b
+WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.3
+"""
+
+
+@query("docs_ngram_jaccard_pairs", oracle=NGRAM_JACCARD_ORACLE)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (threshold 0.3) via the
+    inverted-index shingle join — the exhaustive ground truth that
+    minhash_lsh_near_dups approximates (operators/minhash.py)."""
+    from lakehouse_architecture_spark.operators.minhash import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
