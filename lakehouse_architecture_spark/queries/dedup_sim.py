@@ -190,24 +190,37 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent decimal sums. The LSH-bucketed variant of the same
     operator is ``emb_knn_lsh`` (operators/similarity.py) — this exact
     form is the oracle baseline it's measured against."""
+    from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    exploded = pairs.select(
-        "id_a", "id_b", F.posexplode(F.arrays_zip("va", "vb")).alias("i", "p")
+    # Per-vector EXACT norms are O(n), computed once BEFORE the O(n^2)
+    # pair join. The pair join runs a codegen-friendly double fold as a
+    # prefilter (epsilon slack covers double-vs-decimal rounding, which
+    # is ~1e-10 relative), then the exact decimal fold re-scores only the
+    # tiny surviving candidate set — 2M pairs never touch BigDecimal.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        dec_dot("embedding", "embedding").alias("na"),
     )
-    x = F.col("p.va").cast("double")
-    y = F.col("p.vb").cast("double")
-    dec = "decimal(30,18)"
-    dots = exploded.groupBy("id_a", "id_b").agg(
-        F.sum((x * y).cast(dec)).cast("double").alias("dot"),
-        F.sum((x * x).cast(dec)).cast("double").alias("na"),
-        F.sum((y * y).cast(dec)).cast("double").alias("nb"),
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        dec_dot("embedding", "embedding").alias("nb"),
     )
-    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    inv_norm = 1.0 / F.sqrt(F.col("na") * F.col("nb"))
+    # One small parquet file = one input partition, and the nested-loop
+    # pair join inherits it — repartition the probe side so the O(n^2)
+    # scoring spreads across every core.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
+    cands = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(dot("va", "vb") * inv_norm >= 0.45 - 1e-6)
+    )
+    cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
     return (
-        dots.filter(cos >= 0.45)
+        cands.select("id_a", "id_b", "na", "nb", "va", "vb")
+        .filter(cos >= 0.45)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
     )
 
