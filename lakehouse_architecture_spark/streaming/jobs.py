@@ -71,6 +71,27 @@ def stream_csv_ingest_merge(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming PK dedup: keep the first event per key, dropping
+    duplicates that arrive within the watermark horizon — the streaming
+    analog of the batch PK dedup (SURVEY.md §2.7: "dropDuplicates +
+    watermark as the streaming analog of the PK dedup").
+
+    ``dropDuplicatesWithinWatermark`` bounds state by event time: a key's
+    dedup record is evicted once the watermark passes it, so state size
+    tracks the duplicate-arrival window, not the stream's full history —
+    the property that keeps this runnable forever at production rates.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def stream_hourly_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

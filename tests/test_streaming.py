@@ -145,3 +145,40 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     rows = spark.sql("select * from sessions_test").collect()
     emitted = {(r.user_id, r.n_events) for r in rows}
     assert (7, 2) in emitted
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from lakehouse_architecture_spark.streaming.jobs import stream_dedup
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    # event_id 1 arrives three times (duplicate delivery); 2 once
+    rows = [
+        "1,2024-01-01T00:00:00,7,click,1.0",
+        "1,2024-01-01T00:00:00,7,click,1.0",
+        "2,2024-01-01T00:05:00,8,view,2.0",
+        "1,2024-01-01T00:00:00,7,click,1.0",
+    ]
+    (src / "e.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n" + "\n".join(rows) + "\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .load(str(src))
+    )
+    q = (
+        stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.sql("select * from dedup_test").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
