@@ -1,0 +1,131 @@
+"""Deterministic sampling and cohort analytics for training-data curation.
+
+Random sampling (``df.sample``) is not reproducible across engines or
+re-runs with different partitioning; a training pipeline needs SPLITS
+THAT NEVER MOVE — a document's split must be a pure function of its id.
+These queries bucket rows by the first 8 hex digits of ``md5(id)``
+(uniform in [0, 2^32)), so Spark, DuckDB, and any future engine agree
+row-for-row, and adding data never reassigns existing rows.
+
+At 100 TB this is also the efficient plan: the bucket is computed in the
+scan's projection (no shuffle, no sort, no global coordination), and a
+split filter prunes before anything downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets): md5-prefix mod n."""
+    hex8 = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def _sql_bucket(id_expr: str, n_buckets: int = 100) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {n_buckets})"
+    )
+
+
+SPLIT_ORACLE = f"""
+SELECT lang, split, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+    CASE WHEN {_sql_bucket('doc_id')} < 80 THEN 'train'
+         WHEN {_sql_bucket('doc_id')} < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+) t
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query("docs_hash_split_counts", oracle=SPLIT_ORACLE)
+def docs_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id,
+    audited as counts per (lang, split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("lang", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT source, doc_id
+FROM documents
+WHERE {_sql_bucket('doc_id')} < 10
+ORDER BY source, doc_id
+"""
+
+
+@query("docs_stratified_sample", oracle=SAMPLE_ORACLE)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample (bucket < 10): stable under re-runs,
+    data growth, and engine choice — listed per source for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT cohort_date,
+  CAST(FLOOR(date_diff('day', cohort_date, d) / 7) AS BIGINT) AS week_offset,
+  COUNT(DISTINCT activity.user_id) AS n_users
+FROM activity JOIN firsts ON activity.user_id = firsts.user_id
+GROUP BY cohort_date, week_offset
+ORDER BY cohort_date, week_offset
+"""
+
+
+@query("events_retention_cohorts", oracle=RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted per
+    week offset of later activity.
+
+    Two aggregations over events (first-seen, distinct activity) joined
+    on user_id — both shuffle on user_id so AQE reuses the exchange; the
+    final regroup is on the tiny (cohort, offset) grid.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_date",
+            F.floor(F.datediff("d", "cohort_date") / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "week_offset")
+    )
