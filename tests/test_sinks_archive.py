@@ -56,3 +56,35 @@ def test_knn_ivf_recall(spark, sf_dir):
         for r in knn_ivf(emb, qs, n_centroids=8, n_probe=4, k=5).collect()
     }
     assert len(exact & approx) / len(exact) > 0.4
+
+
+def test_compact_table(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sinks.writers import compact_table
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_frag")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate micro-batch accretion: 8 files per status partition
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(path)
+    before_df = spark.read.parquet(path)
+    n_rows = before_df.count()
+    checksum = before_df.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+    ).collect()[0][0]
+
+    nb, na = compact_table(
+        spark, path, partition_by="o_orderstatus", sort_by=["o_orderdate"]
+    )
+    assert nb > na
+    assert na == 3  # one file per status partition at this size
+
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == n_rows
+    assert (
+        after_df.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+        ).collect()[0][0]
+        == checksum
+    )
