@@ -283,3 +283,99 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_build_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index: corpus partitioned BY centroid_id.
+
+    The physical layout IS the index — at 100 TB each inverted list is a
+    partition directory, so a query that probes ``n_probe`` lists reads
+    exactly those directories (static partition pruning) and never
+    touches the rest of the corpus. Centroids persist next to the lists
+    so search needs no recomputation.
+    """
+    cents = sample_centroids(corpus, n_centroids, vec_col, id_col).cache()
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents.unpersist()
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    query: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a materialized IVF index with static partition pruning.
+
+    Probed list ids are collected to the driver (bounded:
+    |queries| * n_probe values) and applied as an ``isin`` filter on the
+    partition column, so the parquet source lists only the probed
+    directories. Candidate scoring then joins query vectors back on
+    centroid_id — the same plan as :func:`knn_ivf` but over a fraction
+    of the data proportional to n_probe / n_centroids.
+    """
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        (
+            dot(F.col("q_vec"), F.col("centroid_vec"))
+            / F.sqrt(
+                dot(F.col("q_vec"), F.col("q_vec"))
+                * dot(F.col("centroid_vec"), F.col("centroid_vec"))
+            )
+        ).alias("centroid_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    probed_lists = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
+    )
+
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed_lists)
+    )
+    cands = lists.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(
+                dot(F.col(vec_col), F.col(vec_col))
+                * dot(F.col("q_vec"), F.col("q_vec"))
+            )
+        ).alias("cosine_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

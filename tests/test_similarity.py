@@ -88,3 +88,36 @@ def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
     # approximate results are real neighbors with correct scores
     sims = [r.cosine_sim for r in approx.collect()]
     assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        knn_bruteforce,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_build_index(spark, emb, path, n_centroids=8)
+
+    # the layout is the index: one directory per inverted list
+    import os
+
+    dirs = [d for d in os.listdir(f"{path}/lists") if d.startswith("centroid_id=")]
+    assert len(dirs) == 8
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id) for r in knn_bruteforce(emb, qs, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search_index(spark, path, qs, n_probe=4, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) > 0.4
+
+    # pruning is real: the scan must list only the probed directories
+    probed = ivf_search_index(spark, path, qs, n_probe=2, k=5)
+    assert probed.count() > 0
