@@ -186,3 +186,53 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
     return ev.groupBy(k.alias("k_value")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(t_view) AS n_view,
+  SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
+  SUM(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 ELSE 0 END)
+    AS n_full_funnel
+FROM per_user
+"""
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after viewing,
+    then purchased after clicking — first-occurrence timestamps compared
+    stepwise.
+
+    One shuffle (groupBy user_id) computes all three first-touch times
+    via conditional MIN; the funnel conditions are then a single global
+    aggregate. No joins, no window functions, no per-step subqueries —
+    the shape that survives a billion users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = events.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )

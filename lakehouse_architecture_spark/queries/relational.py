@@ -617,3 +617,74 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("p_retailprice")).alias("price_ln"),
         F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
     )
+
+
+@query(
+    "window_moving_avg_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  ROUND(AVG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM orders
+""",
+)
+def window_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window (3-row moving average): the frame never
+    holds more than 3 values, so the double AVG is order-defined by the
+    window's total order and matches the oracle exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("moving_avg"),
+    )
+
+
+@query(
+    "window_lead_ntile",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  LEAD(o_orderkey) OVER w AS next_orderkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-family coverage: LEAD, FIRST_VALUE, and a
+    global NTILE quartile (single-partition window — fine on a 150k-row
+    orders dimension, a deliberate anti-pattern for fact tables)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )
+
+
+@query(
+    "setop_except_all_dup_aware",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def setop_except_all_dup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (duplicate-aware difference) — the bag
+    semantics INTERSECT/EXCEPT queries elsewhere don't cover."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o)

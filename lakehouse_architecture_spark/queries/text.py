@@ -248,3 +248,40 @@ def docs_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
     )
+
+
+TOP_TERMS_ORACLE = f"""
+SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents),
+       UNNEST(t) AS u(tok)
+) x
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT 25
+"""
+
+
+@query("docs_top_terms", oracle=TOP_TERMS_ORACLE)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: top-25 normalized tokens by occurrence
+    with document frequency — the word-count shape (explode -> two-level
+    agg) every corpus-statistics job reduces to. Partial aggregation
+    absorbs the explosion map-side; only (token, partial counts) rows
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(25)
+    )
