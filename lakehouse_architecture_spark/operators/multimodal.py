@@ -156,3 +156,71 @@ def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+_AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Deterministic fake audio payload: header + seed-derived 8-bit PCM."""
+    n = min(n_samples, 256)
+    pcm = bytes(((seed * 1103515245 + i * 12345) >> 5) % 256 for i in range(n))
+    return _AUDIO_MAGIC + struct.pack("<iiq", sample_rate, n_samples, seed) + pcm
+
+
+def decode_audio_stub(payload: bytes) -> dict:
+    """Decode the fake audio format; real codecs intentionally
+    unsupported (swap in torchaudio/soundfile here in deployment)."""
+    if payload is None:
+        return {"sample_rate": None, "n_samples": None, "rms": None}
+    if not payload.startswith(_AUDIO_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs unavailable in this environment; "
+            "only the FAKEAUD1 test format is decodable"
+        )
+    rate, n_samples, _seed = struct.unpack("<iiq", payload[8:24])
+    pcm = payload[24:]
+    rms = (
+        (sum((b - 128) ** 2 for b in pcm) / len(pcm)) ** 0.5 if pcm else None
+    )
+    return {"sample_rate": rate, "n_samples": n_samples, "rms": rms}
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_computed_ms", IntegerType(), True),
+        StructField("rms", StringType(), True),  # str for portability
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: decode audio payloads -> rate/duration/loudness."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_computed_ms": [
+                        int(f["n_samples"] * 1000 / f["sample_rate"])
+                        if f["sample_rate"]
+                        else None
+                        for f in feats
+                    ],
+                    "rms": [
+                        None if f["rms"] is None else f"{f['rms']:.4f}"
+                        for f in feats
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, schema=AUDIO_FEATURES_SCHEMA
+    )

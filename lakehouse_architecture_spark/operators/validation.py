@@ -94,6 +94,38 @@ class RangeRule(Rule):
 
 
 @dataclass(frozen=True)
+class EnumRule(Rule):
+    """Violated when present and outside the allowed value set."""
+
+    allowed: tuple = ()
+    message: str = ""
+
+    def __post_init__(self):
+        if not self.message:
+            object.__setattr__(self, "message", f"Invalid {self.column} value")
+
+    def condition(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.isin(*self.allowed)
+
+
+@dataclass(frozen=True)
+class RegexRule(Rule):
+    """Violated when present and not fully matching ``pattern``."""
+
+    pattern: str = ""
+    message: str = ""
+
+    def __post_init__(self):
+        if not self.message:
+            object.__setattr__(self, "message", f"Malformed {self.column}")
+
+    def condition(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.rlike(f"^(?:{self.pattern})$")
+
+
+@dataclass(frozen=True)
 class ForeignKeyRule:
     """FK integrity: ``column`` must resolve in ``ref_df.ref_column``.
 

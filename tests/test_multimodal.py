@@ -57,3 +57,22 @@ def test_sample_video_frames(spark, media):
     assert {(f.media_id, f.frame_ts_ms) for f in frames} == {
         (4, 0), (4, 1000), (4, 2000),
     }
+
+
+def test_extract_audio_features(spark):
+    from lakehouse_architecture_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake_audio,
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, "audio", "fake", encode_fake_audio(16000, 32000, 7), None, None, 2000),
+        (2, "audio", "fake", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert out[1].sample_rate == 16000
+    assert out[1].duration_computed_ms == 2000
+    assert float(out[1].rms) > 0
+    assert out[2].sample_rate is None

@@ -160,3 +160,33 @@ def test_rejection_summary_topk(spark):
         ("Null order_id", 3),
         ("Null user_id", 2),
     ]
+
+
+def test_enum_and_regex_rules(spark):
+    from lakehouse_architecture_spark.operators.validation import (
+        EnumRule,
+        RegexRule,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", "a@b.com"),
+            (2, "X", "a@b.com"),      # bad enum
+            (3, "F", "not-an-email"), # bad regex
+            (4, None, None),          # nulls pass both (not their business)
+        ],
+        "id int, status string, email string",
+    )
+    valid, invalid = validate(
+        df,
+        [
+            EnumRule("status", allowed=("O", "F", "P")),
+            RegexRule("email", pattern=r"[^@\s]+@[^@\s]+\.[^@\s]+"),
+        ],
+        [],
+    )
+    assert {r.id for r in valid.collect()} == {1, 4}
+    errs = {r.id: r.validation_errors for r in invalid.collect()}
+    assert errs[2] == "Invalid status value"
+    assert errs[3] == "Malformed email"
