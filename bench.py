@@ -38,6 +38,10 @@ HEADLINE = [
     "docs_exact_dup_groups",
     "docs_token_stats",
     "minhash_lsh_near_dups",
+    "docs_ngram_jaccard_pairs",
+    "docs_hash_split_counts",
+    "events_funnel",
+    "emb_near_dup_pairs",
     "emb_knn_bruteforce",
 ]
 
