@@ -379,3 +379,56 @@ def ivf_search_index(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def knn_bruteforce_pandas(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force KNN via an Arrow-batched pandas iterator — the
+    vectorized escape hatch (numpy matrix product per batch) for when
+    per-element JVM folds become the bottleneck at high dimensionality.
+
+    The query matrix (small: Q x dim) is closed over and normalized once
+    on the driver; each corpus Arrow batch computes a (batch x Q) cosine
+    block with one BLAS gemm. Output is (query_id, vec_id, cosine_sim)
+    candidates; the global top-k stays a relational window so only
+    |corpus| x Q candidate rows above the per-batch cut shuffle.
+    Results match :func:`knn_bruteforce` (tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = query.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, Q) in one gemm
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), q),
+                    "cosine_sim": sims.ravel(),
+                }
+            )
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

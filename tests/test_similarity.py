@@ -121,3 +121,22 @@ def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
     # pruning is real: the scan must list only the probed directories
     probed = ivf_search_index(spark, path, qs, n_probe=2, k=5)
     assert probed.count() > 0
+
+
+def test_knn_pandas_matches_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_pandas,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    jvm = {(r.query_id, r.vec_id) for r in knn_bruteforce(emb, qs, k=5).collect()}
+    arrow = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce_pandas(emb, qs, k=5).collect()
+    }
+    assert jvm == arrow
