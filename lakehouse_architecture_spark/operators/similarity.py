@@ -292,8 +292,13 @@ def ivf_build_index(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 0,
 ) -> None:
     """Materialize an IVF index: corpus partitioned BY centroid_id.
+
+    ``refine_iters`` > 0 runs that many Lloyd iterations
+    (:func:`kmeans_refine`) over the seeded centroids before assignment —
+    better-balanced lists, higher recall at the same n_probe.
 
     The physical layout IS the index — at 100 TB each inverted list is a
     partition directory, so a query that probes ``n_probe`` lists reads
@@ -301,7 +306,10 @@ def ivf_build_index(
     touches the rest of the corpus. Centroids persist next to the lists
     so search needs no recomputation.
     """
-    cents = sample_centroids(corpus, n_centroids, vec_col, id_col).cache()
+    cents = sample_centroids(corpus, n_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        cents = kmeans_refine(corpus, cents, refine_iters, vec_col, id_col)
+    cents = cents.cache()
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
         f"{path}/lists"
@@ -432,3 +440,55 @@ def knn_bruteforce_pandas(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations over the IVF coarse quantizer (k-means refine).
+
+    Each iteration: assign (broadcast centroids, argmax cosine) ->
+    recompute centroids as the member mean, elementwise via
+    posexplode + (centroid, position) average -> rebuild the array with
+    sort_array(collect_list(struct(pos, avg))). All relational: the
+    explode is |corpus| * dim rows but aggregates map-side to
+    k * dim partials, so the shuffle is tiny at any corpus size.
+    Centroids that lose all members keep their previous position (left
+    join + coalesce), so k never shrinks.
+    """
+    cents = centroids
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, vec_col, id_col)
+        comp = assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "val")
+        )
+        means = (
+            comp.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s.m.cast("float")).alias(
+                    "new_vec"
+                ),
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left_outer")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_vec"), F.col("centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+    return cents

@@ -140,3 +140,30 @@ def test_knn_pandas_matches_jvm(spark, sf_dir):
         for r in knn_bruteforce_pandas(emb, qs, k=5).collect()
     }
     assert jvm == arrow
+
+
+def test_kmeans_refine_improves_quantization(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.functions.vectors import cosine
+    from lakehouse_architecture_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+        sample_centroids,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_sim(cents):
+        assigned = ivf_assign(emb, cents)
+        joined = assigned.join(F.broadcast(cents), "centroid_id")
+        return joined.agg(
+            F.avg(cosine(F.col("embedding"), F.col("centroid_vec")))
+        ).collect()[0][0]
+
+    seed = sample_centroids(emb, 8).cache()
+    refined = kmeans_refine(emb, seed, n_iter=2).cache()
+    assert refined.count() == 8
+    # Lloyd iterations must not worsen the mean member->centroid cosine
+    assert mean_sim(refined) >= mean_sim(seed) - 1e-9
