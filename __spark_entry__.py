@@ -26,15 +26,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF0001_DIR)
 
 
+# The verify driver checks queries in dict-insertion order (first N).
+# Order the surface so every operator family is represented early:
+# a few TPC-H join/agg sentinels, then the LLM-data-pipeline families
+# (dedup/similarity, events, text, embeddings, sampling, validation)
+# and the advanced relational operators, then the remaining shapes.
+_SENTINELS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q12_late_priority_counts",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
+    "case_when_conditional_agg",
+]
+_FAMILY_ORDER = [
+    "dedup_sim",
+    "events",
+    "text",
+    "embeddings",
+    "sampling",
+    "validation_queries",
+    "advanced",
+]
+
+
+def _ordered_names() -> list[str]:
+    from lakehouse_architecture_spark.queries import QUERIES
+    from lakehouse_architecture_spark.queries.registry import MODULES
+
+    names = [n for n in _SENTINELS if n in QUERIES]
+    seen = set(names)
+    for family in _FAMILY_ORDER:
+        for n in QUERIES:
+            if n not in seen and MODULES.get(n) == family:
+                names.append(n)
+                seen.add(n)
+    names.extend(n for n in QUERIES if n not in seen)
+    return names
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from lakehouse_architecture_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every oracle-expressible query."""
     from lakehouse_architecture_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}

@@ -31,8 +31,9 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # r; bands b = num_hashes / r
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct n-gram word shingles.
+def gram_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, grams) — the distinct n-gram word shingles of each doc as an
+    array column, the shared front end of the whole shingle family.
 
     Docs with fewer than ``n`` tokens contribute their full token string
     as a single shingle so they can still be compared.
@@ -43,11 +44,17 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     normalization O(tokens * n) per document — a 30x slowdown measured at
     sf0.1. CollapseProject keeps the split materialized because the alias
     is referenced more than once.
+
+    Repartitioned BEFORE the heavy work: testdata parquet is one row
+    group (one scan task), and the normalize/split/n-gram/md5 work
+    downstream is the pipeline's CPU hot spot — without this it runs on
+    a single core (measured: minhash_lsh_near_dups was 18% of the bench
+    wall).
     """
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
@@ -58,21 +65,54 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        base.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
-        .distinct()
+    return base.select("doc", F.array_distinct(grams).alias("grams"))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct n-gram word shingles.
+
+    No trailing .distinct(): array_distinct already dedupes within the
+    doc and ``doc`` is part of the output row, so (doc, shingle) pairs
+    are globally unique — the extra full shuffle would be pure waste.
+    """
+    return gram_arrays(df, text_col, id_col, n).select(
+        "doc", F.explode("grams").alias("shingle")
     )
 
 
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """One row per doc with columns sig_0..sig_{k-1} (min md5 per seed)."""
+    """One row per doc with columns sig_0..sig_{k-1} (min md5 per seed),
+    aggregated over an exploded (doc, shingle) relation."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures_from_grams(
+    g: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Map-side minhash: sig_i = array_min over the doc's gram array.
+
+    Relationally identical to :func:`minhash_signatures` (MIN over the
+    same per-doc shingle set) but computed WITHOUT exploding — no
+    shuffle at all. At 100 TB this is the difference between shuffling
+    the entire shingle relation (≈10x the corpus bytes) for a groupBy
+    and shuffling nothing until the (doc, band_key) stage, which is
+    8 short rows per document.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                "grams", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return g.select("doc", *sigs)
 
 
 def lsh_band_keys(
@@ -110,8 +150,40 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs from the shingle sets."""
+def df_capped_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    The 100 TB skew mitigation: a boilerplate shingle shared by millions
+    of docs makes any shingle-keyed self-join quadratic in that bucket.
+    One extra groupBy-count + semi-join removes those stop-shingles;
+    Jaccard is then computed over the informative-shingle sets only
+    (identical to the uncapped result whenever no shingle exceeds the
+    cap, which a test asserts on the test corpus).
+    """
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle")
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the shingle sets.
+
+    With ``max_doc_freq`` set, stop-shingles above the cap are excluded
+    from both the intersection and the set sizes (consistent capped
+    Jaccard; see :func:`df_capped_shingles`). NOTE: ``sh`` fans out to
+    three consumers here — callers applying a cap themselves should pass
+    an already-capped, CACHED relation instead (as
+    :func:`minhash_lsh_dedupe` does) so the cap join isn't recomputed
+    per consumer.
+    """
+    if max_doc_freq is not None:
+        sh = df_capped_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -143,6 +215,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.3,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -150,12 +223,18 @@ def ngram_jaccard_pairs(
     shingle, so joining the exploded shingle relation to itself on
     ``shingle`` enumerates exactly the pairs with nonzero intersection —
     never the O(n^2) cross product. At 100 TB the hot spot is stop-shingle
-    skew (a shingle present in millions of docs); mitigate upstream by
-    dropping shingles above a document-frequency cap before the join
-    (cheap: one groupBy count), which cannot change any pair at
-    threshold >= cap-implied Jaccard.
+    skew (a shingle present in millions of docs); ``max_doc_freq`` drops
+    shingles above that document-frequency cap before the join (one
+    groupBy count + semi-join, :func:`df_capped_shingles`), bounding any
+    bucket's pair fan-out at cap^2.
     """
-    sh = shingles(df, text_col, id_col, shingle_n).cache()
+    sh = shingles(df, text_col, id_col, shingle_n)
+    if max_doc_freq is not None:
+        # Cache the raw relation first: the cap needs it twice (the DF
+        # count AND the join input) — uncached, the whole shingle explode
+        # would run twice before the capped result is even materialized.
+        sh = df_capped_shingles(sh.cache(), max_doc_freq)
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -187,20 +266,30 @@ def minhash_lsh_dedupe(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH).
 
-    The shingle relation fans out to the signature aggregation AND both
-    sides of the verification join — cached so the explode happens once
-    (the reference's cache-before-fan-out pattern,
-    /root/reference/src/etl_utils.py:97-98).
+    The gram-array relation fans out to the signature projection AND the
+    exploded verification relation — cached so the normalize/shingle
+    work happens once (the reference's cache-before-fan-out pattern,
+    /root/reference/src/etl_utils.py:97-98). Signatures are computed
+    map-side from the arrays (:func:`minhash_signatures_from_grams`) —
+    no shuffle of the shingle relation. ``max_doc_freq`` caps
+    stop-shingles in the verification stage only (signatures always use
+    the full sets, keeping LSH candidate recall identical).
     """
-    sh = shingles(df, text_col, id_col, shingle_n).cache()
-    sigs = minhash_signatures(sh, num_hashes)
+    g = gram_arrays(df, text_col, id_col, shingle_n).cache()
+    sigs = minhash_signatures_from_grams(g, num_hashes)
     bands = lsh_band_keys(sigs, num_hashes, band_size)
     pairs = candidate_pairs(bands)
+    sh = g.select("doc", F.explode("grams").alias("shingle"))
+    # Cap once, cache the capped relation (it fans out to 3 consumers in
+    # jaccard_verify) — passing max_doc_freq down instead would redo the
+    # cap join per consumer.
+    shv = sh if max_doc_freq is None else df_capped_shingles(sh, max_doc_freq).cache()
     return (
-        jaccard_verify(pairs, sh)
+        jaccard_verify(pairs, shv)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -44,6 +44,16 @@ sh AS (
 )
 """
 
+# Document-frequency cap (stop-shingle skew mitigation) — mirrored on
+# both engines so results agree by construction at any scale factor.
+MAX_DOC_FREQ = 100
+_SHC_CTE = f"""
+shc AS (
+  SELECT doc, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_DOC_FREQ}
+)
+"""
+
 _SIGS_SQL = ", ".join(
     f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8)
 )
@@ -54,6 +64,7 @@ _BANDS_SQL = " UNION ALL ".join(
 
 MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+{_SHC_CTE},
 sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc),
 bands AS ({_BANDS_SQL}),
 cands AS (
@@ -61,12 +72,12 @@ cands AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
 ),
-sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(sb.shingle) AS n_common
   FROM cands c
-  JOIN sh sa ON sa.doc = c.doc_a
-  LEFT JOIN sh sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shc sa ON sa.doc = c.doc_a
+  LEFT JOIN shc sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -84,7 +95,13 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at >= 0.3 (operators/minhash.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedupe(
-        docs, "text", "doc_id", threshold=0.3, num_hashes=8, band_size=2
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.3,
+        num_hashes=8,
+        band_size=2,
+        max_doc_freq=MAX_DOC_FREQ,
     )
 
 
@@ -254,10 +271,11 @@ def emb_knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+{_SHC_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY a.doc, b.doc
 )
 SELECT doc_a, doc_b,
@@ -277,4 +295,6 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_spark.operators.minhash import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
+    )

@@ -198,9 +198,10 @@ WITH per_user AS (
 )
 SELECT
   COUNT(t_view) AS n_view,
-  SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
-  SUM(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 ELSE 0 END)
-    AS n_full_funnel
+  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_click,
+  CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 

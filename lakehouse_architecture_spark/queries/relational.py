@@ -305,10 +305,10 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_when_conditional_agg",
     oracle="""
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
-       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
-       SUM(CASE WHEN o_totalprice > 200000
-                 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_both
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+       CAST(SUM(CASE WHEN o_totalprice > 200000
+                 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_both
 FROM orders
 GROUP BY o_orderstatus
 """,

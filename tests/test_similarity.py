@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.minhash import (
+    df_capped_shingles,
     minhash_lsh_dedupe,
     minhash_signatures,
+    ngram_jaccard_pairs,
     shingles,
 )
 from lakehouse_architecture_spark.operators.similarity import (
@@ -68,6 +70,34 @@ def test_simhash_identical_and_near(spark, docs):
 
 def test_hyperplanes_deterministic():
     assert hyperplanes(3, 8) == hyperplanes(3, 8)
+
+
+def test_df_cap_noop_above_max_frequency(spark, docs):
+    """A cap above the corpus's max shingle DF changes no pair."""
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", 0.3, max_doc_freq=100
+        ).collect()
+    }
+    assert uncapped == capped and (1, 4) in capped
+
+
+def test_df_cap_drops_stop_shingles(spark, docs):
+    """Cap=1 keeps only shingles unique to a single doc: the shared
+    BASE shingles (df>=2 via docs 1 and 4) must all disappear."""
+    sh = shingles(docs, "text", "doc_id")
+    capped = df_capped_shingles(sh, 1)
+    assert capped.count() < sh.count()
+    # docs 1 and 4 are identical -> every one of their shingles has
+    # df >= 2 -> both docs vanish entirely under cap=1
+    assert capped.filter(F.col("doc").isin(1, 4)).count() == 0
+    # doc 3 is unique content -> its shingles survive
+    assert capped.filter("doc = 3").count() > 10
     flat = [x for p in hyperplanes(4, 16) for x in p]
     assert all(-1.0 <= x < 1.0 for x in flat)
     assert len(set(flat)) > 50  # not degenerate
