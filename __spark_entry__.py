@@ -47,6 +47,7 @@ _FAMILY_ORDER = [
     "embeddings",
     "sampling",
     "validation_queries",
+    "catalog_sql",
     "advanced",
 ]
 

@@ -104,15 +104,16 @@ def minhash_signatures_from_grams(
     and shuffling nothing until the (doc, band_key) stage, which is
     8 short rows per document.
     """
-    sigs = [
-        F.array_min(
-            F.transform(
-                "grams", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-            )
+    def sig(i: int):
+        # Single-parameter lambda closing over the seed literal: a
+        # two-parameter lambda would make transform() bind the second
+        # arg to the ELEMENT INDEX, silently replacing the seed.
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform("grams", lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return g.select("doc", *sigs)
+
+    return g.select("doc", *[sig(i) for i in range(num_hashes)])
 
 
 def lsh_band_keys(

@@ -402,9 +402,10 @@ def knn_bruteforce_pandas(
 
     The query matrix (small: Q x dim) is closed over and normalized once
     on the driver; each corpus Arrow batch computes a (batch x Q) cosine
-    block with one BLAS gemm. Output is (query_id, vec_id, cosine_sim)
-    candidates; the global top-k stays a relational window so only
-    |corpus| x Q candidate rows above the per-batch cut shuffle.
+    block with one BLAS gemm, then keeps only each query's top k+1 batch
+    rows (np.argpartition) — rows below a batch's cut can never survive
+    the global top-k, so at most (k+1) * Q rows per batch shuffle into
+    the final window instead of |batch| * Q.
     Results match :func:`knn_bruteforce` (tests/test_similarity.py).
     """
     import numpy as np
@@ -418,15 +419,25 @@ def knn_bruteforce_pandas(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to score
+                continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            np.maximum(norms, 1e-300, out=norms)  # zero vectors -> sim 0
+            c_norm = c_mat / norms
             sims = c_norm @ q_norm.T  # (batch, Q) in one gemm
             n, q = sims.shape
+            # Per-batch partial top-k: keep k+1 so the global window can
+            # still drop a self-match and fill k neighbors.
+            keep = min(k + 1, n)
+            top = np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
+            rows = top.ravel(order="F")  # per-query column blocks
+            cols = np.repeat(np.arange(q), keep)
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(q_ids, n),
-                    id_col: np.repeat(pdf[id_col].to_numpy(), q),
-                    "cosine_sim": sims.ravel(),
+                    "query_id": np.repeat(q_ids, keep),
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "cosine_sim": sims[rows, cols],
                 }
             )
 

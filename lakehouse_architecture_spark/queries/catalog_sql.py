@@ -1,0 +1,115 @@
+"""Catalog / SQL-string surface queries.
+
+The reference's user-facing query path is Athena SQL over Glue-cataloged
+curated tables: probe SELECTs in the orchestration
+(/root/reference/stepfunctions/delta-lake.json:147-215) and
+INSERT ... SELECT ... WHERE NOT EXISTS upserts (README.md:252-374).
+These queries replay those shapes through the Spark-native equivalent
+(lakehouse_architecture_spark.catalog): temp-view / saveAsTable
+registration + ``spark.sql`` strings, planned by Catalyst like any
+DataFrame query.
+
+Each Spark query literally executes a SQL string — the oracle runs the
+same ANSI text on DuckDB, so this family also proves dialect-portable
+SQL generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_architecture_spark.catalog import save_as_table, sql
+from lakehouse_architecture_spark.queries.registry import query
+from lakehouse_architecture_spark.sources.tables import load_table
+
+# Athena probe 1 (`SELECT * from clean_orders limit 5`), made
+# deterministic: explicit total order + date rendering.
+PROBE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+LIMIT 5
+"""
+
+
+@query("sql_probe_orders", oracle=PROBE_SQL)
+def sql_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog probe: the reference's post-crawl Athena smoke query,
+    via ``catalog.sql`` over registered views."""
+    return sql(spark, PROBE_SQL, sf_dir=sf_dir)
+
+
+# README.md:260-282's ACID INSERT guard, as the SELECT it feeds: staged
+# orders that are NOT already present in the curated target (here the
+# curated set is modeled as orders below a key watermark).
+INSERT_GUARD_SQL = """
+SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+       CAST(s.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders s
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders t
+  WHERE t.o_orderkey = s.o_orderkey AND t.o_orderkey < 7500
+)
+ORDER BY s.o_orderkey
+"""
+
+
+@query("sql_insert_not_exists", oracle=INSERT_GUARD_SQL)
+def sql_insert_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's INSERT ... WHERE NOT EXISTS dedup guard as a user
+    SQL string; Catalyst rewrites the correlated NOT EXISTS into a
+    left-anti join (no per-row subquery execution)."""
+    return sql(spark, INSERT_GUARD_SQL, sf_dir=sf_dir)
+
+
+REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("sql_revenue_by_nation", oracle=REVENUE_SQL)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full analytic join+agg as user SQL over the registered views —
+    nation/customer broadcast under AQE, decimal fixed-point sums for
+    cross-engine float parity."""
+    return sql(spark, REVENUE_SQL, sf_dir=sf_dir)
+
+
+SEGMENT_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("sql_catalog_roundtrip", oracle=SEGMENT_STATS_SQL)
+def sql_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable round-trip: curate an aggregate, persist it as an
+    external catalog table (parquet + catalog metadata), then answer
+    from the TABLE via SQL — the reference's curated-zone contract
+    (write to lake, query through the catalog)."""
+    curated = sql(spark, SEGMENT_STATS_SQL, sf_dir=sf_dir)
+    save_as_table(
+        curated,
+        "curated_segment_stats",
+        path="/tmp/lakehouse_catalog/segment_stats",
+    )
+    return sql(
+        spark,
+        "SELECT c_mktsegment, n_customers, total_acctbal "
+        "FROM curated_segment_stats ORDER BY c_mktsegment",
+    )

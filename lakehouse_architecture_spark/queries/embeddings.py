@@ -61,8 +61,36 @@ LIMIT 10
 
 @query("emb_knn_bruteforce", oracle=KNN_ORACLE)
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0 via the Arrow/BLAS
+    mapInPandas path (operators/similarity.knn_bruteforce_pandas): one
+    gemm per corpus batch, per-batch partial top-k, tiny final window.
+    This is the production shape — linear scan, no corpus shuffle, only
+    (k+1) rows per batch reach the shuffle. The 64x-row posexplode
+    formulation with order-independent decimal sums is kept as
+    ``emb_knn_bruteforce_decimal`` below.
+    """
+    from lakehouse_architecture_spark.operators.similarity import (
+        knn_bruteforce_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    # Fetch a margin above k, then re-rank by the ROUNDED cosine with
+    # vec_id tie-break — the ordering the oracle uses.
+    out = knn_bruteforce_pandas(emb, q, k=30)
+    return (
+        out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query("emb_knn_bruteforce_decimal", oracle=KNN_ORACLE)
+def emb_knn_bruteforce_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id 0 (query side broadcast;
-    scales linearly in corpus size with no shuffle of the corpus)."""
+    scales linearly in corpus size with no shuffle of the corpus).
+    Order-independent decimal fixed-point sums: the bit-reproducible
+    JVM-side baseline the fast path is checked against."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     dots = _pair_dots(emb, q)

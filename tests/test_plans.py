@@ -60,3 +60,59 @@ def test_agg_is_partial_then_final(spark, sf_dir):
     # two HashAggregates around one Exchange = map-side partial agg
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_q12_date_range_pushed_down(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q12_late_priority_counts")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # conditional-count agg is still a 2-phase hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q18_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
+    """Map-side minhash: the signature projection must not aggregate or
+    shuffle beyond the single explicit round-robin repartition of the
+    unsplittable scan."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        gram_arrays,
+        minhash_signatures_from_grams,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_from_grams(gram_arrays(docs, "text", "doc_id"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = sigs._jdf.queryExecution().explainString(mode)
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # the only exchange is the explicit round-robin repartition — no
+    # hash shuffle anywhere in the signature path
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert "HashPartitioning" not in plan
+    # seeds are real literals, not accidentally-bound lambda variables
+    assert "0:" in plan and "Column<" not in plan
+
+
+def test_knn_bruteforce_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "emb_knn_bruteforce")
+    assert "MapInPandas" in plan          # Arrow/BLAS scoring path
+    assert "CartesianProduct" not in plan  # corpus never cross-joins
+    assert "Window" in plan                # global top-k stays relational
+
+
+def test_sql_string_plans_like_dataframes(spark, sf_dir):
+    """User SQL through catalog.sql gets the same physical treatment:
+    broadcast dims, partial aggs, no nested loops."""
+    plan = _plan(spark, sf_dir, "sql_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -72,6 +72,27 @@ def test_hyperplanes_deterministic():
     assert hyperplanes(3, 8) == hyperplanes(3, 8)
 
 
+def test_array_signatures_match_agg_signatures(spark, docs):
+    """Map-side array_min signatures must be bit-identical to the
+    groupBy-MIN form (same md5 seed family — the oracle's family)."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        gram_arrays,
+        minhash_signatures_from_grams,
+    )
+
+    agg = {
+        r.doc: (r.sig_0, r.sig_1, r.sig_2, r.sig_3)
+        for r in minhash_signatures(shingles(docs, "text", "doc_id"), 4).collect()
+    }
+    arr = {
+        r.doc: (r.sig_0, r.sig_1, r.sig_2, r.sig_3)
+        for r in minhash_signatures_from_grams(
+            gram_arrays(docs, "text", "doc_id"), 4
+        ).collect()
+    }
+    assert agg == arr
+
+
 def test_df_cap_noop_above_max_frequency(spark, docs):
     """A cap above the corpus's max shingle DF changes no pair."""
     uncapped = {
