@@ -1,0 +1,81 @@
+"""Connected components over near-duplicate pair edges.
+
+Pairwise near-dup detection (MinHash/SimHash/n-gram Jaccard,
+operators/minhash.py) yields EDGES; dedup policy needs GROUPS — "keep
+one doc per component of the similarity graph". This is the classic
+iterative min-label propagation (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SOCC'14 — the simple variant), expressed as
+DataFrame joins:
+
+    comp(v) <- min(comp(v), min over neighbors comp(u))
+
+repeated until a fixpoint. Convergence takes O(max component diameter)
+rounds; near-dup clusters are shallow (diameter 2-4 in practice), so
+this terminates in a handful of shuffles even on billion-edge graphs.
+
+Scale design: each round is one join (edges x labels, shuffle on the
+join key) plus one groupBy-min (map-side partial). Labels are
+localCheckpoint-ed per round so lineage stays flat; the convergence
+probe is a limit(1) count of changed labels, not a full collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc, component) for every vertex of ``edges``; the component id
+    is the smallest vertex id in the component (deterministic)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("comp", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels.withColumnRenamed("doc", "a"), "a"
+        ).select(F.col("b").alias("doc"), "comp")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_one_per_component(
+    df: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every doc except its component's representative (the min
+    id). Docs with no edge (singletons, absent from ``labels``) are
+    kept — the left join leaves their component null."""
+    lab = labels.withColumnRenamed("doc", id_col)
+    return (
+        df.join(lab, id_col, "left_outer")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        .drop("comp")
+    )

@@ -441,7 +441,15 @@ def knn_bruteforce_pandas(
                 }
             )
 
-    cands = corpus.select(id_col, vec_col).mapInPandas(
+    src = corpus.select(id_col, vec_col)
+    # Unsplittable small scans (one row group) would run the whole scan
+    # on one Python worker; spread batches so workers fork and score in
+    # parallel. At cluster scale the scan already has many partitions
+    # and this is a no-op.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    cands = src.mapInPandas(
         score, schema=f"query_id long, {id_col} long, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))

@@ -23,3 +23,4 @@ from lakehouse_architecture_spark.queries import dedup_sim  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import advanced  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import sampling  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import catalog_sql  # noqa: F401,E402
+from lakehouse_architecture_spark.queries import curation  # noqa: F401,E402
