@@ -29,6 +29,7 @@ def save_as_table(
     name: str,
     path: str | None = None,
     partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist a curated DataFrame as a catalog table.
@@ -39,10 +40,18 @@ def save_as_table(
     equality/range predicates on them prune at the file-listing level —
     the same layout contract as the reference's curated zone
     (/root/reference/src/glue_etl.py:300-320 partitioned Delta writes).
+
+    ``bucket_by=(n, cols)`` hash-buckets (and sorts) the files on the
+    join key: two tables bucketed the same way join WITHOUT a shuffle —
+    the pre-shuffled layout that turns a recurring 100 TB fact-fact join
+    from an every-query exchange into a local merge per bucket.
     """
     writer = df.write.format("parquet").mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by is not None:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(name)

@@ -92,6 +92,28 @@ def stream_dedup(
     )
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    keys: list[str],
+    how: str = "left_outer",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against a batch dimension (the reference's RI lookup shape,
+    /root/reference/src/etl_utils.py:176-201, running continuously).
+
+    Stream-static joins are STATELESS — no watermark, no state store:
+    Spark re-plans the static side per micro-batch, so a dimension
+    backed by a table on disk picks up slowly-changing updates between
+    batches for free. With ``broadcast_dim`` the dimension ships to the
+    stream's tasks and the stream NEVER shuffles — the only plan that
+    holds up when the stream side is the firehose.
+    """
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, keys, how)
+
+
 def stream_hourly_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -62,3 +62,59 @@ def test_save_as_table_overwrite_idempotent(spark, tmp_path):
     rows = sql(spark, "SELECT * FROM t_idem").collect()
     assert len(rows) == 1 and rows[0].s == "b"
     spark.sql("DROP TABLE t_idem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange: the on-disk layout IS the shuffle, paid once at write."""
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(100)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k long, rv string"
+    )
+    save_as_table(left, "t_bleft", path=str(tmp_path / "bl"), bucket_by=(4, ["k"]))
+    save_as_table(right, "t_bright", path=str(tmp_path / "br"), bucket_by=(4, ["k"]))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = sql(
+            spark,
+            "SELECT l.k, lv, rv FROM t_bleft l JOIN t_bright r ON l.k = r.k",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE t_bleft")
+        spark.sql("DROP TABLE t_bright")
+
+
+def test_dynamic_partition_pruning_on_catalog_tables(spark, tmp_path):
+    """A dim filter must prune the partitioned fact's scan at RUNTIME
+    (dynamicpruningexpression in PartitionFilters) — at 100 TB this is
+    the difference between scanning 10 partitions and all of them."""
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(1000)],
+        "id long, seg int, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(10)],
+        "seg int, tag string",
+    )
+    save_as_table(fact, "t_dppf", path=str(tmp_path / "f"), partition_by=["seg"])
+    save_as_table(dim, "t_dppd", path=str(tmp_path / "d"))
+    try:
+        j = sql(
+            spark,
+            "SELECT f.id FROM t_dppf f JOIN t_dppd d ON f.seg = d.seg "
+            "WHERE d.tag = 'keep'",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        assert j.count() == 200
+    finally:
+        spark.sql("DROP TABLE t_dppf")
+        spark.sql("DROP TABLE t_dppd")

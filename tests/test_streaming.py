@@ -14,6 +14,7 @@ from lakehouse_architecture_spark.streaming.jobs import (
     stream_csv_ingest_merge,
     stream_hourly_counts,
     stream_sessionize,
+    stream_static_enrich,
 )
 
 CSV_HEADER = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
@@ -182,3 +183,38 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     _await(q)
     out = spark.sql("select * from dedup_test").collect()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_stream_static_enrich_broadcast(spark, tmp_path):
+    src = tmp_path / "enrich_events"
+    src.mkdir()
+    (src / "e.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n"
+        "1,2024-01-01T00:10:00,7,click,1.5\n"
+        "2,2024-01-01T00:40:00,8,view,2.5\n"
+        "3,2024-01-01T01:10:00,99,view,3.0\n"  # no dim row -> null name
+    )
+    dim = spark.createDataFrame(
+        [(7, "alice"), (8, "bob")], "user_id long, user_name string"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .load(str(src))
+    )
+    q = (
+        stream_static_enrich(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = {r.event_id: r.user_name for r in spark.sql(
+        "select * from enrich_test").collect()}
+    assert out == {1: "alice", 2: "bob", 3: None}
