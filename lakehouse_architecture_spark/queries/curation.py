@@ -197,6 +197,95 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- lexical diversity / entropy ---------------------------------------
+
+ENTROPY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, str_split({SQL_NORM}, ' ') AS ts FROM documents
+),
+tok AS (SELECT doc_id, t AS token FROM toks, UNNEST(ts) AS u(t)),
+counts AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_distinct_tokens,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+  ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+        - SUM(c * LOG2(CAST(c AS DOUBLE))) / SUM(c), 6) AS token_entropy
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("docs_token_entropy", oracle=ENTROPY_ORACLE)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity filter signals: type-token ratio and unigram
+    token entropy per doc (Gopher-style quality rules threshold both).
+    Entropy uses the count identity H = log2(n) - sum(c*log2 c)/n so the
+    heavy term is one SUM over integer counts; the 1e-16-relative
+    addition-order noise vanishes under round(6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    )
+    counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.count(F.lit(1)).cast("double") / n, 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                F.log2(n.cast("double"))
+                - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n,
+                6,
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+PII_ORACLE = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("docs_pii_scrub", oracle=PII_ORACLE)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: per-doc email/phone match counts and the
+    fingerprint of the scrubbed text (emails then phones replaced by
+    typed placeholders). Pure columnar regex — no UDF; the scrubbed
+    text itself is one select away (the query ships the hash so the
+    oracle can verify the full transform, not just the counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
 @query("docs_repetition_score", oracle=REPETITION_ORACLE)
 def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-text filter signal: most-frequent-token share per doc

@@ -86,3 +86,32 @@ def test_pack_shards_are_independent(spark):
     # each shard restarts its own running sum
     assert per_shard[(0, 1)] == 0 and per_shard[(1, 2)] == 0
     assert per_shard[(0, 3)] == 1 and per_shard[(1, 4)] == 1
+
+
+def test_pii_scrub_planted(spark):
+    from lakehouse_architecture_spark.queries.curation import EMAIL_RE, PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith+x@mail.co.uk now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    text = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    out = {
+        r.doc_id: (r.n_emails, r.n_phones, r.s)
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).alias("n_phones"),
+            scrubbed.alias("s"),
+        ).collect()
+    }
+    assert out[1][0] == 2 and "<EMAIL>" in out[1][2] and "alice" not in out[1][2]
+    assert out[2][1] == 1 and "<PHONE>" in out[2][2] and "555" not in out[2][2]
+    assert out[3] == (0, 0, "no pii here at all")
