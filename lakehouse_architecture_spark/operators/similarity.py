@@ -444,10 +444,15 @@ def knn_bruteforce_pandas(
     src = corpus.select(id_col, vec_col)
     # Unsplittable small scans (one row group) would run the whole scan
     # on one Python worker; spread batches so workers fork and score in
-    # parallel. At cluster scale the scan already has many partitions
-    # and this is a no-op.
+    # parallel. File count is the cheap proxy (a .rdd partition probe
+    # costs a full plan translation); at cluster scale the scan has
+    # plenty of files and this is a no-op.
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    try:
+        few_files = len(corpus.inputFiles()) < par
+    except Exception:  # non-file-backed relation: leave as-is
+        few_files = False
+    if few_files:
         src = src.repartition(par)
     cands = src.mapInPandas(
         score, schema=f"query_id long, {id_col} long, cosine_sim double"
@@ -459,6 +464,29 @@ def knn_bruteforce_pandas(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def knn_bruteforce_auto(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    switchover: int = 50_000,
+) -> DataFrame:
+    """Size-adaptive exact KNN: the Arrow/BLAS path's fixed costs (a
+    Python worker per partition, Arrow transfer, gemm setup) only
+    amortize past ~10^4-10^5 corpus rows; below that the JVM zip_with
+    fold is strictly faster (measured: 0.9 s vs 2.5 s at 2 k vectors,
+    crossing over as the corpus grows). Both paths produce identical
+    top-k after 6-decimal rounding (tests/test_similarity.py), so the
+    dispatch is invisible to callers. The count() that drives it is
+    metadata-only on parquet sources.
+    """
+    n = corpus.count()
+    if n < switchover:
+        return knn_bruteforce(corpus, query, vec_col, id_col, k)
+    return knn_bruteforce_pandas(corpus, query, vec_col, id_col, k)
 
 
 def kmeans_refine(

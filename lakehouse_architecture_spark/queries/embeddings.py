@@ -61,23 +61,24 @@ LIMIT 10
 
 @query("emb_knn_bruteforce", oracle=KNN_ORACLE)
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id 0 via the Arrow/BLAS
-    mapInPandas path (operators/similarity.knn_bruteforce_pandas): one
-    gemm per corpus batch, per-batch partial top-k, tiny final window.
-    This is the production shape — linear scan, no corpus shuffle, only
-    (k+1) rows per batch reach the shuffle. The 64x-row posexplode
-    formulation with order-independent decimal sums is kept as
-    ``emb_knn_bruteforce_decimal`` below.
+    """Exact cosine top-10 neighbors of vec_id 0 via the size-adaptive
+    brute-force operator (operators/similarity.knn_bruteforce_auto):
+    JVM zip_with folds below the switchover, Arrow/BLAS mapInPandas
+    (one gemm per corpus batch, per-batch partial top-k, tiny final
+    window) above it — the production shape for large corpora: linear
+    scan, no corpus shuffle, only (k+1) rows per batch reach the
+    shuffle. The 64x-row posexplode formulation with order-independent
+    decimal sums is kept as ``emb_knn_bruteforce_decimal`` below.
     """
     from lakehouse_architecture_spark.operators.similarity import (
-        knn_bruteforce_pandas,
+        knn_bruteforce_auto,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     # Fetch a margin above k, then re-rank by the ROUNDED cosine with
     # vec_id tie-break — the ordering the oracle uses.
-    out = knn_bruteforce_pandas(emb, q, k=30)
+    out = knn_bruteforce_auto(emb, q, k=30)
     return (
         out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))

@@ -103,7 +103,21 @@ def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
 
 
 def test_knn_bruteforce_is_arrow_batched(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "emb_knn_bruteforce")
+    """The large-corpus branch of the adaptive KNN must be the Arrow
+    path: MapInPandas scoring, relational top-k, no cross join."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        knn_bruteforce_auto,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = knn_bruteforce_auto(emb, q, k=5, switchover=0)  # force Arrow
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
     assert "MapInPandas" in plan          # Arrow/BLAS scoring path
     assert "CartesianProduct" not in plan  # corpus never cross-joins
     assert "Window" in plan                # global top-k stays relational
