@@ -224,3 +224,56 @@ def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median"
         ),
     )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 != 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+         WHEN n.o_orderkey IS NULL THEN 'deleted'
+         WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+           THEN 'unchanged'
+         ELSE 'updated' END AS change_type
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_rows
+FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
+@query("snapshot_diff_counts", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): classify each key across two
+    table versions as inserted/deleted/updated/unchanged via one
+    NULL-safe full-outer join — the change-set relation behind CDC
+    audits and MERGE debugging. Versions are simulated from orders by
+    key filters + a price perturbation."""
+    from lakehouse_architecture_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )

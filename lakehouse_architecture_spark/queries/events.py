@@ -237,3 +237,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+OHLC_ORACLE = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+  CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open_value,
+  CAST(MAX(value) AS DOUBLE) AS high_value,
+  CAST(MIN(value) AS DOUBLE) AS low_value,
+  CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close_value,
+  COUNT(*) AS n_events
+FROM w GROUP BY h, event_type ORDER BY window_start, event_type
+"""
+
+
+@query("events_ohlc_downsample", oracle=OHLC_ORACLE)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event type (the
+    hypertable-rollup shape). First/last are row_number picks with full
+    (ts, event_id) tie-breaks — min_by/max_by would be nondeterministic
+    on timestamp ties — then one hash aggregation per (hour, type); the
+    two windows and the final groupBy share a single shuffle key family
+    so AQE reuses the exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    base = ev.select(h.alias("h"), "event_type", "value", "ts", "event_id")
+    wa = Window.partitionBy("h", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("h", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        marked.groupBy("h", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )

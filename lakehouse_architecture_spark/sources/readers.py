@@ -61,5 +61,29 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return parsed, corrupt
 
 
+def read_json_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """Read JSON-lines against a declared schema, PERMISSIVE with
+    ``_corrupt_record`` — same contract as :func:`read_csv_typed` (no
+    inference double scan; bad lines preserved, not nulled). Globs give
+    the same multi-file UNION semantics."""
+    read_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    reader = (
+        spark.read.format("json")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(read_schema)
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.load(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

@@ -77,3 +77,40 @@ def test_read_csv_typed_corrupt_capture(spark, tmp_path):
     assert parsed.count() == 1
     assert corrupt.count() == 1
     assert corrupt.collect()[0]._corrupt_record.startswith("not,an,int")
+
+
+def test_read_json_typed_corrupt_capture(spark, tmp_path):
+    from lakehouse_architecture_spark.sources.readers import read_json_typed
+
+    p = tmp_path / "orders.jsonl"
+    p.write_text(
+        '{"order_num": 90, "order_id": 501, "user_id": 1990, '
+        '"order_timestamp": "2025-04-01T11:27:00", "total_amount": 229.53, '
+        '"date": "2025-04-01"}\n'
+        "{this is not json at all\n"
+    )
+    df = read_json_typed(spark, str(p), ORDERS_SCHEMA)
+    parsed, corrupt = split_corrupt(df)
+    assert parsed.count() == 1
+    assert parsed.collect()[0].order_id == 501
+    assert corrupt.count() == 1
+    assert corrupt.collect()[0]._corrupt_record.startswith("{this")
+
+
+def test_snapshot_diff_classifies(spark):
+    from lakehouse_architecture_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, None), (5, 50.0)], "k long, v double"
+    )
+    d = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert d == {
+        1: "deleted",
+        2: "updated",
+        3: "unchanged",   # NULL == NULL under null-safe compare
+        4: "updated",     # value -> NULL is an update
+        5: "inserted",
+    }
