@@ -87,3 +87,9 @@ def read_json_typed(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (both are Spark built-ins; predicate pushdown via ORC SearchArgument)."""
+    return spark.read.orc(path)

@@ -114,3 +114,18 @@ def test_snapshot_diff_classifies(spark):
         4: "updated",     # value -> NULL is an update
         5: "inserted",
     }
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from lakehouse_architecture_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(100)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.format("orc").mode("overwrite").save(path)
+    back = read_orc(spark, path).filter(F.col("id") >= 90).select("id", "v")
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90" in plan

@@ -44,3 +44,37 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert {r.o_orderpriority: r["count"] for r in s} == {
         r.o_orderpriority: r["count"] for r in p
     }
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling must activate on a planted hot key
+    (thresholds lowered to make the 50k-row key 'skewed' at test scale)
+    — at 100 TB this is what keeps one reducer from owning the hot key,
+    complementing the deterministic salting operators above."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"),
+                     F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 50000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
