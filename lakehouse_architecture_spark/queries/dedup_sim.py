@@ -242,10 +242,64 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_knn_lsh")  # no oracle: approximate by construction
+# The LSH oracle replicates the ENTIRE algorithm in SQL: the same
+# md5-derived hyperplane components (operators/similarity.py:24-27,
+# int(md5('p:j')[:12],16)/2^47 - 1 — exact in double), the same sign
+# buckets, the same bucket join and cosine re-rank. Approximation and
+# all, the two engines agree bit-for-bit after round(6).
+KNN_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p, j,
+    CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)
+      / 140737488355328.0 - 1.0 AS w
+  FROM generate_series(0, 3) AS gp(p), generate_series(0, 63) AS gj(j)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nsq
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         qe.embedding AS q_emb, ce.embedding AS c_emb
+  FROM buckets q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  WHERE q.vec_id < 5
+),
+pair_dots AS (
+  SELECT query_id, vec_id,
+         SUM(CAST(c_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)) AS d
+  FROM cand, UNNEST(generate_series(1, len(c_emb))) AS t(i)
+  GROUP BY query_id, vec_id
+),
+scored AS (
+  SELECT p.query_id, p.vec_id, p.d / SQRT(nc.nsq * nq.nsq) AS cos
+  FROM pair_dots p
+  JOIN norms nc ON nc.vec_id = p.vec_id
+  JOIN norms nq ON nq.vec_id = p.query_id
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+"""
+
+
+@query("emb_knn_lsh", oracle=KNN_LSH_ORACLE)
 def emb_knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate KNN for 5 query vectors (rows-only check;
-    recall vs brute force is asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate KNN for 5 query vectors. The oracle
+    replays the identical deterministic hyperplane family in SQL, so
+    even the LSH recall behavior is cross-engine checked; recall vs
+    brute force is additionally asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     out = knn_lsh(emb, queries_df, dim=64, k=5, num_planes=4)
