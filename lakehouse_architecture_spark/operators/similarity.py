@@ -466,6 +466,77 @@ def knn_bruteforce_pandas(
     )
 
 
+def near_dup_candidates_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """Exact all-pairs cosine candidates via BLOCKED gemm — the way to
+    do exact O(n^2) similarity without ever materializing n^2 rows in
+    the engine.
+
+    Vectors are deterministically assigned to ``n_blocks`` blocks
+    (id mod n); the upper-triangle grid of block pairs becomes
+    applyInPandas groups, each holding two bounded blocks; one BLAS
+    gemm per group scores all its cross pairs and emits ONLY ids above
+    ``threshold - slack``. Work is O(n^2) flops (irreducible for exact
+    all-pairs) but memory per task is O((n/B)^2) and shuffled bytes are
+    O(n * B) input + matches output — no quadratic relation ever exists.
+    Emitted pairs are candidates (double precision); callers wanting
+    bit-reproducible scores re-score them exactly (queries/dedup_sim.py
+    re-runs the decimal fold on the survivors).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+    )
+    a = grid.join(tagged, tagged.blk == grid.ba).select(
+        "ba", "bb", "vid", "vec", F.lit(0).alias("side")
+    )
+    b = grid.join(tagged, tagged.blk == grid.bb).select(
+        "ba", "bb", "vid", "vec", F.lit(1).alias("side")
+    )
+    both = a.union(b)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ba, bb = key
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        lm = np.array(list(left["vec"]), dtype=np.float64)
+        rm = np.array(list(right["vec"]), dtype=np.float64)
+        ln = np.linalg.norm(lm, axis=1, keepdims=True)
+        rn = np.linalg.norm(rm, axis=1, keepdims=True)
+        np.maximum(ln, 1e-300, out=ln)
+        np.maximum(rn, 1e-300, out=rn)
+        sims = (lm / ln) @ (rm / rn).T
+        li, ri = np.nonzero(sims >= threshold - slack)
+        id_a = left["vid"].to_numpy()[li]
+        id_b = right["vid"].to_numpy()[ri]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = lo < hi  # drop self pairs (diagonal blocks carry both sides)
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
+
+    return both.groupBy("ba", "bb").applyInPandas(
+        score, schema="id_a long, id_b long"
+    ).distinct()
+
+
 def knn_bruteforce_auto(
     corpus: DataFrame,
     query: DataFrame,

@@ -203,18 +203,26 @@ WHERE dot / SQRT(na * nb) >= 0.45
 
 @query("emb_near_dup_pairs", oracle=EMB_NEAR_DUP_ORACLE)
 def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.45), exact all-pairs with
-    order-independent decimal sums. The LSH-bucketed variant of the same
-    operator is ``emb_knn_lsh`` (operators/similarity.py) — this exact
-    form is the oracle baseline it's measured against."""
+    """Embedding near-dup pairs (cosine >= 0.45), exact, size-adaptive
+    like ``emb_knn_bruteforce``:
+
+    - small corpora: codegen'd pair join with a double-fold prefilter —
+      the JVM path with no Python-worker fixed costs;
+    - large corpora: blocked-gemm candidate generation
+      (operators/similarity.near_dup_candidates_blocked) — O(n^2) flops
+      but O((n/B)^2) memory per task and no quadratic relation, the
+      shape exact all-pairs takes at 100 TB.
+
+    Either way a bit-reproducible decimal-fold re-score of the tiny
+    surviving candidate set delivers oracle parity. The sub-quadratic
+    scale twins of this operator are ``emb_knn_lsh`` and ``emb_knn_ivf``.
+    """
     from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
+    from lakehouse_architecture_spark.operators.similarity import (
+        near_dup_candidates_blocked,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Per-vector EXACT norms are O(n), computed once BEFORE the O(n^2)
-    # pair join. The pair join runs a codegen-friendly double fold as a
-    # prefilter (epsilon slack covers double-vs-decimal rounding, which
-    # is ~1e-10 relative), then the exact decimal fold re-scores only the
-    # tiny surviving candidate set — 2M pairs never touch BigDecimal.
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -225,18 +233,26 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         dec_dot("embedding", "embedding").alias("nb"),
     )
-    inv_norm = 1.0 / F.sqrt(F.col("na") * F.col("nb"))
-    # One small parquet file = one input partition, and the nested-loop
-    # pair join inherits it — repartition the probe side so the O(n^2)
-    # scoring spreads across every core.
-    a = a.repartition(spark.sparkContext.defaultParallelism)
-    cands = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(dot("va", "vb") * inv_norm >= 0.45 - 1e-6)
-    )
     cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
+    if emb.count() < 50_000:
+        # One small parquet file = one input partition, and the
+        # nested-loop pair join inherits it — repartition the probe side
+        # so the O(n^2) scoring spreads across every core.
+        inv_norm = 1.0 / F.sqrt(F.col("na") * F.col("nb"))
+        cands = (
+            a.repartition(spark.sparkContext.defaultParallelism)
+            .join(b, F.col("id_a") < F.col("id_b"))
+            .filter(dot("va", "vb") * inv_norm >= 0.45 - 1e-6)
+            .select("id_a", "id_b", "na", "nb", "va", "vb")
+        )
+        return (
+            cands.filter(cos >= 0.45)
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
+        )
+    cand_ids = near_dup_candidates_blocked(emb, threshold=0.45)
     return (
-        cands.select("id_a", "id_b", "na", "nb", "va", "vb")
+        cand_ids.join(a, "id_a")
+        .join(b, "id_b")
         .filter(cos >= 0.45)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
     )

@@ -119,6 +119,9 @@ def test_df_cap_drops_stop_shingles(spark, docs):
     assert capped.filter(F.col("doc").isin(1, 4)).count() == 0
     # doc 3 is unique content -> its shingles survive
     assert capped.filter("doc = 3").count() > 10
+
+
+def test_hyperplane_components_in_range():
     flat = [x for p in hyperplanes(4, 16) for x in p]
     assert all(-1.0 <= x < 1.0 for x in flat)
     assert len(set(flat)) > 50  # not degenerate
@@ -218,3 +221,26 @@ def test_kmeans_refine_improves_quantization(spark, sf_dir):
     assert refined.count() == 8
     # Lloyd iterations must not worsen the mean member->centroid cosine
     assert mean_sim(refined) >= mean_sim(seed) - 1e-9
+
+
+def test_blocked_near_dup_candidates_small_corpus(spark):
+    """More blocks than vectors: empty sides and diagonal blocks must
+    not crash or emit self/duplicate pairs."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        near_dup_candidates_blocked,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),      # dup of 0
+            (2, [0.0, 1.0]),      # orthogonal
+            (35, [1.0, 0.001]),   # near-dup of 0/1, lands in block 35%16=3
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dup_candidates_blocked(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(0, 1), (0, 35), (1, 35)}
