@@ -114,6 +114,38 @@ def stream_static_enrich(
     return stream_df.join(dim, keys, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state: both sides are
+    watermarked and the join condition carries an event-time range
+    (right within [left_ts, left_ts + max_lag]), so Spark can evict
+    buffered rows once the watermark passes them — without the range
+    constraint, stream-stream join state grows forever.
+
+    The canonical use is impression->click attribution; at the
+    reference's Glue layer this could only be expressed as repeated
+    batch joins over re-read snapshots.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol = F.col(f"l.{left_ts}")
+    rcol = F.col(f"r.{right_ts}")
+    return lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rcol >= lcol)
+        & (rcol <= lcol + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )
+
+
 def stream_hourly_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

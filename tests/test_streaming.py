@@ -218,3 +218,50 @@ def test_stream_static_enrich_broadcast(spark, tmp_path):
     out = {r.event_id: r.user_name for r in spark.sql(
         "select * from enrich_test").collect()}
     assert out == {1: "alice", 2: "bob", 3: None}
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    from lakehouse_architecture_spark.streaming.jobs import stream_stream_join
+
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "i.csv").write_text(
+        "imp_id,ts,user_id\n"
+        "1,2024-01-01T00:00:00,7\n"
+        "2,2024-01-01T00:00:00,8\n"
+        "3,2024-01-01T02:00:00,7\n"
+    )
+    (clk_dir / "c.csv").write_text(
+        "click_id,ts,user_id\n"
+        "10,2024-01-01T00:10:00,7\n"   # within 30min of imp 1 -> joins
+        "11,2024-01-01T01:30:00,8\n"   # 90min after imp 2 -> out of range
+        "12,2024-01-01T02:05:00,7\n"   # joins imp 3 (not imp 1: >30min)
+    )
+    imps = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema("imp_id long, ts timestamp, user_id long")
+        .load(str(imp_dir))
+    )
+    clicks = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema("click_id long, cts timestamp, user_id long")
+        .load(str(clk_dir))
+    )
+    joined = stream_stream_join(
+        imps, clicks, key="user_id", left_ts="ts", right_ts="cts",
+        max_lag="30 minutes",
+    ).select("imp_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {(r.imp_id, r.click_id)
+           for r in spark.sql("select * from attrib_test").collect()}
+    assert got == {(1, 10), (3, 12)}
