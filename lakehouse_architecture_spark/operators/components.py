@@ -29,10 +29,16 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(doc, component) for every vertex of ``edges``; the component id
-    is the smallest vertex id in the component (deterministic)."""
+    is the smallest vertex id in the component (deterministic).
+
+    Raises ``RuntimeError`` if labels have not converged after
+    ``max_iter`` rounds (component diameter exceeded the budget) —
+    silently returning partial labels would mis-group documents and
+    only surface as an unexplained result mismatch downstream.
+    """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -43,6 +49,7 @@ def connected_components(
         .withColumn("comp", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("doc", "a"), "a"
@@ -62,8 +69,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget); raise "
+            "max_iter"
+        )
     return labels
 
 

@@ -45,16 +45,26 @@ def gram_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     sf0.1. CollapseProject keeps the split materialized because the alias
     is referenced more than once.
 
-    Repartitioned BEFORE the heavy work: testdata parquet is one row
-    group (one scan task), and the normalize/split/n-gram/md5 work
-    downstream is the pipeline's CPU hot spot — without this it runs on
-    a single core (measured: minhash_lsh_near_dups was 18% of the bench
-    wall).
+    Repartitioned BEFORE the heavy work when the scan has too few
+    splits: testdata parquet is one row group (one scan task), and the
+    normalize/split/n-gram/md5 work downstream is the pipeline's CPU
+    hot spot — without this it runs on a single core (measured:
+    minhash_lsh_near_dups was 18% of the bench wall). A cluster-scale
+    scan already has many files, so the repartition (a full shuffle of
+    the tokenized corpus) is skipped there — file count is the cheap
+    proxy, as in similarity.knn_bruteforce_pandas.
     """
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few_files = len(df.inputFiles()) < par
+    except Exception:  # non-file-backed relation (e.g. createDataFrame)
+        few_files = True
+    if few_files:
+        base = base.repartition(par)
     toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,

@@ -427,15 +427,17 @@ def knn_bruteforce_pandas(
             c_norm = c_mat / norms
             sims = c_norm @ q_norm.T  # (batch, Q) in one gemm
             n, q = sims.shape
-            # Per-batch partial top-k: keep k+1 so the global window can
-            # still drop a self-match and fill k neighbors.
+            # Per-batch partial top-k: keep every row at or above the
+            # (k+1)-th largest VALUE per query — value-threshold, not a
+            # fixed row count, so ties at the cut all survive and the
+            # global window's (cosine desc, id asc) tie-break sees the
+            # same candidate set the JVM path would.
             keep = min(k + 1, n)
-            top = np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
-            rows = top.ravel(order="F")  # per-query column blocks
-            cols = np.repeat(np.arange(q), keep)
+            cut = -np.partition(-sims, keep - 1, axis=0)[keep - 1]  # (Q,)
+            rows, cols = np.nonzero(sims >= cut)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, keep),
+                    "query_id": q_ids[cols],
                     id_col: pdf[id_col].to_numpy()[rows],
                     "cosine_sim": sims[rows, cols],
                 }
@@ -532,9 +534,19 @@ def near_dup_candidates_blocked(
         keep = lo < hi  # drop self pairs (diagonal blocks carry both sides)
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
 
+    # No trailing distinct(): a cross-block pair lives in exactly one
+    # (ba, bb) group and diagonal groups dedupe their two orientations
+    # in-batch — an engine-level distinct would add a full shuffle for
+    # nothing.
     return both.groupBy("ba", "bb").applyInPandas(
         score, schema="id_a long, id_b long"
-    ).distinct()
+    )
+
+
+# Corpus-size crossover where the Arrow path's fixed costs (Python
+# worker fleet, Arrow transfer) amortize past the JVM fold — shared by
+# every size-adaptive dispatch in this engine.
+ARROW_SWITCHOVER_ROWS = 50_000
 
 
 def knn_bruteforce_auto(
@@ -543,7 +555,7 @@ def knn_bruteforce_auto(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    switchover: int = 50_000,
+    switchover: int = ARROW_SWITCHOVER_ROWS,
 ) -> DataFrame:
     """Size-adaptive exact KNN: the Arrow/BLAS path's fixed costs (a
     Python worker per partition, Arrow transfer, gemm setup) only

@@ -101,15 +101,24 @@ def sql_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """saveAsTable round-trip: curate an aggregate, persist it as an
     external catalog table (parquet + catalog metadata), then answer
     from the TABLE via SQL — the reference's curated-zone contract
-    (write to lake, query through the catalog)."""
+    (write to lake, query through the catalog).
+
+    NOTE: deliberately eager — the write happens when the query is
+    built, because the materialized table IS the thing under test. The
+    table name and path carry an sf_dir tag so building this query for
+    two scale factors (or re-running) never cross-reads."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    table = f"curated_segment_stats_{tag}"
     curated = sql(spark, SEGMENT_STATS_SQL, sf_dir=sf_dir)
     save_as_table(
         curated,
-        "curated_segment_stats",
-        path="/tmp/lakehouse_catalog/segment_stats",
+        table,
+        path=f"/tmp/lakehouse_catalog/segment_stats_{tag}",
     )
     return sql(
         spark,
         "SELECT c_mktsegment, n_customers, total_acctbal "
-        "FROM curated_segment_stats ORDER BY c_mktsegment",
+        f"FROM {table} ORDER BY c_mktsegment",
     )

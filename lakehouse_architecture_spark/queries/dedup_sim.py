@@ -219,6 +219,7 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
     from lakehouse_architecture_spark.operators.similarity import (
+        ARROW_SWITCHOVER_ROWS,
         near_dup_candidates_blocked,
     )
 
@@ -234,7 +235,7 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_dot("embedding", "embedding").alias("nb"),
     )
     cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
-    if emb.count() < 50_000:
+    if emb.count() < ARROW_SWITCHOVER_ROWS:
         # One small parquet file = one input partition, and the
         # nested-loop pair join inherits it — repartition the probe side
         # so the O(n^2) scoring spreads across every core.

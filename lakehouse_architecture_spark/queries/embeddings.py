@@ -54,9 +54,13 @@ qn AS (
 SELECT vec_id, ROUND(dot / SQRT(norm_sq * q_norm_sq), 6) AS cosine_sim
 FROM dots, qn
 WHERE vec_id <> 0
-ORDER BY cosine_sim DESC, vec_id
+ORDER BY dot / SQRT(norm_sq * q_norm_sq) DESC, vec_id
 LIMIT 10
 """
+# NOTE: the ORDER BY uses the UNROUNDED cosine (matching the Spark
+# side's window ordering) — ordering by the rounded value would create
+# 1e-6-wide tie classes at the k-cut that the two engines could break
+# differently.
 
 
 @query("emb_knn_bruteforce", oracle=KNN_ORACLE)
@@ -76,14 +80,13 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
-    # Fetch a margin above k, then re-rank by the ROUNDED cosine with
-    # vec_id tie-break — the ordering the oracle uses.
-    out = knn_bruteforce_auto(emb, q, k=30)
-    return (
-        out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    # Both engines rank by the UNROUNDED cosine with a vec_id tie-break
+    # (the oracle's ORDER BY mirrors this), so k=10 is fetched directly
+    # — no rounded-tie fetch margin needed.
+    out = knn_bruteforce_auto(emb, q, k=10)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
 
 
 @query("emb_knn_bruteforce_decimal", oracle=KNN_ORACLE)
@@ -103,17 +106,15 @@ def emb_knn_bruteforce_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_norm_sq")
         )
     )
+    cos = F.col("dot") / F.sqrt(F.col("norm_sq") * F.col("q_norm_sq"))
     return (
         dots.crossJoin(F.broadcast(q_norm))
         .filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.round(
-                F.col("dot") / F.sqrt(F.col("norm_sq") * F.col("q_norm_sq")), 6
-            ).alias("cosine_sim"),
-        )
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        # rank by the unrounded cosine (bit-identical to the oracle's
+        # decimal-derived doubles), round only in the projection
+        .orderBy(cos.desc(), F.asc("vec_id"))
         .limit(10)
+        .select("vec_id", F.round(cos, 6).alias("cosine_sim"))
     )
 
 

@@ -37,6 +37,11 @@ DEFAULT_CONF: dict[str, str] = {
     # Dynamic partition overwrite is what makes the MERGE fallback touch
     # only the partitions present in the update set.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Runtime row-level bloom pruning: a selective filter on one join
+    # side builds a bloom filter that prunes the other side's scan —
+    # only fires past the creation-side size thresholds, i.e. exactly
+    # the big-join case it exists for (no effect at test SF).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -36,10 +36,13 @@ def test_save_as_table_partitioned_prunes(spark, tmp_path):
     assert (tmp_path / "p" / "seg=x").exists()
     got = sql(spark, "SELECT count(*) AS n FROM t_part WHERE seg = 'x'")
     assert got.collect()[0].n == 10
-    plan = got.queryExecution if False else sql(
-        spark, "SELECT * FROM t_part WHERE seg = 'x'"
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "seg" in plan  # partition filter reached the scan
+    plan = (
+        sql(spark, "SELECT * FROM t_part WHERE seg = 'x'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "seg" in plan
     spark.sql("DROP TABLE t_part")
 
 
