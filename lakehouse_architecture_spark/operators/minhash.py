@@ -146,17 +146,42 @@ def lsh_band_keys(
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket."""
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+
+    One groupBy on the bucket key collects each bucket's (sorted) doc
+    list, and the pairs are generated array-side from that list — one
+    shuffle of the 8-rows-per-doc band relation plus the final pair
+    distinct, instead of the band self-join's two shuffle writes. A doc
+    appears once per band, so the sorted list has no duplicates and
+    index order gives doc_a < doc_b for free.
+
+    Scale note: a pathological bucket (every doc sharing one band key)
+    makes the pair set quadratic in EITHER formulation; the mitigation
+    at 100 TB is capping shingle document frequency upstream (see
+    :func:`df_capped_shingles`) so no band key is shared by millions of
+    docs, not the join strategy.
+    """
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    # For each element i, pair it with every later element: the
+    # two-parameter transform lambda's second argument IS the element
+    # index (0-based) — intended here.
+    pair_array = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -178,6 +203,58 @@ def df_capped_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
         .select("shingle")
     )
     return sh.join(keep, "shingle")
+
+
+def capped_gram_arrays(g: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Apply the document-frequency cap to a (doc, grams) ARRAY relation
+    without re-keying the corpus: the stop-shingle list (shingles with
+    df > cap) is aggregated to a single row, broadcast, and removed
+    map-side with ``array_except``.
+
+    The stop list is SMALL by construction — its size is bounded by
+    total_shingle_occurrences / cap — so the single-row broadcast holds
+    where a semi-join against the exploded relation would cost a full
+    shuffle of the corpus. ``g`` is read twice (stop-list scan + the
+    capped projection): pass a cached relation.
+    """
+    stop = (
+        g.select(F.explode("grams").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .agg(F.collect_list("shingle").alias("stop_list"))
+    )
+    return g.crossJoin(F.broadcast(stop)).select(
+        "doc", F.array_except("grams", "stop_list").alias("grams")
+    )
+
+
+def jaccard_verify_arrays(pairs: DataFrame, g: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, computed from per-doc gram
+    ARRAYS: two joins attach each side's (distinct) shingle array, then
+    ``size(array_intersect)`` scores the pair map-side.
+
+    Versus the exploded formulation (:func:`jaccard_verify`: 4 joins +
+    2 groupBys over the shingle relation) this is 2 joins and zero
+    aggregation — and because LSH keeps the candidate set small, AQE
+    broadcasts ``pairs`` in both joins, so the gram relation never
+    shuffles at all. Pairs where either side's capped array is empty
+    score 0 (or null when both are empty), matching the exploded
+    formulation's inner-join drop under any threshold > 0.
+    """
+    ga = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    n_common = F.size(F.array_intersect("ga", "gb"))
+    denom = F.size("ga") + F.size("gb") - n_common
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_common.cast("double") / F.when(denom > 0, denom)).alias("jaccard"),
+        )
+    )
 
 
 def jaccard_verify(
@@ -239,33 +316,35 @@ def ngram_jaccard_pairs(
     groupBy count + semi-join, :func:`df_capped_shingles`), bounding any
     bucket's pair fan-out at cap^2.
     """
-    sh = shingles(df, text_col, id_col, shingle_n)
+    g = gram_arrays(df, text_col, id_col, shingle_n)
     if max_doc_freq is not None:
-        # Cache the raw relation first: the cap needs it twice (the DF
-        # count AND the join input) — uncached, the whole shingle explode
-        # would run twice before the capped result is even materialized.
-        sh = df_capped_shingles(sh.cache(), max_doc_freq)
-    sh = sh.cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        sa.join(sb, (sa.shingle == sb.shingle) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        # Cached because the cap reads g twice (stop-list scan + capped
+        # projection); the capped arrays then feed the explode below.
+        g = capped_gram_arrays(g.cache(), max_doc_freq)
+    # Set size travels WITH each exploded row (one extra int column), so
+    # the pair aggregation already has both sizes — no per-doc sizes
+    # relation and none of its two re-join shuffles. The exploded
+    # relation is CACHED: both self-join sides consume it, and uncached
+    # each side would redo the normalize/shingle/cap work (measured 3x
+    # slower at sf0.1).
+    sh = g.select(
+        "doc", F.size("grams").alias("n"), F.explode("grams").alias("shingle")
+    ).cache()
+    sa = sh.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    sb = sh.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "n_a"}), "doc_a"
-        )
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "n_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        sa.join(sb, (sa.shingle == sb.shingle) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -282,11 +361,15 @@ def minhash_lsh_dedupe(
     """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH).
 
     The gram-array relation fans out to the signature projection AND the
-    exploded verification relation — cached so the normalize/shingle
-    work happens once (the reference's cache-before-fan-out pattern,
-    /root/reference/src/etl_utils.py:97-98). Signatures are computed
-    map-side from the arrays (:func:`minhash_signatures_from_grams`) —
-    no shuffle of the shingle relation. ``max_doc_freq`` caps
+    verification stage — cached so the normalize/shingle work happens
+    once (the reference's cache-before-fan-out pattern,
+    /root/reference/src/etl_utils.py:97-98). Everything downstream of
+    the cache is array-side: signatures via
+    :func:`minhash_signatures_from_grams` (no shuffle), candidates via
+    one bucket groupBy, the DF cap via a broadcast stop list, and
+    verification via :func:`jaccard_verify_arrays` — the whole pipeline
+    shuffles only band buckets, the pair distinct, and the stop-list
+    counts, never the exploded shingle relation. ``max_doc_freq`` caps
     stop-shingles in the verification stage only (signatures always use
     the full sets, keeping LSH candidate recall identical).
     """
@@ -294,13 +377,15 @@ def minhash_lsh_dedupe(
     sigs = minhash_signatures_from_grams(g, num_hashes)
     bands = lsh_band_keys(sigs, num_hashes, band_size)
     pairs = candidate_pairs(bands)
-    sh = g.select("doc", F.explode("grams").alias("shingle"))
-    # Cap once, cache the capped relation (it fans out to 3 consumers in
-    # jaccard_verify) — passing max_doc_freq down instead would redo the
-    # cap join per consumer.
-    shv = sh if max_doc_freq is None else df_capped_shingles(sh, max_doc_freq).cache()
+    # The verify relation is read twice (ga and gb sides) — cache the
+    # capped projection so the stop-list agg + array_except run once.
+    gv = (
+        g
+        if max_doc_freq is None
+        else capped_gram_arrays(g, max_doc_freq).cache()
+    )
     return (
-        jaccard_verify(pairs, shv)
+        jaccard_verify_arrays(pairs, gv)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
