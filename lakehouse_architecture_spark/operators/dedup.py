@@ -70,7 +70,13 @@ def exact_dedupe(
 
 
 def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Cluster view of exact dups: (content hash, group size, member ids)."""
+    """Cluster view of exact dups: (content hash, group size, member ids).
+
+    Deliberately NOT spread before the hash projection: one md5 +
+    normalize per row is light enough that a pre-shuffle would cost
+    more than the parallelism buys (measured 2x slower at sf0.1) — the
+    aggregation exchange right after already spreads the reduce side.
+    """
     return (
         df.withColumn("_chash", content_hash(F.col(text_col)))
         .groupBy(F.col("_chash").alias("content_hash"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.dedup import normalize_text
+from lakehouse_architecture_spark.operators.partitioning import spread_scan
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # r; bands b = num_hashes / r
@@ -50,21 +51,13 @@ def gram_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     normalize/split/n-gram/md5 work downstream is the pipeline's CPU
     hot spot — without this it runs on a single core (measured:
     minhash_lsh_near_dups was 18% of the bench wall). A cluster-scale
-    scan already has many files, so the repartition (a full shuffle of
-    the tokenized corpus) is skipped there — file count is the cheap
-    proxy, as in similarity.knn_bruteforce_pandas.
+    scan already has many files, so :func:`spread_scan` skips the
+    repartition (a full shuffle of the corpus) there.
     """
-    base = df.select(
+    base = spread_scan(df).select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        few_files = len(df.inputFiles()) < par
-    except Exception:  # non-file-backed relation (e.g. createDataFrame)
-        few_files = True
-    if few_files:
-        base = base.repartition(par)
     toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,

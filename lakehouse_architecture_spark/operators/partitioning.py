@@ -1,0 +1,33 @@
+"""Scan-parallelism helpers.
+
+A parquet relation with fewer splittable units than the cluster has
+cores runs every narrow transformation downstream of the scan on a
+handful of tasks — for CPU-heavy expression work (regex normalization,
+per-shingle md5 families) that serializes the hot loop on one core. At
+production scale a table has many files and this never fires; the
+heuristic uses file count as the cheap proxy (``df.inputFiles()`` is a
+metadata call, while ``df.rdd.getNumPartitions()`` costs a full plan
+translation, measured ~1.5 s per call on Spark 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to the default parallelism when it
+    is backed by fewer files than the cluster has cores; pass-through
+    otherwise (a real multi-file table is already spread).
+
+    Use BEFORE expression-heavy narrow work whose cost dwarfs one extra
+    shuffle of the input rows; don't bother in front of a plain
+    aggregation — the exchange would just duplicate the shuffle the agg
+    already does, costing more than the parallelism buys.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few_files = len(df.inputFiles()) < par
+    except Exception:  # non-file-backed relation (e.g. createDataFrame)
+        few_files = True
+    return df.repartition(par) if few_files else df

@@ -9,9 +9,15 @@ fingerprints within small Hamming distance.
 
 Portability trick: token "hash" bits are drawn from md5 hex digits —
 bit j of token t = (hexdigit_{j/4}(md5(t)) >> (3 - j%4)) & 1 — integer
-ops every engine has. FINGERPRINT_BITS=16 keeps the exploded
-(doc × token × bit) relation compact; production would use 64 bits via
-xxhash64 (same plan shape, Spark-only).
+ops every engine has. FINGERPRINT_BITS=16 keeps the per-doc expression
+tree compact; production would use 64 bits via xxhash64 (same plan
+shape, Spark-only).
+
+Scale shape: the fingerprint is a PURE PROJECTION — per-doc array
+aggregates over the token md5 array, no explode and no shuffle (the
+SQL oracle keeps the exploded doc × token × bit formulation; both
+compute the same votes). The only shuffles in the near-pair pipeline
+are the segment-bucket groupBy and the candidate distinct.
 """
 
 from __future__ import annotations
@@ -20,53 +26,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.dedup import normalize_text
+from lakehouse_architecture_spark.operators.partitioning import spread_scan
 
 FINGERPRINT_BITS = 16
-_HEX = "0123456789abcdef"
 
 
-def _token_bit(tok_hash, bit):
-    """Bit ``bit`` of the md5-derived hash (Column exprs)."""
-    nibble = F.floor(bit / 4).cast("int")
-    # substr position is 1-based: nibble index + 1
-    digit = tok_hash.substr(nibble + F.lit(1), F.lit(1))
+def _token_bit(tok_hash, bit: int):
+    """Bit ``bit`` (Python int) of the md5-derived hash: constant
+    nibble/shift folded at plan-build time."""
+    nibble = bit // 4
+    digit = tok_hash.substr(nibble + 1, 1)  # substr is 1-based
     val = F.conv(digit, 16, 10).cast("int")
-    # shiftright with a Column shift amount isn't in the API; values are
-    # tiny (val < 16, shift <= 3) so exact floor-div arithmetic works
-    shift = (F.lit(3) - (bit % 4)).cast("double")
-    return F.floor(val / F.pow(F.lit(2.0), shift)).cast("int") % 2
+    return F.shiftright(val, 3 - bit % 4) % 2
 
 
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = FINGERPRINT_BITS
 ) -> DataFrame:
-    """(doc, simhash) — integer fingerprint per document."""
-    toks = df.select(
+    """(doc, simhash) — integer fingerprint per document, map-side.
+
+    The md5 array is materialized in its own projection so each token is
+    hashed ONCE; the per-bit vote sums are then ``aggregate`` folds over
+    that array — the same (token × bit) work the exploded formulation
+    does, minus its two aggregation exchanges.
+    """
+    toks = spread_scan(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-        ).alias("tok"),
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "toks"
+        ),
     )
-    hashed = toks.select("doc", F.md5(F.col("tok")).alias("h"))
-    with_bits = hashed.select(
-        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    hashed = toks.select(
+        "doc", F.transform("toks", lambda t: F.md5(t)).alias("hs")
     )
-    votes = with_bits.select(
-        "doc",
-        "bit",
-        (2 * _token_bit(F.col("h"), F.col("bit")) - 1).alias("vote"),
-    )
-    bit_vals = votes.groupBy("doc", "bit").agg(
-        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit_val")
-    )
-    return bit_vals.groupBy("doc").agg(
-        F.sum(
-            F.col("bit_val")
-            * F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long")
+
+    def bit_term(b: int):
+        vote = F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc + (2 * _token_bit(h, b) - 1),
         )
-        .cast("long")
-        .alias("simhash")
-    )
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    simhash = bit_term(0)
+    for b in range(1, bits):
+        simhash = simhash + bit_term(b)
+    return hashed.select("doc", simhash.cast("long").alias("simhash"))
 
 
 def hamming_distance(a, b):
@@ -87,37 +92,37 @@ def simhash_near_pairs(
     pair within distance d must agree exactly on at least one of d+1
     segments) — here 2 segments for d<=1-per-segment behavior, which at
     16 bits is a fine bucket key; production-64-bit uses 4 segments.
+    Bucketing reuses :func:`minhash.candidate_pairs` (collect per
+    bucket, pair array-side); the few surviving candidates then re-join
+    the fingerprint relation — small side broadcast by AQE — to score
+    Hamming distance.
     """
-    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    from lakehouse_architecture_spark.operators.minhash import candidate_pairs
+
+    fp = simhash_fingerprints(df, text_col, id_col, bits).cache()
     half = bits // 2
     seg = fp.select(
         "doc",
-        "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("seg"), (F.col("simhash") % (1 << half)).alias("key")),
-                F.struct(F.lit(1).alias("seg"), F.shiftright(F.col("simhash"), half).alias("key")),
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("simhash") % (1 << half)).cast("string").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("simhash"), half).cast("string").alias("band_key"),
+                ),
             )
         ).alias("s"),
-    ).select("doc", "simhash", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
-    a, b = seg.alias("a"), seg.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    ).select("doc", "s.band", "s.band_key")
+    pairs = candidate_pairs(seg)
+    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        cands.select(
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
