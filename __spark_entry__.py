@@ -60,6 +60,12 @@ _SECOND_TIER = {
     "validate_orders_rejection_summary",
     "validate_lineitem_fk_summary",
     "docs_exact_dedupe_count",      # subsumed by docs_exact_dup_groups
+    "minhash_signatures_sample",    # sigs exercised by minhash_lsh_near_dups
+    "docs_fingerprint",             # hash family checked by docs_exact_dup_groups
+    "docs_shingle_stats",           # shingle front end inside ngram/minhash rows
+    "emb_norms",                    # norm fold inside every KNN row
+    "events_tumbling_window",       # windowed agg covered by events_hourly_by_type
+    "events_daily_active_users",    # distinct-agg covered by retention_cohorts
 }
 
 
