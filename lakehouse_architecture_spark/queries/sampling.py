@@ -129,3 +129,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_date", "week_offset")
     )
+
+
+# Corpus-mixture spec: per-source keep percentage (the "data mix" a
+# pre-training run pins down — e.g. curated sources kept whole, bulk web
+# downsampled). Expressed as DATA (a tiny dimension relation), not code,
+# so the same spec drives Spark, the SQL oracle, and any audit query.
+MIXTURE_SPEC = [
+    (f"src{i}", 100 if i < 5 else 50 if i < 10 else 20) for i in range(20)
+]
+
+_SPEC_VALUES = ", ".join(f"('{s}', {p})" for s, p in MIXTURE_SPEC)
+
+MIXTURE_ORACLE = f"""
+WITH spec(source, keep_pct) AS (VALUES {_SPEC_VALUES})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_sql_bucket('doc_id')} < COALESCE(keep_pct, 100)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN spec ON d.source = spec.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("docs_mixture_resample", oracle=MIXTURE_ORACLE)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture resampling: each source keeps
+    ``keep_pct`` percent of its documents, selected by the same
+    never-moves md5 bucket as the train/val/test split (a doc stays
+    in or out of the mix forever, across engines and re-runs).
+
+    Scale shape: the spec is a broadcast dimension (tens of rows) joined
+    into the scan projection — membership is decided map-side with no
+    shuffle; the only exchange is the per-source audit aggregation.
+    Unknown sources default to keep (COALESCE 100) so a new crawl
+    appearing mid-run is never silently dropped.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spec = spark.createDataFrame(MIXTURE_SPEC, "source string, keep_pct int")
+    b = hash_bucket(F.col("doc_id"))
+    kept = F.when(b < F.coalesce("keep_pct", F.lit(100)), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(spec), "source", "left")
+        .select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

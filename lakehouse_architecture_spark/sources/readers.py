@@ -93,3 +93,47 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning contract as parquet
     (both are Spark built-ins; predicate pushdown via ORC SearchArgument)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the ingestion front end of the multimodal pipeline
+    (operators/multimodal.py), mirroring the reference's raw-zone
+    object pickup (/root/reference/stepfunctions/lambda_function.py:37-108)
+    as a dataflow source instead of an out-of-engine mover.
+
+    Scale notes: the source parallelizes per FILE (content is not
+    splittable), so ingest throughput scales with file count;
+    ``spark.sql.files.maxPartitionBytes`` groups small files per task.
+    Filter on ``length`` or path glob BEFORE touching ``content`` —
+    the reader prunes file contents for metadata-only plans.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def media_table_from_binary_files(
+    spark: SparkSession, path: str, kind: str, fmt: str
+) -> DataFrame:
+    """Lift a binaryFile scan into the MEDIA_SCHEMA contract: stable
+    64-bit id from the file path, payload as the opaque binary column,
+    typed metadata left null for the decode stage to fill."""
+    from pyspark.sql import functions as F
+
+    raw = read_binary_files(spark, path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(fmt).alias("format"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )

@@ -76,3 +76,30 @@ def test_extract_audio_features(spark):
     assert out[1].duration_computed_ms == 2000
     assert float(out[1].rms) > 0
     assert out[2].sample_rate is None
+
+
+def test_binary_file_ingest_roundtrip(spark, tmp_path):
+    """binaryFile source -> MEDIA_SCHEMA contract -> feature extraction:
+    files written to disk come back as decodable media rows."""
+    from lakehouse_architecture_spark.operators.multimodal import (
+        encode_fake_image,
+        extract_image_features,
+    )
+    from lakehouse_architecture_spark.sources.readers import (
+        media_table_from_binary_files,
+    )
+
+    for i in range(3):
+        (tmp_path / f"img_{i}.fake").write_bytes(encode_fake_image(8, 6, seed=i))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    media = media_table_from_binary_files(
+        spark, str(tmp_path) + "/*.fake", kind="image", fmt="fake"
+    )
+    rows = media.collect()
+    assert len(rows) == 3  # glob excluded the .txt
+    assert len({r.media_id for r in rows}) == 3  # stable distinct ids
+    assert all(r.kind == "image" and r.payload is not None for r in rows)
+
+    feats = extract_image_features(media).collect()
+    assert sorted((f.decoded_width, f.decoded_height) for f in feats) == [(8, 6)] * 3
