@@ -24,3 +24,4 @@ from lakehouse_architecture_spark.queries import advanced  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import sampling  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import catalog_sql  # noqa: F401,E402
 from lakehouse_architecture_spark.queries import curation  # noqa: F401,E402
+from lakehouse_architecture_spark.queries import profiling  # noqa: F401,E402

@@ -129,3 +129,47 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert back.count() == 10
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90" in plan
+
+
+def test_scd2_lifecycle(spark):
+    """bootstrap -> apply(change + new key + unchanged) -> as-of query."""
+    from lakehouse_architecture_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_bootstrap,
+    )
+
+    snap1 = spark.createDataFrame(
+        [(1, "BUILDING", "alice"), (2, "AUTO", "bob")],
+        "cust_id int, segment string, name string",
+    )
+    hist = scd2_bootstrap(snap1, "cust_id", ["segment", "name"], "2024-01-01")
+    assert hist.count() == 2 and hist.filter("is_current").count() == 2
+
+    updates = spark.createDataFrame(
+        [
+            (1, "MACHINERY", "alice"),  # changed attr -> close + reopen
+            (2, "AUTO", "bob"),         # identical -> untouched
+            (3, "HOUSEHOLD", "carol"),  # new key -> insert
+        ],
+        "cust_id int, segment string, name string",
+    )
+    hist2 = scd2_apply(hist, updates, "cust_id", ["segment", "name"], "2024-06-01")
+    rows = {(r.cust_id, r.segment, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in hist2.collect()}
+    assert rows == {
+        (1, "BUILDING", "2024-01-01", "2024-06-01", False),
+        (1, "MACHINERY", "2024-06-01", "9999-12-31", True),
+        (2, "AUTO", "2024-01-01", "9999-12-31", True),
+        (3, "HOUSEHOLD", "2024-06-01", "9999-12-31", True),
+    }
+
+    # as-of reconstruction on both sides of the change date
+    before = {(r.cust_id, r.segment) for r in scd2_as_of(hist2, "2024-03-01").collect()}
+    assert before == {(1, "BUILDING"), (2, "AUTO")}
+    after = {(r.cust_id, r.segment) for r in scd2_as_of(hist2, "2024-07-01").collect()}
+    assert after == {(1, "MACHINERY"), (2, "AUTO"), (3, "HOUSEHOLD")}
+
+    # idempotency: re-applying the same snapshot changes nothing
+    hist3 = scd2_apply(hist2, updates, "cust_id", ["segment", "name"], "2024-07-15")
+    assert hist3.count() == hist2.count()
