@@ -130,3 +130,60 @@ def test_sql_string_plans_like_dataframes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_candidate_pairs_single_aggregation_no_join(spark):
+    """LSH candidate generation must be one bucket groupBy + array-side
+    pair expansion — never a self-join of the band relation."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.minhash import candidate_pairs
+
+    bands = spark.createDataFrame(
+        [(1, 0, "k1"), (2, 0, "k1"), (3, 1, "k2")],
+        "doc long, band int, band_key string",
+    )
+    plan = (
+        candidate_pairs(bands)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # pairs come from the bucket arrays
+
+
+def test_minhash_signatures_map_side_from_grams(spark):
+    """Signature projection from gram arrays: zero exchanges, zero
+    aggregates in the optimized plan (pure map-side)."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        minhash_signatures_from_grams,
+    )
+
+    g = spark.createDataFrame(
+        [(1, ["a b c", "b c d"])], "doc long, grams array<string>"
+    )
+    plan = (
+        minhash_signatures_from_grams(g)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Aggregate" not in plan and "Exchange" not in plan
+
+
+def test_simhash_fingerprints_map_side(spark):
+    """Map-side simhash: no aggregation exchange in the whole
+    fingerprint plan (the per-bit votes are array folds)."""
+    from lakehouse_architecture_spark.operators.simhash import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the dog")],
+        "doc_id long, text string",
+    )
+    plan = (
+        simhash_fingerprints(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Aggregate" not in plan

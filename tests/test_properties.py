@@ -1,0 +1,143 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness is set-theoretic rather than example-shaped: Jaccard
+verification, SCD2 history, deterministic bucketing, PK dedup.
+
+Few examples per property (Spark round-trips are ~100ms each); the
+properties themselves are exact, not statistical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # doc id
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=6),  # grams
+    ),
+    min_size=2,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(_docs)
+def test_jaccard_verify_arrays_matches_set_math(spark, docs):
+    from lakehouse_architecture_spark.operators.minhash import (
+        jaccard_verify_arrays,
+    )
+
+    g = spark.createDataFrame(
+        [(d, sorted(set(gr))) for d, gr in docs], "doc long, grams array<string>"
+    )
+    ids = sorted(d for d, _ in docs)
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verify_arrays(pairs, g).collect()
+    }
+    sets = {d: set(gr) for d, gr in docs}
+    for (a, b), j in got.items():
+        union = sets[a] | sets[b]
+        if not union:
+            assert j is None  # both empty -> undefined, never fabricated 0
+        else:
+            expect = len(sets[a] & sets[b]) / len(union)
+            assert abs(j - expect) < 1e-12
+            assert 0.0 <= j <= 1.0
+
+
+_snapshots = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["x", "y", "z"]),
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(_snapshots, _snapshots)
+def test_scd2_invariants(spark, snap1, snap2):
+    """After any apply: exactly one open row per key, intervals are
+    properly ordered, and the as-of state after the change equals the
+    merged snapshot."""
+    from lakehouse_architecture_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_bootstrap,
+    )
+
+    df1 = spark.createDataFrame(snap1, "k int, v string")
+    df2 = spark.createDataFrame(snap2, "k int, v string")
+    hist = scd2_bootstrap(df1, "k", ["v"], "2024-01-01")
+    hist2 = scd2_apply(hist, df2, "k", ["v"], "2024-06-01").cache()
+
+    open_per_key = (
+        hist2.filter("is_current").groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_per_key)
+    assert hist2.filter("valid_from >= valid_to").count() == 0
+
+    # as-of after the change: snap2 wins where present, snap1 otherwise
+    expect = dict(snap1)
+    expect.update(dict(snap2))
+    got = {r.k: r.v for r in scd2_as_of(hist2, "2024-07-01").collect()}
+    assert got == expect
+    hist2.unpersist()
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20))
+def test_hash_bucket_deterministic_and_engine_portable(spark, ids):
+    """hash_bucket must equal the documented md5-prefix function exactly
+    (the property the DuckDB oracles and split stability rely on)."""
+    from lakehouse_architecture_spark.queries.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in set(ids)], "id long")
+    got = {r.id: r.bucket for r in df.select("id", hash_bucket(F.col("id"))).collect()}
+    for i in set(ids):
+        expect = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert got[i] == expect
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dedupe_by_key_keeps_min_and_is_idempotent(spark, rows):
+    from lakehouse_architecture_spark.operators.dedup import dedupe_by_key
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = dedupe_by_key(df, ["k"]).collect()
+    expect = {}
+    for k, v in rows:
+        expect[k] = min(v, expect.get(k, v))
+    assert {(r.k, r.v) for r in out} == set(expect.items())
+    out_df = spark.createDataFrame(out, "k int, v int")
+    assert {(r.k, r.v) for r in dedupe_by_key(out_df, ["k"]).collect()} == set(
+        expect.items()
+    )
