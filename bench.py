@@ -50,6 +50,90 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# CSV mapping of the TPC-H-ish testdata onto the reference's raw-zone
+# shapes (products/orders/order_items), generated ONCE per scale factor
+# outside the timed window. int32 ids cap this mapping at ~sf10 — fine
+# for a bench fixture. Dates coarsen to month so the partitioned curated
+# zone has tens of partitions, like the reference's daily layout.
+_E2E_TABLES = ("products", "orders", "order_items")
+
+
+def _ensure_pipeline_csvs(sf_dir: str) -> dict[str, str]:
+    import pathlib
+
+    import duckdb
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = pathlib.Path(f"/tmp/lakehouse_bench_csv/{tag}")
+    marker = base / "_DONE"
+    sql = {
+        "products": f"""
+            SELECT p_partkey AS product_id, p_size % 20 AS department_id,
+                   p_brand AS department, p_name AS product_name
+            FROM '{sf_dir}/part.parquet'""",
+        "orders": f"""
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INT) AS order_num,
+                   CAST(o_orderkey AS INT) AS order_id,
+                   CAST(o_custkey AS INT) AS user_id,
+                   CAST(o_orderdate AS TIMESTAMP) AS order_timestamp,
+                   o_totalprice AS total_amount,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS date
+            FROM '{sf_dir}/orders.parquet'""",
+        "order_items": f"""
+            SELECT CAST(l.l_orderkey * 8 + l.l_linenumber AS INT) AS id,
+                   CAST(l.l_orderkey AS INT) AS order_id,
+                   CAST(o.o_custkey AS INT) AS user_id,
+                   CAST(l.l_suppkey % 30 AS INT) AS days_since_prior_order,
+                   CAST(l.l_partkey AS INT) AS product_id,
+                   CAST(l.l_linenumber AS INT) AS add_to_cart_order,
+                   CAST(l.l_linenumber % 2 AS INT) AS reordered,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS order_timestamp,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS date
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey""",
+    }
+    if not marker.exists():
+        con = duckdb.connect()
+        for name in _E2E_TABLES:
+            (base / name).mkdir(parents=True, exist_ok=True)
+            con.sql(
+                f"COPY ({sql[name]}) TO '{base / name / 'part.csv'}'"
+                " (FORMAT CSV, HEADER)"
+            )
+        marker.touch()
+    return {n: str(base / n / "*.csv") for n in _E2E_TABLES}
+
+
+def run_pipeline_e2e(spark, sf_dir: str) -> dict:
+    """Timed read->cast->validate->dedup->MERGE run over the raw CSVs —
+    the direct analog of the reference's 180 s Glue ETL wall
+    (BASELINE.md); CSV generation and target cleanup stay untimed."""
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_spark.plans.pipeline import run_pipeline
+
+    raw = _ensure_pipeline_csvs(sf_dir)
+    work = tempfile.mkdtemp(prefix="lakehouse_bench_e2e_")
+    try:
+        start = time.perf_counter()
+        results = run_pipeline(spark, raw, f"{work}/curated", f"{work}/rejected")
+        wall = round(time.perf_counter() - start, 3)
+        return {
+            "value": wall,
+            "unit": "sec",
+            "rows": {
+                n: {
+                    "valid": r.stats.get("clean_rows"),
+                    "rejected": r.stats.get("rejected_rows"),
+                }
+                for n, r in results.items()
+            },
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakehouse_architecture_spark.queries import QUERIES
@@ -66,6 +150,8 @@ def main() -> None:
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
 
+    e2e = run_pipeline_e2e(spark, sf_dir)
+
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -77,6 +163,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_e2e": e2e,
                 "sf": sf,
             }
         )
