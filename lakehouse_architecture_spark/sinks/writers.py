@@ -23,7 +23,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - exercised only where delta-spark is installed
@@ -215,3 +215,69 @@ def merge_upsert(
         shutil.move(path, backup)
         shutil.move(staging, path)
         shutil.rmtree(backup)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    partition_by: str | None = None,
+) -> int:
+    """Row-level DELETE on a parquet-backed table: rewrite only the data
+    that can contain matches, dropping rows where ``predicate`` holds;
+    returns the number of rows deleted.
+
+    The right-to-be-forgotten / retention primitive the MERGE family
+    implies (Delta's ``DELETE FROM`` analog; same staging-swap machinery
+    as :func:`merge_upsert`). With ``partition_by`` set, partitions with
+    no matching rows are never read past the match probe and never
+    rewritten — at 100 TB a delete keyed to a few partitions touches
+    only those directories.
+    """
+    target = spark.read.parquet(path)
+
+    if partition_by:
+        # Partitions that actually contain matches: a distinct over the
+        # partition column of matching rows — partition values, bounded.
+        parts = [
+            r[0]
+            for r in target.filter(predicate)
+            .select(partition_by)
+            .distinct()
+            .collect()
+        ]
+        if not parts:
+            return 0
+        affected = target.filter(F.col(partition_by).isin(parts))
+    else:
+        affected = target
+
+    n_before = affected.count()
+    survivors = affected.filter(~predicate)
+    n_after = survivors.count()
+    if n_after == n_before:
+        return 0
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    write_partitioned(survivors, staging, partition_by)
+
+    if partition_by:
+        staged = {
+            e for e in os.listdir(staging) if not e.startswith(("_", "."))
+        }
+        for value in parts:
+            entry = f"{partition_by}={value}"
+            dst = os.path.join(path, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if entry in staged:
+                shutil.move(os.path.join(staging, entry), dst)
+            # else: every row of that partition was deleted — directory
+            # stays removed.
+        shutil.rmtree(staging)
+    else:
+        backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(path, backup)
+        shutil.move(staging, path)
+        shutil.rmtree(backup)
+    return n_before - n_after

@@ -88,3 +88,39 @@ def test_compact_table(spark, sf_dir, tmp_path):
         ).collect()[0][0]
         == checksum
     )
+
+
+def test_delete_where_partition_pruned(spark, tmp_path):
+    """DELETE rewrites only partitions containing matches; untouched
+    partition files keep their identity (never rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sinks.writers import (
+        delete_where,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)], "id int, p string"
+    )
+    write_partitioned(df, path, "p")
+    b_files_before = set(os.listdir(os.path.join(path, "p=b")))
+
+    n = delete_where(spark, path, (F.col("id") < 3), partition_by="p")
+    assert n == 3
+    back = spark.read.parquet(path)
+    assert {r.id for r in back.collect()} == set(range(3, 10))
+    # partition b had no matches: its files were never rewritten
+    assert set(os.listdir(os.path.join(path, "p=b"))) == b_files_before
+
+    # no-match delete is a no-op
+    assert delete_where(spark, path, (F.col("id") > 99), partition_by="p") == 0
+
+    # deleting every row of one partition removes its directory
+    n = delete_where(spark, path, (F.col("p") == "a"), partition_by="p")
+    assert n == 2
+    assert not os.path.exists(os.path.join(path, "p=a"))
+    assert {r.id for r in spark.read.parquet(path).collect()} == set(range(5, 10))
