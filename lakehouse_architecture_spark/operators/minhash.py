@@ -142,39 +142,37 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
 
     One groupBy on the bucket key collects each bucket's (sorted) doc
-    list, and the pairs are generated array-side from that list — one
-    shuffle of the 8-rows-per-doc band relation plus the final pair
-    distinct, instead of the band self-join's two shuffle writes. A doc
-    appears once per band, so the sorted list has no duplicates and
-    index order gives doc_a < doc_b for free.
+    list, and the pairs are generated from that list by two CHAINED
+    generators — ``posexplode`` yields each left element, then
+    ``explode(slice)`` streams its partners — one shuffle of the
+    8-rows-per-doc band relation plus the final pair distinct, instead
+    of the band self-join's two shuffle writes. A doc appears once per
+    band, so the sorted list has no duplicates and index order gives
+    doc_a < doc_b for free.
 
-    Scale note: a pathological bucket (every doc sharing one band key)
-    makes the pair set quadratic in EITHER formulation; the mitigation
-    at 100 TB is capping shingle document frequency upstream (see
-    :func:`df_capped_shingles`) so no band key is shared by millions of
-    docs, not the join strategy.
+    The two-step generation matters: building the full per-bucket pair
+    array in one nested-transform expression materializes O(bucket^2)
+    structs in a single row buffer and OOMs on a few-hundred-doc bucket
+    (measured at a 100k-doc corpus with 16-bit simhash keys); chained
+    generators keep peak memory at O(bucket) while producing the same
+    rows. A bucket of MILLIONS of docs would still blow the collected
+    list itself — the 100 TB mitigation for that is upstream key design
+    (shingle document-frequency cap, wider fingerprint segments), not
+    the pairing strategy.
     """
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    ds = F.col("ds")
-    # For each element i, pair it with every later element: the
-    # two-parameter transform lambda's second argument IS the element
-    # index (0-based) — intended here.
-    pair_array = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    lefts = buckets.select(
+        "ds", F.posexplode("ds").alias("i", "doc_a")
     )
     return (
-        buckets.select(F.explode(pair_array).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        lefts.select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -229,14 +227,26 @@ def jaccard_verify_arrays(pairs: DataFrame, g: DataFrame) -> DataFrame:
 
     Versus the exploded formulation (:func:`jaccard_verify`: 4 joins +
     2 groupBys over the shingle relation) this is 2 joins and zero
-    aggregation — and because LSH keeps the candidate set small, AQE
-    broadcasts ``pairs`` in both joins, so the gram relation never
-    shuffles at all. Pairs where either side's capped array is empty
+    aggregation. Pairs where either side's capped array is empty
     score 0 (or null when both are empty), matching the exploded
     formulation's inner-join drop under any threshold > 0.
+
+    Join strategy: the GRAM side carries a shuffle-hash hint so the
+    statically-unsized candidate relation can never be picked as a
+    broadcast build — Catalyst's estimate for generate/aggregate output
+    is a wild underestimate, and on a dup-heavy corpus the "small"
+    pair side is actually quadratic (measured: a 19M-pair broadcast
+    build OOMed a 100k-doc run in the sibling simhash pipeline). The
+    gram side's per-partition build is bounded by corpus/partitions;
+    when the pair side truly is small, AQE still converts the exchange
+    to a broadcast at runtime from REAL sizes.
     """
-    ga = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    ga = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga")).hint(
+        "shuffle_hash"
+    )
+    gb = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb")).hint(
+        "shuffle_hash"
+    )
     n_common = F.size(F.array_intersect("ga", "gb"))
     denom = F.size("ga") + F.size("gb") - n_common
     return (

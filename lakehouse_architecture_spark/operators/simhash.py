@@ -117,8 +117,17 @@ def simhash_near_pairs(
         ).alias("s"),
     ).select("doc", "s.band", "s.band_key")
     pairs = candidate_pairs(seg)
-    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    # shuffle-hash hint on the fingerprint side: the candidate relation
+    # has no usable static size estimate (generate output) and CAN be
+    # quadratic on dup-heavy corpora — without the hint Catalyst chose
+    # it as a broadcast build and OOMed at a 100k-doc stress (19M
+    # candidates); the fingerprint side is one 16-byte row per doc.
+    fa = fp.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a")
+    ).hint("shuffle_hash")
+    fb = fp.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b")
+    ).hint("shuffle_hash")
     return (
         pairs.join(fa, "doc_a")
         .join(fb, "doc_b")

@@ -545,7 +545,10 @@ def near_dup_candidates_blocked(
 
 # Corpus-size crossover where the Arrow path's fixed costs (Python
 # worker fleet, Arrow transfer) amortize past the JVM fold — shared by
-# every size-adaptive dispatch in this engine.
+# every size-adaptive dispatch in this engine. Measured on local[32],
+# dim=64, k=10, 8 queries: at 100k corpus rows the gemm path runs
+# 1.2-4.2 s vs 17 s for the JVM fold; at 2k rows the JVM fold wins by
+# the ~3 s Python-worker fork cost. The crossover sits between.
 ARROW_SWITCHOVER_ROWS = 50_000
 
 
