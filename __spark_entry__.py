@@ -27,20 +27,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The verify driver checks queries in dict-insertion order (first N).
-# Order the surface so every operator family is represented early:
-# a few TPC-H join/agg sentinels, then the LLM-data-pipeline families
-# (dedup/similarity, events, text, embeddings, sampling, validation)
-# and the advanced relational operators, then the remaining shapes.
+# Ordering strategy: a couple of stable sentinels, then the queries that
+# most need a FRESH driver row this round (never-checked operators and
+# regression fixes), then operator families. Queries already green in
+# r1/r2 CORRECTNESS files keep that evidence even when rotated past the
+# window, so the window is spent on new information.
 _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q12_late_priority_counts",
-    "q18_large_volume_customers",
-    "q21_sole_late_supplier",
-    "case_when_conditional_agg",
+]
+# Round-3 priority: 3 operators that have never had a driver row
+# (profiling/SCD2/snapshot-diff were past position 50 in r2) + the two
+# queries broken by the events TIMESTAMP_NTZ regression, now fixed.
+_PRIORITY = [
+    "snapshot_diff_counts",
+    "profile_orders_columns",
+    "scd2_customer_history",
+    "events_sessionization",
+    "asof_join_purchase_click",
 ]
 _FAMILY_ORDER = [
+    "profiling",
     "dedup_sim",
     "events",
     "text",
@@ -73,7 +80,7 @@ def _ordered_names() -> list[str]:
     from lakehouse_architecture_spark.queries import QUERIES
     from lakehouse_architecture_spark.queries.registry import MODULES
 
-    names = [n for n in _SENTINELS if n in QUERIES]
+    names = [n for n in _SENTINELS + _PRIORITY if n in QUERIES]
     seen = set(names)
     for family in _FAMILY_ORDER:
         for n in QUERIES:

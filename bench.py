@@ -142,32 +142,46 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + file listing so per-query numbers measure the queries
-    materialize(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    try:
+        materialize(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    except Exception as exc:  # warm-up failure must not kill the bench
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Per-query error isolation: one broken query must never erase the
+    # other N-1 timings — failures are recorded in "errors" and the JSON
+    # line is always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         start = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
-    e2e = run_pipeline_e2e(spark, sf_dir)
+    try:
+        e2e = run_pipeline_e2e(spark, sf_dir)
+    except Exception as exc:
+        e2e = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"pipeline_e2e failed: {exc}", file=sys.stderr)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "pipeline_e2e": e2e,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "pipeline_e2e": e2e,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -161,24 +161,30 @@ def sample_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic centroid seeding: evenly-spaced corpus vectors by id
-    rank (a k-means init; full Lloyd iterations would refine these with
-    the same assign-aggregate plan shape)."""
+    """Deterministic, scale-safe centroid seeding (k-means init; full
+    Lloyd iterations would refine these with the same assign-aggregate
+    plan shape).
+
+    Hash-buckets the corpus into ``n_centroids`` buckets by ``xxhash64``
+    and keeps the min-hash row per bucket: one narrow projection plus one
+    partitioned window — fully parallel. (A previous version ranked the
+    whole corpus through ``Window.orderBy`` with no partition: a
+    single-task global sort of every vector at 100 TB, just to pick ~16
+    seeds.) xxhash64 spreads seeds pseudo-randomly across the corpus
+    regardless of id distribution and is deterministic for replay."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col)
-    ranked = corpus.select(
-        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(h, F.lit(n_centroids)).alias("bucket"),
+        h.alias("h"),
     )
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
     return (
-        ranked.filter(
-            (F.col("rank") - 1) % F.greatest(
-                (F.col("n") / n_centroids).cast("long"), F.lit(1)
-            )
-            == 0
-        )
-        .limit(n_centroids)
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),

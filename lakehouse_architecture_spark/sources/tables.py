@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -33,14 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is nanosecond-precision parquet, which Spark's reader
-    rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy
-    conf, then convert to a microsecond timestamp with integer division
-    (``ts div 1000`` — never float math: ns epoch values exceed 2^53)."""
+    """Normalize ``ts`` to a session-tz TIMESTAMP across testdata layouts.
+
+    The driver has shipped events.parquet with three ``ts`` encodings over
+    time: ns-precision INT64 (Spark rejects it unless read as long via the
+    legacy conf), µs TIMESTAMP_NTZ (current), and plain tz-aware TIMESTAMP.
+    Downstream queries use ``F.unix_millis`` which requires TIMESTAMP, so
+    both legacy shapes are cast here — the session tz is UTC, making the
+    NTZ→TIMESTAMP cast value-preserving (epoch millis unchanged, matching
+    the DuckDB oracles' ``epoch_ms``). Never float math on ns longs: ns
+    epoch values exceed 2^53."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
