@@ -3,12 +3,16 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested. The actual media decoding is STUBBED
-(this environment has no image/audio libraries): ``decode_image_stub``
-parses only the tiny deterministic fake header written by
-``encode_fake_image``, and raises ``NotImplementedError`` for real
-codecs. Swapping in Pillow/torchaudio happens inside one function whose
-contract (bytes in, features out) the tests already pin down.
+UDF signatures — is real and tested. Metadata decoding is real too:
+``decode_image`` parses PNG/JPEG/GIF/BMP headers (pure Python, no
+external libs) for width/height, and ``decode_audio`` parses RIFF/WAVE
+chunks for sample rate / sample count. Full PIXEL/PCM decoding of real
+codecs still needs an image/audio library this environment lacks, so
+pixel statistics are only available for the deterministic FAKE formats
+(``encode_fake_image``/``encode_fake_audio``) used by tests; unknown
+formats raise ``NotImplementedError``. Swapping in Pillow/torchaudio
+happens inside these two functions whose contract (bytes in, features
+out) the tests pin down.
 
 Scale notes: mapInPandas streams Arrow record batches, so peak memory is
 one batch per core, not one partition; `maxRecordsPerBatch` bounds it.
@@ -54,24 +58,74 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return _MAGIC + struct.pack("<iiq", width, height, seed) + pixels
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Decode the fake format; real codecs are intentionally unsupported.
+def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None] | None:
+    """Pure-Python container-header parse for the common image formats:
+    (format, width, height), or None if the magic is unrecognized.
 
-    Replace this single function with a Pillow-based decode in a real
-    deployment — everything around it (schema, batching, null handling)
-    stays identical.
+    PNG: IHDR is always the first chunk — big-endian u32 w/h at 16..24.
+    JPEG: walk the marker segments to the first SOF frame header
+    (C0-CF except DHT C4 / JPG C8 / DAC CC), which carries height then
+    width as big-endian u16 at offset +5.
+    GIF: little-endian u16 logical screen w/h at 6..10.
+    BMP: BITMAPINFOHEADER signed i32 w/h at 18..26 (height may be
+    negative for top-down rows).
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD8:
+                i += 2 if marker != 0xFF else 1
+                continue
+            if i + 4 > len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(payload):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return "jpeg", w, h
+                break
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", w, abs(h)
+    return None
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image metadata decode: real header parsing for PNG/JPEG/GIF/BMP
+    (width/height; pixel stats need a codec library, left None), full
+    decode for the deterministic FAKEIMG1 test format. Unknown magic
+    raises — a data-quality signal, not silently-null metadata."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}
-    if not payload.startswith(_MAGIC):
+    if payload.startswith(_MAGIC):
+        w, h, _seed = struct.unpack("<iiq", payload[8:24])
+        pixels = payload[24:]
+        mean = float(sum(pixels)) / len(pixels) if pixels else None
+        return {"width": w, "height": h, "mean_pixel": mean}
+    parsed = parse_image_header(payload)
+    if parsed is None:
         raise NotImplementedError(
-            "real image codecs unavailable in this environment; "
-            "only the FAKEIMG1 test format is decodable"
+            "unrecognized image format (supported headers: PNG/JPEG/GIF/BMP"
+            " + FAKEIMG1 test format)"
         )
-    w, h, _seed = struct.unpack("<iiq", payload[8:24])
-    pixels = payload[24:]
-    mean = float(sum(pixels)) / len(pixels) if pixels else None
-    return {"width": w, "height": h, "mean_pixel": mean}
+    _fmt, w, h = parsed
+    return {"width": w, "height": h, "mean_pixel": None}
+
+
+# backward-compatible name from the rounds where decoding was stubbed
+decode_image_stub = decode_image
 
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -90,7 +144,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_image(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -168,22 +222,54 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
     return _AUDIO_MAGIC + struct.pack("<iiq", sample_rate, n_samples, seed) + pcm
 
 
-def decode_audio_stub(payload: bytes) -> dict:
-    """Decode the fake audio format; real codecs intentionally
-    unsupported (swap in torchaudio/soundfile here in deployment)."""
+def parse_wav_header(payload: bytes) -> tuple[int, int] | None:
+    """RIFF/WAVE chunk walk: returns (sample_rate, n_samples) from the
+    ``fmt `` and ``data`` chunks, or None if not a WAV. Pure Python —
+    chunk sizes are little-endian u32, chunks are word-aligned."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = data_len = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if rate and channels and bits and data_len is not None:
+        bytes_per_frame = channels * max(bits // 8, 1)
+        return rate, data_len // bytes_per_frame
+    return None
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Audio metadata decode: real RIFF/WAVE header parsing (sample rate
+    + sample count; loudness needs PCM decode, left None), full decode
+    for the deterministic FAKEAUD1 test format."""
     if payload is None:
         return {"sample_rate": None, "n_samples": None, "rms": None}
-    if not payload.startswith(_AUDIO_MAGIC):
-        raise NotImplementedError(
-            "real audio codecs unavailable in this environment; "
-            "only the FAKEAUD1 test format is decodable"
+    if payload.startswith(_AUDIO_MAGIC):
+        rate, n_samples, _seed = struct.unpack("<iiq", payload[8:24])
+        pcm = payload[24:]
+        rms = (
+            (sum((b - 128) ** 2 for b in pcm) / len(pcm)) ** 0.5 if pcm else None
         )
-    rate, n_samples, _seed = struct.unpack("<iiq", payload[8:24])
-    pcm = payload[24:]
-    rms = (
-        (sum((b - 128) ** 2 for b in pcm) / len(pcm)) ** 0.5 if pcm else None
-    )
-    return {"sample_rate": rate, "n_samples": n_samples, "rms": rms}
+        return {"sample_rate": rate, "n_samples": n_samples, "rms": rms}
+    parsed = parse_wav_header(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "unrecognized audio format (supported: WAV/RIFF headers + "
+            "FAKEAUD1 test format)"
+        )
+    rate, n_samples = parsed
+    return {"sample_rate": rate, "n_samples": n_samples, "rms": None}
+
+
+# backward-compatible name from the rounds where decoding was stubbed
+decode_audio_stub = decode_audio
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -202,7 +288,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_audio_stub(p) for p in pdf["payload"]]
+            feats = [decode_audio(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -39,9 +39,95 @@ def test_extract_image_features(spark, media):
     assert again[1] == rows[1].mean_pixel
 
 
-def test_decode_stub_rejects_real_codecs():
+def test_decode_rejects_unknown_formats():
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+        decode_image_stub(b"\x89PNG\r\n\x1a\n....")  # truncated PNG
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"not an image at all")
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    # SOI + APP0(JFIF) + DQT filler + SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def test_decode_real_image_headers():
+    """Real container headers parse to actual dimensions (pure Python,
+    no codec library)."""
+    import struct
+
+    from lakehouse_architecture_spark.operators.multimodal import decode_image
+
+    assert decode_image(_png_bytes(640, 480)) == {
+        "width": 640, "height": 480, "mean_pixel": None,
+    }
+    assert decode_image(_jpeg_bytes(1024, 768)) == {
+        "width": 1024, "height": 768, "mean_pixel": None,
+    }
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert decode_image(gif)["width"] == 320
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00" * 4
+    out = decode_image(bmp)
+    assert (out["width"], out["height"]) == (64, 48)  # top-down height abs'd
+
+
+def test_decode_wav_header():
+    import struct
+
+    from lakehouse_architecture_spark.operators.multimodal import decode_audio
+
+    rate, channels, bits, n_frames = 44100, 2, 16, 44100 * 3
+    data_len = n_frames * channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, 4, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_len) + b"\x00" * 64  # truncated body
+    )
+    out = decode_audio(wav)
+    assert out["sample_rate"] == rate
+    assert out["n_samples"] == n_frames
+    assert out["rms"] is None
+
+
+def test_mixed_real_and_fake_formats_in_one_batch(spark):
+    """The mapInPandas stage handles fake + real headers in one Arrow
+    batch — metadata from headers, pixel stats only where decodable."""
+    rows = [
+        (1, "image", "fake", encode_fake_image(64, 48, seed=7), 64, 48, None),
+        (2, "image", "png", _png_bytes(800, 600), 800, 600, None),
+        (3, "image", "jpeg", _jpeg_bytes(320, 240), 320, 240, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert (out[2].decoded_width, out[2].decoded_height) == (800, 600)
+    assert (out[3].decoded_width, out[3].decoded_height) == (320, 240)
+    assert out[1].mean_pixel is not None and out[2].mean_pixel is None
 
 
 def test_resize_rewrites_metadata(spark, media):
