@@ -369,3 +369,105 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
     )
+
+
+# Banded sign-LSH over embeddings: 12 bands x 4 sign bits (dims 1..48).
+# Band/bit counts are the recall/cost dial: at the weak cos>=0.45
+# threshold this setting measured recall 1.0 with ~46% of the all-pairs
+# candidate volume on the sf0.01 corpus; at the cos>=0.9 regimes real
+# embedding near-dups live in, the same scheme prunes candidates by
+# orders of magnitude (per-band match prob p^4 with p = 1 - theta/pi).
+_EMB_LSH_BANDS = 12
+_EMB_LSH_BAND_BITS = 4
+
+
+def _band_key_sql(band: int) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{band * _EMB_LSH_BAND_BITS + i + 1}] >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_EMB_LSH_BAND_BITS)
+    ]
+    return " + ".join(terms)
+
+
+EMB_NEAR_DUP_LSH_ORACLE = f"""
+WITH bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band, {_band_key_sql(b)} AS key FROM embeddings"
+      for b in range(_EMB_LSH_BANDS)
+  )}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS na,
+    CAST(SUM(CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS nb
+  FROM cands
+  JOIN embeddings va ON va.vec_id = id_a
+  JOIN embeddings vb ON vb.vec_id = id_b,
+  UNNEST(generate_series(1, len(va.embedding))) AS t(i)
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / SQRT(na * nb), 6) AS cosine_sim
+FROM dots
+WHERE dot / SQRT(na * nb) >= 0.45
+"""
+
+
+@query("emb_near_dup_lsh", oracle=EMB_NEAR_DUP_LSH_ORACLE)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic scale twin of ``emb_near_dup_pairs``: banded sign
+    LSH (random-hyperplane family with axis-aligned hyperplanes so the
+    oracle replicates the SAME algorithm deterministically), exact
+    decimal-fold cosine verify on the surviving candidates only.
+
+    Plan shape at 100 TB: one narrow map computes all band keys, a
+    posexplode fans out 12 (band, key) rows per vector, the self-join on
+    (band, key) generates candidates per LSH cell (Σ|cell|², never n²),
+    DISTINCT collapses multi-band hits, and only candidate pairs pay the
+    64-dim exact verify. Identical topology to the MinHash text-dedup
+    path (operators/minhash.py) — bucket, dedup, verify."""
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = []
+    for band in range(_EMB_LSH_BANDS):
+        key = None
+        for i in range(_EMB_LSH_BAND_BITS):
+            dim = band * _EMB_LSH_BAND_BITS + i + 1
+            bit = F.when(
+                F.element_at("embedding", dim) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        keys.append(key)
+    bands = emb.select(
+        "vec_id", F.posexplode(F.array(*keys)).alias("band", "key")
+    )
+    cands = (
+        bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+        .join(
+            bands.select(F.col("vec_id").alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    cos = dec_dot("va", "vb") / F.sqrt(
+        dec_dot("va", "va") * dec_dot("vb", "vb")
+    )
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select(
+            "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine_sim")
+        )
+    )

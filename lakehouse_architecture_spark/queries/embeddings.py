@@ -181,3 +181,28 @@ def emb_centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "label")
         .select("label", "n_vectors", "centroid_norm")
     )
+
+
+@query("emb_kmeans_clusters", oracle=None)  # iterative — no SQL twin
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size profile after 2 Lloyd iterations over hash-seeded
+    centroids (operators/similarity.kmeans_refine) — the IVF index-build
+    path run end to end. Iterative re-estimation is not expressible as a
+    single ANSI query, so this registers rows-only; clustering quality
+    (mean assigned cosine must not regress across iterations) is pinned
+    in tests/test_similarity.py."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sample_centroids(emb, n_centroids=8)
+    cents = kmeans_refine(emb, seeds, n_iter=2)
+    assigned = ivf_assign(emb, cents)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid_id")
+    )

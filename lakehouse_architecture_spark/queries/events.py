@@ -300,3 +300,63 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
+         SQRT(CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))) AS std_n
+  FROM hourly GROUP BY 1
+)
+SELECT h.hour_start, h.event_type, h.n_events,
+       ROUND((h.n_events - s.mean_n) / s.std_n, 4) AS zscore
+FROM hourly h JOIN stats s USING (event_type)
+WHERE ABS((h.n_events - s.mean_n) / s.std_n) >= 2.0
+"""
+
+
+@query("events_anomaly_zscore", oracle=ANOMALY_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose per-type event count sits
+    >= 2 population-σ from that type's mean hourly volume — the
+    monitoring query every event pipeline grows.
+
+    Determinism: mean/σ are derived from exact integer SUM/COUNT with the
+    same explicit formula on both engines (σ = sqrt(E[x²] − E[x]²), never
+    the engine's own stddev_pop whose accumulation order varies), so the
+    float math is bit-reproducible. Plan: one shuffle for the hourly
+    aggregate, a tiny per-type stats aggregate broadcast back — the big
+    table is only scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    s = F.sum("n_events").cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+    c = F.count(F.lit(1))
+    stats = hourly.groupBy("event_type").agg(
+        (s / c).alias("mean_n"),
+        F.sqrt(s2 / c - (s / c) * (s / c)).alias("std_n"),
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.col("std_n")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -285,3 +285,66 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(25)
     )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents),
+       UNNEST(t) AS u(tok)
+  WHERE u.tok <> ''
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.tok, f.tf, d.df,
+         ROUND(f.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.doc_id ORDER BY f.tf DESC, d.df ASC, f.tok ASC
+         ) AS rn
+  FROM tf f JOIN dfreq d USING (tok), n
+)
+SELECT doc_id, tok, tf, df, tfidf FROM scored WHERE rn <= 3
+"""
+
+
+@query("docs_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by TF-IDF — the classic
+    keyword-extraction / topic-labeling shape for corpus curation.
+
+    Plan at scale: tokenize map-side; term-frequency groupBy shuffles on
+    (doc_id, tok); document-frequency is a second partial-aggregated
+    groupBy on tok; the corpus doc count broadcasts as a 1-row relation;
+    final ranking windows on doc_id. No driver-side data, no UDFs.
+    Ranking is integer-deterministic — (tf DESC, df ASC, tok) — so the
+    float tfidf value (natural log, rounded to 6dp) never decides order,
+    keeping oracle parity independent of libm rounding."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(dfreq, "tok").crossJoin(F.broadcast(total))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
