@@ -471,3 +471,49 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine_sim")
         )
     )
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+)
+SELECT s.doc AS doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_shingles,
+       ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc
+"""
+
+
+@query("docs_novelty_score", oracle=DOC_NOVELTY_ORACLE)
+def docs_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-shingles
+    that occur in NO other document — the continuous overlap score
+    curation pipelines threshold on between "exact dup" and "unique"
+    (low novelty = templated/boilerplate-heavy; 1.0 = fully original).
+
+    Plan: one groupBy on shingle for corpus document frequency, one join
+    back on shingle (both sides partial-aggregated, shuffle on the
+    shingle key only), final per-doc aggregate. The same inverted-index
+    topology as exact n-gram Jaccard, but linear in corpus shingles —
+    no pair generation at all, so it scales past where pairwise dedup
+    gets expensive."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "text", "doc_id")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(uniq).cast("long").alias("n_unique_shingles"),
+            F.round(
+                F.sum(uniq).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
