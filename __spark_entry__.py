@@ -45,6 +45,7 @@ _PRIORITY = [
     "scd2_customer_history",
     "events_sessionization",
     "asof_join_purchase_click",
+    "q2_min_cost_supplier",
 ]
 _FAMILY_ORDER = [
     "profiling",

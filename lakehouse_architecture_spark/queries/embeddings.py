@@ -206,3 +206,91 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("centroid_id")
     )
+
+
+INT8_QUANT_ORACLE = """
+WITH prep AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))))
+           AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> FLOOR(x / scale * 127 + 0.5))
+         END AS qv
+  FROM prep
+),
+err AS (
+  SELECT vec_id, scale,
+    CAST(SUM(CAST((v[i] - qv[i] * scale / 127)
+                  * (v[i] - qv[i] * scale / 127) AS DECIMAL(30,18)))
+         AS DOUBLE) AS errsq,
+    CAST(SUM(CASE WHEN qv[i] BETWEEN -127 AND 127 THEN 0 ELSE 1 END)
+         AS BIGINT) AS n_clipped
+  FROM q, UNNEST(generate_series(1, len(v))) AS t(i)
+  GROUP BY vec_id, scale
+)
+SELECT vec_id, scale, SQRT(errsq) AS quant_l2_err, n_clipped
+FROM err
+"""
+
+
+@query("emb_int8_quantization", oracle=INT8_QUANT_ORACLE)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x storage/bandwidth compression a 100 TB vector corpus ships with
+    (per-vector absmax scale, q = floor(v/scale*127 + 0.5)) — plus the
+    per-vector L2 reconstruction error and clip count that QA the codec.
+
+    All higher-order array functions (transform / zip_with / aggregate):
+    one narrow pass, no explode, no shuffle, no Python. FLOOR(x + 0.5)
+    instead of ROUND sidesteps engine tie-break differences (half-up vs
+    banker's), the error sum is an exact decimal fold, and the output
+    doubles are emitted UNROUNDED — both engines derive bit-identical
+    values, and it's ROUND itself whose near-boundary behavior diverges
+    between engines (BigDecimal half-up vs scaled-multiply)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    prep = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias(
+            "scale"
+        ),
+    )
+    qv = F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.transform("v", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)))
+    )
+    q = prep.select("vec_id", "v", "scale", qv.alias("qv"))
+    diff_sq = F.zip_with(
+        "v",
+        "qv",
+        lambda x, qi: (
+            (x - qi * F.col("scale") / 127) * (x - qi * F.col("scale") / 127)
+        ).cast("decimal(30,18)"),
+    )
+    errsq = F.aggregate(
+        diff_sq,
+        F.lit(0).cast("decimal(33,18)"),
+        lambda acc, x: (acc + x).cast("decimal(33,18)"),
+    ).cast("double")
+    n_clipped = F.aggregate(
+        F.transform(
+            "qv",
+            lambda qi: F.when((qi >= -127) & (qi <= 127), 0).otherwise(1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.sqrt(errsq).alias("quant_l2_err"),
+        n_clipped.alias("n_clipped"),
+    )

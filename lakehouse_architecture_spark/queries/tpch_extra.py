@@ -768,3 +768,84 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS sc
+  FROM lineitem GROUP BY 1, 2
+),
+min_cost AS (
+  SELECT l_partkey, MIN(sc) AS min_sc FROM cost GROUP BY 1
+)
+SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_type, CAST(c.sc AS DOUBLE) AS supply_cost
+FROM cost c
+JOIN min_cost m ON c.l_partkey = m.l_partkey AND c.sc = m.min_sc
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND r.r_name = 'ASIA'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier), adapted: with no partsupp
+    table, supply cost is the minimum lineitem extended price each
+    supplier has quoted for the part. The correlated "= (SELECT MIN...)"
+    subquery becomes a per-part min aggregate joined back on
+    (part, cost) equality — the standard decorrelation Catalyst itself
+    would produce.
+
+    Plan at scale: the (part, supplier) cost aggregate is the only
+    fact-table shuffle and is REUSED for both the per-part min and the
+    equality join (same exchange feeds both sides); part / supplier /
+    nation / region all broadcast. LIMIT sits on a fully-ordered sort
+    with explicit tie-breaks, so top-100 is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sc")
+    )
+    # explicit rename before the self-referencing join — cost and
+    # min_cost share lineage, so bare column refs would be ambiguous
+    min_cost = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("sc").alias("min_sc"))
+        .withColumnRenamed("l_partkey", "mc_partkey")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("sc") == F.col("min_sc")),
+        )
+        .drop("mc_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("sc").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
