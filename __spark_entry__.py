@@ -46,6 +46,7 @@ _PRIORITY = [
     "events_sessionization",
     "asof_join_purchase_click",
     "q2_min_cost_supplier",
+    "window_percent_rank_cume",
 ]
 _FAMILY_ORDER = [
     "profiling",

@@ -360,3 +360,49 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COALESCE(hh.n, 0) AS n_events
+FROM spine s LEFT JOIN hourly hh ON hh.h = s.h
+"""
+
+
+@query("events_gapfilled_hourly", oracle=GAPFILL_ORACLE)
+def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series: a calendar spine from the corpus
+    min/max hour left-joined to the hourly counts, zero-filling silent
+    hours — the densification step every downstream forecaster /
+    anomaly detector needs (a missing row is NOT a zero observation
+    until this query makes it one).
+
+    Plan: the spine generates from a 1-row min/max aggregate
+    (sequence + explode — no driver loop, no Python), so its size is
+    (time range / step), independent of event volume; the hourly
+    aggregate is the only fact shuffle and the spine join broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    return (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

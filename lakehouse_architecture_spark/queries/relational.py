@@ -688,3 +688,35 @@ def setop_except_all_dup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.exceptAll(o)
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey)
+""",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (PERCENT_RANK / CUME_DIST) —
+    the distribution-normalizing shapes quantile bucketing is built on.
+    Ordering ties break on the key, so both ranks are deterministic;
+    the outputs are exact rationals k/(n-1) and k/n computed identically
+    by both engines, emitted unrounded (rounding is what diverges)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,4)"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
