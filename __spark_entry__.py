@@ -47,6 +47,8 @@ _PRIORITY = [
     "asof_join_purchase_click",
     "q2_min_cost_supplier",
     "window_percent_rank_cume",
+    "agg_argmax_by_status",
+    "stats_corr_price_qty",
 ]
 _FAMILY_ORDER = [
     "profiling",

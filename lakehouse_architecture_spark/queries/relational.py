@@ -720,3 +720,89 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+@query(
+    "agg_argmax_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS HUGEINT) * 10000000000 + o_orderkey) AS top_orderkey,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS top_totalprice
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_argmax_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped argmax via MAX_BY — "which order is the largest per
+    status" without a window or self-join (single partial-aggregated
+    shuffle). The ordering key packs (price-in-hundredths-of-cents,
+    orderkey) into one exact integer — DuckDB's arg_max has no struct
+    ordering, and an integer key gives both engines the identical
+    deterministic tie-break (higher orderkey wins on equal price)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,4)")
+    packed = (
+        (p * 10000).cast("long").cast("decimal(28,0)") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", packed).alias("top_orderkey"),
+        F.max(p).cast("double").alias("top_totalprice"),
+    )
+
+
+@query(
+    "stats_corr_price_qty",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT n,
+       (n * sxy - sx * sy)
+         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_price_qty,
+       (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop_price_qty
+FROM s
+""",
+)
+def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of price vs quantity,
+    derived from EXACT decimal moment sums with the same explicit
+    formula on both engines — never the engine's own corr()/covar()
+    whose single-pass accumulation order is nondeterministic in a
+    distributed run. One partial-aggregated scan, 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,4)")
+    y = F.col("l_quantity").cast("decimal(18,4)")
+    xw = F.col("l_extendedprice").cast("decimal(19,4)")
+    yw = F.col("l_quantity").cast("decimal(19,4)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xw * x).cast("double").alias("sxx"),
+        F.sum(yw * y).cast("double").alias("syy"),
+        F.sum(xw * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_price_qty"),
+        ((n * sxy - sx * sy) / (n.cast("double") * n)).alias(
+            "covar_pop_price_qty"
+        ),
+    )
