@@ -187,3 +187,52 @@ def test_simhash_fingerprints_map_side(spark):
         .toString()
     )
     assert "Aggregate" not in plan
+
+
+def test_tfidf_partial_topk_before_shuffle(spark, sf_dir):
+    """The per-doc top-3 ranking must push a WindowGroupLimit below the
+    exchange (map-side partial top-k), and the corpus doc count must
+    arrive as a broadcast, not a shuffle."""
+    plan = _plan(spark, sf_dir, "docs_tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row count crossJoin only
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_emb_lsh_no_cartesian(spark, sf_dir):
+    """Sign-LSH candidate generation must be a keyed join on
+    (band, key) — never a cartesian of the corpus."""
+    plan = _plan(spark, sf_dir, "emb_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_spine_is_broadcast(spark, sf_dir):
+    """The calendar spine derives from a 1-row bounds aggregate; the
+    spine-to-hourly join must broadcast, not shuffle the hourly side
+    into a sort-merge join."""
+    plan = _plan(spark, sf_dir, "events_gapfilled_hourly")
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_stats_broadcast_back(spark, sf_dir):
+    """Per-type stats (few rows) must broadcast back onto the hourly
+    aggregate — the fact table is scanned exactly once."""
+    plan = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    scan_lines = [
+        l for l in plan.splitlines() if "Scan parquet" in l and "events" in l
+    ]
+    assert len(scan_lines) <= 2  # hourly agg reused; no third scan
+
+
+def test_q2_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4  # part/supp/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantization_no_shuffle(spark, sf_dir):
+    """The codec is a narrow map: no exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "emb_int8_quantization")
+    assert "Exchange" not in plan
