@@ -33,6 +33,7 @@ EXTRA = [
     "agg_argmax_by_status",
     "stats_corr_price_qty",
     "emb_kmeans_clusters",
+    "events_hll_sketch_rollup",
 ]
 
 HEADLINE = [

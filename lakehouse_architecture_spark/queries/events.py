@@ -406,3 +406,41 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query("events_hll_sketch_rollup", oracle=None)  # engine-specific sketch
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    merged with ``hll_union_agg`` into the total — the re-aggregation
+    pattern that makes distinct counts cheap at 100 TB (daily sketches
+    persist a few KB each; any date-range distinct is a sketch merge,
+    NEVER a rescan of the raw events).
+
+    No oracle: the sketch binary and its estimator are implementation-
+    specific (Spark's HLL++), so the driver records rows-only;
+    tests/test_queries_advanced.py pins the estimates to within 5% of
+    exact distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.lit(None).cast("date").alias("day_null"),
+    )
+    return (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate("sketch").alias("est_users"),
+            "exact_users",
+        )
+        .unionByName(
+            total.select(
+                F.col("day_null").alias("day"),
+                F.col("est").alias("est_users"),
+                F.lit(None).cast("long").alias("exact_users"),
+            )
+        )
+        .orderBy(F.asc_nulls_last("day"))
+    )

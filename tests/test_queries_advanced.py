@@ -43,3 +43,27 @@ def test_asof_join_same_ts_click_counts(spark, sf_dir):
     )
     # purchases with no prior click yield null asof (left-join semantics)
     assert {r.asof_click_ms is None for r in rows} <= {True, False}
+
+
+def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
+    """The mergeable-sketch rollup's HLL estimates must sit within 5%
+    of the exact distinct counts, per day and for the merged total."""
+    from lakehouse_architecture_spark.queries.events import (
+        events_hll_sketch_rollup,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    rows = events_hll_sketch_rollup(spark, sf_dir).collect()
+    per_day = [r for r in rows if r.day is not None]
+    assert per_day, "no daily rows"
+    for r in per_day:
+        assert abs(r.est_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+
+    total_row = next(r for r in rows if r.day is None)
+    exact_total = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_row.est_users - exact_total) <= max(1, 0.05 * exact_total)
