@@ -42,7 +42,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     both legacy shapes are cast here — the session tz is UTC, making the
     NTZ→TIMESTAMP cast value-preserving (epoch millis unchanged, matching
     the DuckDB oracles' ``epoch_ms``). Never float math on ns longs: ns
-    epoch values exceed 2^53."""
+    epoch values exceed 2^53.
+
+    The session timezone is pinned here (not only in ``get_spark``)
+    because the driver's harness builds a PLAIN SparkSession: on a
+    non-UTC host the NTZ cast and every date_trunc/date_format rendering
+    would silently shift against the oracle. Both are runtime confs,
+    safe to set on a live session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType

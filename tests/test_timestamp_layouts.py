@@ -91,3 +91,23 @@ def test_events_queries_run_on_every_layout(spark, tmp_path, layout):
 
     hourly = events_hourly_by_type(spark, sf_dir)
     assert hourly.count() > 0
+
+
+def test_loader_pins_utc_on_non_utc_session(spark, tmp_path):
+    """The driver's harness uses a plain SparkSession; if the host tz
+    weren't UTC the NTZ cast would shift values. The loader must pin the
+    session tz itself."""
+    sf_dir = _write_events(tmp_path, _LAYOUTS["ntz_us"])
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        millis = sorted(r[0] for r in ev.selectExpr("unix_millis(ts)").collect())
+        expected = sorted(
+            int(r[1].replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            for r in _ROWS
+        )
+        assert millis == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
