@@ -5,12 +5,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized via the noop sink (count() would let
 Catalyst prune the computed columns).
+
+Timing methodology (round 4): one untimed warmup run per query (plan
+compile, codegen, file-listing caches), then median of 3 timed runs —
+single-shot numbers at this SF carried ±20-30% run-to-run noise on
+identical code (r1 vs r3), bigger than most effects being measured.
+"value" is the sum of per-query MEDIANS; "queries_min" carries the
+per-query minima as the low-noise floor.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,6 +74,24 @@ HEADLINE = [
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+TIMED_RUNS = 3
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple[float, float]:
+    """(median, min) seconds over TIMED_RUNS materializations, after one
+    untimed warmup run. The query DataFrame is rebuilt per run so each
+    timing includes analysis/optimization like a real submission (only
+    JVM JIT, codegen and FS-listing caches stay warm — which is exactly
+    the steady state a long-lived cluster session runs in)."""
+    materialize(fn(spark, sf_dir))  # warmup
+    times = []
+    for _ in range(TIMED_RUNS):
+        start = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        times.append(time.perf_counter() - start)
+    return round(statistics.median(times), 3), round(min(times), 3)
 
 
 # CSV mapping of the TPC-H-ish testdata onto the reference's raw-zone
@@ -169,24 +195,22 @@ def main() -> None:
     # other N-1 timings — failures are recorded in "errors" and the JSON
     # line is always emitted.
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
         try:
-            materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 3)
+            timings[name], minima[name] = time_query(QUERIES[name], spark, sf_dir)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
     extra: dict[str, float] = {}
+    extra_min: dict[str, float] = {}
     for name in EXTRA:
         if name not in QUERIES:
             continue
-        start = time.perf_counter()
         try:
-            materialize(QUERIES[name](spark, sf_dir))
-            extra[name] = round(time.perf_counter() - start, 3)
+            extra[name], extra_min[name] = time_query(QUERIES[name], spark, sf_dir)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench extra query {name} failed: {exc}", file=sys.stderr)
@@ -206,7 +230,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": minima,
         "extra_queries": extra,
+        "extra_queries_min": extra_min,
+        "timing": {"warmup_runs": 1, "timed_runs": TIMED_RUNS, "stat": "median"},
         "pipeline_e2e": e2e,
         "sf": sf,
     }
