@@ -36,19 +36,36 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-3 priority: 3 operators that have never had a driver row
-# (profiling/SCD2/snapshot-diff were past position 50 in r2) + the two
-# queries broken by the events TIMESTAMP_NTZ regression, now fixed.
+# Round-4 priority: (a) the 12 second-tier queries deferred in r1-r3 —
+# every one passes the local oracle gate but has never had a driver
+# row; (b) every query whose implementation changed this round (integer
+# min-hash family, metadata-driven dispatch, unrolled prefilter dots,
+# ADVICE fixes) so the driver re-hashes them against their oracles.
 _PRIORITY = [
-    "snapshot_diff_counts",
-    "profile_orders_columns",
-    "scd2_customer_history",
-    "events_sessionization",
-    "asof_join_purchase_click",
-    "q2_min_cost_supplier",
-    "window_percent_rank_cume",
+    # never driver-checked until now
+    "emb_knn_bruteforce_decimal",
+    "events_type_value_stats",
+    "events_props_extract",
+    "validate_orders_rejection_summary",
+    "validate_lineitem_fk_summary",
+    "docs_exact_dedupe_count",
+    "minhash_signatures_sample",
+    "docs_fingerprint",
+    "docs_shingle_stats",
+    "emb_norms",
+    "events_tumbling_window",
+    "events_daily_active_users",
+    # round-4 implementation changes
+    "minhash_lsh_near_dups",
+    "docs_ngram_jaccard_pairs",
+    "emb_near_dup_pairs",
+    "emb_near_dup_lsh",
+    "emb_knn_bruteforce",
+    "emb_knn_lsh",
     "agg_argmax_by_status",
     "stats_corr_price_qty",
+    "events_anomaly_zscore",
+    "docs_tfidf_top_terms",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -62,21 +79,23 @@ _FAMILY_ORDER = [
     "catalog_sql",
     "advanced",
 ]
-# Near-duplicates of queries already in the first tier — deferred past
-# the driver's check horizon so every distinct operator gets a row.
+# Queries pushed past the driver's check horizon this round: all have
+# green rows in CORRECTNESS_r1-r3 (evidence that stands), their code is
+# unchanged in r4, and the window is better spent on the never-checked
+# rotation above.
 _SECOND_TIER = {
-    "emb_knn_bruteforce_decimal",   # same oracle as emb_knn_bruteforce
-    "events_type_value_stats",      # agg family covered by sentinels
-    "events_props_extract",
-    "validate_orders_rejection_summary",
-    "validate_lineitem_fk_summary",
-    "docs_exact_dedupe_count",      # subsumed by docs_exact_dup_groups
-    "minhash_signatures_sample",    # sigs exercised by minhash_lsh_near_dups
-    "docs_fingerprint",             # hash family checked by docs_exact_dup_groups
-    "docs_shingle_stats",           # shingle front end inside ngram/minhash rows
-    "emb_norms",                    # norm fold inside every KNN row
-    "events_tumbling_window",       # windowed agg covered by events_hourly_by_type
-    "events_daily_active_users",    # distinct-agg covered by retention_cohorts
+    "snapshot_diff_counts",         # green r3, unchanged
+    "profile_orders_columns",       # green r3, unchanged
+    "scd2_customer_history",        # green r3, unchanged
+    "events_sessionization",        # green r3, unchanged
+    "asof_join_purchase_click",     # green r3, unchanged
+    "q2_min_cost_supplier",         # green r3, unchanged
+    "window_percent_rank_cume",     # green r3, unchanged
+    "simhash_fingerprints",         # green r3, unchanged
+    "simhash_near_pairs",           # green r3, unchanged
+    "docs_novelty_score",           # green r3, unchanged
+    "events_ohlc_downsample",       # green r3, unchanged
+    "events_gapfilled_hourly",      # green r3, unchanged
 }
 
 
