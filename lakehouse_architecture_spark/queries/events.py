@@ -311,9 +311,9 @@ WITH hourly AS (
 stats AS (
   SELECT event_type,
          CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
-         SQRT(CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*)
+         SQRT(GREATEST(CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*)
               - (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))
-                * (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))) AS std_n
+                * (CAST(SUM(n_events) AS DOUBLE) / COUNT(*)), 0)) AS std_n
   FROM hourly GROUP BY 1
 )
 SELECT h.hour_start, h.event_type, h.n_events,
@@ -345,9 +345,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.sum("n_events").cast("double")
     s2 = F.sum(F.col("n_events") * F.col("n_events")).cast("double")
     c = F.count(F.lit(1))
+    # GREATEST(var, 0) on BOTH engines: E[x²]−E[x]² can cancel to a tiny
+    # negative in doubles when counts are large and near-constant, and
+    # the engines then diverge (Spark sqrt(neg) = NaN, DuckDB raises).
     stats = hourly.groupBy("event_type").agg(
         (s / c).alias("mean_n"),
-        F.sqrt(s2 / c - (s / c) * (s / c)).alias("std_n"),
+        F.sqrt(F.greatest(s2 / c - (s / c) * (s / c), F.lit(0.0))).alias("std_n"),
     )
     z = (F.col("n_events") - F.col("mean_n")) / F.col("std_n")
     return (

@@ -728,7 +728,7 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        arg_max(o_orderkey,
                CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                    AS HUGEINT) * 10000000000 + o_orderkey) AS top_orderkey,
+                    AS HUGEINT) * 10000000000000000 + o_orderkey) AS top_orderkey,
        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS top_totalprice
 FROM orders
 GROUP BY o_orderstatus
@@ -740,11 +740,16 @@ def agg_argmax_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). The ordering key packs (price-in-hundredths-of-cents,
     orderkey) into one exact integer — DuckDB's arg_max has no struct
     ordering, and an integer key gives both engines the identical
-    deterministic tie-break (higher orderkey wins on equal price)."""
+    deterministic tie-break (higher orderkey wins on equal price).
+    The orderkey slot is 1e16 wide: TPC-H sparse orderkeys reach
+    ~8e6 * SF, so the packing stays collision-free past SF 1e9
+    (decimal(38,0)/HUGEINT math is exact on both engines — price
+    ticks < 6e9 keep the packed key below 1e26 << 1e38)."""
     orders = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(18,4)")
     packed = (
-        (p * 10000).cast("long").cast("decimal(28,0)") * F.lit(10000000000)
+        (p * 10000).cast("long").cast("decimal(38,0)")
+        * F.lit(10000000000000000).cast("decimal(38,0)")
         + F.col("o_orderkey")
     )
     return orders.groupBy("o_orderstatus").agg(
@@ -770,7 +775,8 @@ WITH s AS (
 )
 SELECT n,
        (n * sxy - sx * sy)
-         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_price_qty,
+         / SQRT(GREATEST(n * sxx - sx * sx, 0)
+                * GREATEST(n * syy - sy * sy, 0)) AS corr_price_qty,
        (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop_price_qty
 FROM s
 """,
@@ -796,11 +802,18 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # GREATEST(var, 0) on BOTH engines: the n*sxx - sx*sx cancellation
+    # can go fractionally negative in doubles on near-constant columns
+    # (Spark sqrt(neg) = NaN, DuckDB raises — the oracle run would
+    # error instead of comparing).
     return s.select(
         "n",
         (
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.sqrt(
+                F.greatest(n * sxx - sx * sx, F.lit(0.0))
+                * F.greatest(n * syy - sy * sy, F.lit(0.0))
+            )
         ).alias("corr_price_qty"),
         ((n * sxy - sx * sy) / (n.cast("double") * n)).alias(
             "covar_pop_price_qty"

@@ -298,14 +298,13 @@ tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
-  SELECT f.doc_id, f.tok, f.tf, d.df,
-         ROUND(f.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+  SELECT f.doc_id, f.tok, f.tf, d.df, n.n_docs,
          ROW_NUMBER() OVER (
            PARTITION BY f.doc_id ORDER BY f.tf DESC, d.df ASC, f.tok ASC
          ) AS rn
   FROM tf f JOIN dfreq d USING (tok), n
 )
-SELECT doc_id, tok, tf, df, tfidf FROM scored WHERE rn <= 3
+SELECT doc_id, tok, tf, df, n_docs FROM scored WHERE rn <= 3
 """
 
 
@@ -318,9 +317,11 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, tok); document-frequency is a second partial-aggregated
     groupBy on tok; the corpus doc count broadcasts as a 1-row relation;
     final ranking windows on doc_id. No driver-side data, no UDFs.
-    Ranking is integer-deterministic — (tf DESC, df ASC, tok) — so the
-    float tfidf value (natural log, rounded to 6dp) never decides order,
-    keeping oracle parity independent of libm rounding."""
+    Ranking is integer-deterministic — (tf DESC, df ASC, tok) — and the
+    compared output is the exact integer triple (tf, df, n_docs) that
+    fully determines tf * ln(n_docs/df): the float itself is derived in
+    reporting, never compared, so parity cannot hinge on a 1-ulp libm
+    difference between JVM Math.log and DuckDB's C log."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -338,13 +339,5 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select(
-            "doc_id",
-            "tok",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+        .select("doc_id", "tok", "tf", "df", "n_docs")
     )
