@@ -66,6 +66,10 @@ _PRIORITY = [
     "stats_corr_price_qty",
     "events_anomaly_zscore",
     "docs_tfidf_top_terms",
+    # round-4 new oracles (previously rows-only or nonexistent)
+    "emb_kmeans_clusters",
+    "approx_distinct_and_quantile",
+    "events_hll_accuracy_qa",
 ]
 _FAMILY_ORDER = [
     "profiling",

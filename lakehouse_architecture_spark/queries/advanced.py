@@ -211,18 +211,47 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_and_quantile")  # no oracle: sketch outputs are
-# algorithm-specific (HLL++/KLL vs DuckDB's sketches) — rows-only check;
-# accuracy vs exact values is asserted in tests/test_queries_advanced.py
+@query(
+    "approx_distinct_and_quantile",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_orders_ok,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+       TRUE AS approx_median_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates: HLL++ distinct count + approx quantiles —
-    the sketches that replace exact distinct/sort at 100 TB."""
+    """Approximate aggregates — HLL++ distinct count + approx quantiles,
+    the sketches that replace exact distinct/sort at 100 TB — QA'd
+    against their exact twins IN the compared output: the sketch values
+    themselves are algorithm-specific (HLL++/KLL have no DuckDB twin),
+    so the oracle checks the exact columns plus tolerance-band booleans
+    (approx within 5% of exact distinct / 1% of exact median) that the
+    oracle asserts as literal TRUE. A sketch drifting out of tolerance
+    now FAILS the driver hash instead of hiding behind rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "exact_median"
+        ),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
         ),
+    )
+    ok = lambda a, e, tol: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * tol
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        ok("approx_orders", "exact_orders", 0.05).alias("approx_orders_ok"),
+        "exact_median",
+        ok("approx_median", "exact_median", 0.01).alias("approx_median_ok"),
     )
 
 

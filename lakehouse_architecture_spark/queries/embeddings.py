@@ -183,28 +183,131 @@ def emb_centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_kmeans_clusters", oracle=None)  # iterative — no SQL twin
+KMEANS_ORACLE = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM (SELECT *, hv % 8 AS bucket FROM h)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hv, vec_id) = 1
+),
+dots AS (
+  SELECT e.vec_id, s.centroid_id,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvc,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvv,
+    CAST(SUM(CAST(CAST(s.centroid_vec[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dcc
+  FROM embeddings e, seeds s,
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, s.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) = 1
+),
+dims AS (
+  SELECT a.centroid_id, i AS pos,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
+              AS DOUBLE) / COUNT(*) AS m
+  FROM assign a JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT centroid_id,
+         SQRT(CAST(SUM(CAST(m * m AS DECIMAL(30,18))) AS DOUBLE))
+           AS centroid_norm
+  FROM dims GROUP BY 1
+),
+counts AS (SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY 1)
+SELECT c.centroid_id, c.n_vectors, n.centroid_norm
+FROM counts c JOIN norms n USING (centroid_id)
+"""
+
+
+@query("emb_kmeans_clusters", oracle=KMEANS_ORACLE)
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-size profile after 2 Lloyd iterations over hash-seeded
-    centroids (operators/similarity.kmeans_refine) — the IVF index-build
-    path run end to end. Iterative re-estimation is not expressible as a
-    single ANSI query, so this registers rows-only; clustering quality
-    (mean assigned cosine must not regress across iterations) is pinned
-    in tests/test_similarity.py."""
-    from lakehouse_architecture_spark.operators.similarity import (
-        ivf_assign,
-        kmeans_refine,
-        sample_centroids,
-    )
+    """One full Lloyd step of k-means over PORTABLY hash-seeded
+    centroids — seed pick, nearest-centroid assignment, and centroid
+    re-estimation — with every stage exactly replicated by the SQL
+    oracle: seeds come from an md5-derived 60-bit integer (not
+    xxhash64, which DuckDB can't compute), assignment ranks a
+    decimal-exact cosine (bit-identical doubles on both engines, so
+    the argmax and its centroid-id tie-break agree), and the refined
+    per-centroid means/norms use exact decimal sums. Output per
+    centroid: member count and refined-centroid L2 norm (unrounded —
+    the doubles are bit-identical by construction).
+
+    This makes the k-means step itself driver-checkable; multi-
+    iteration refinement (same plan, looped) stays covered by
+    tests/test_similarity.py's improvement invariant, and the
+    xxhash64-seeded production path by the IVF build/search tests.
+
+    Plan shape at scale: seeds are one narrow projection + a window
+    within 8 hash buckets; assignment is a broadcast of 8 centroids
+    (never a corpus shuffle); re-estimation aggregates posexploded
+    members map-side into k*dim partials."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = sample_centroids(emb, n_centroids=8)
-    cents = kmeans_refine(emb, seeds, n_iter=2)
-    assigned = ivf_assign(emb, cents)
-    return (
-        assigned.groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("centroid_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    wseed = Window.partitionBy("bucket").orderBy("hv", "vec_id")
+    seeds = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            h.alias("hv"),
+            F.pmod(h, F.lit(8)).alias("bucket"),
+        )
+        .withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    cos = dec_dot("embedding", "centroid_vec") / F.sqrt(
+        dec_dot("embedding", "embedding")
+        * dec_dot("centroid_vec", "centroid_vec")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "centroid_id", cos.alias("sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    dims = (
+        assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("centroid_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    m = F.col("m")
+    norms = dims.groupBy("centroid_id").agg(
+        F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")).alias("centroid_norm")
+    )
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return counts.join(norms, "centroid_id").select(
+        "centroid_id", "n_vectors", "centroid_norm"
     )
 
 

@@ -411,6 +411,27 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, est_users) per day plus a NULL-day total row, purely from
+    mergeable HLL sketches — shared by the production rollup query and
+    the accuracy-QA query below."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    return daily.select(
+        "day", F.hll_sketch_estimate("sketch").alias("est_users")
+    ).unionByName(
+        total.select(
+            F.lit(None).cast("date").alias("day"),
+            F.col("est").alias("est_users"),
+        )
+    )
+
+
 @query("events_hll_sketch_rollup", oracle=None)  # engine-specific sketch
 def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
@@ -419,31 +440,57 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist a few KB each; any date-range distinct is a sketch merge,
     NEVER a rescan of the raw events).
 
-    No oracle: the sketch binary and its estimator are implementation-
-    specific (Spark's HLL++), so the driver records rows-only;
-    tests/test_queries_advanced.py pins the estimates to within 5% of
-    exact distinct counts."""
+    The plan is SKETCH-ONLY — no exact distinct aggregate anywhere
+    (tests/test_plans.py asserts no expand/distinct in the plan), so the
+    query's own cost profile is the one the 100 TB argument claims.
+    Estimator accuracy is driver-checked by the companion
+    ``events_hll_accuracy_qa`` query and pinned in pytest.
+
+    No oracle: the sketch estimator is implementation-specific (Spark's
+    Apache DataSketches HLL), so the driver records rows-only here."""
+    return _hll_daily_rollup(spark, sf_dir).orderBy(F.asc_nulls_last("day"))
+
+
+@query(
+    "events_hll_accuracy_qa",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+),
+total AS (
+  SELECT CAST(NULL AS DATE) AS day, COUNT(DISTINCT user_id) AS exact_users
+  FROM events
+)
+SELECT day, exact_users, TRUE AS est_within_5pct
+FROM (SELECT * FROM daily UNION ALL SELECT * FROM total)
+""",
+)
+def events_hll_accuracy_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the HLL rollup: joins the sketch estimates to
+    exact distinct counts and emits (day, exact_users, est_within_5pct).
+    The oracle recomputes the exact counts and asserts the band boolean
+    as literal TRUE — an estimator drifting past 5% relative error
+    FAILS the driver hash, giving the sketch path a real cross-engine
+    check despite its engine-specific estimator. (The exact-distinct
+    cost lives HERE, in the QA query, keeping the production rollup's
+    plan sketch-only.)"""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.countDistinct("user_id").alias("exact_users"),
+    exact = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
     )
-    total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
-        F.lit(None).cast("date").alias("day_null"),
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit(None).cast("date").alias("day"), "exact_users"
     )
-    return (
-        daily.select(
-            "day",
-            F.hll_sketch_estimate("sketch").alias("est_users"),
-            "exact_users",
-        )
-        .unionByName(
-            total.select(
-                F.col("day_null").alias("day"),
-                F.col("est").alias("est_users"),
-                F.lit(None).cast("long").alias("exact_users"),
-            )
-        )
-        .orderBy(F.asc_nulls_last("day"))
+    est = _hll_daily_rollup(spark, sf_dir).withColumnRenamed("day", "est_day")
+    ex = exact.unionByName(exact_total)
+    # eqNullSafe: the corpus-total rows carry day = NULL on both sides
+    # and must still pair up (a plain equi-join drops them).
+    return ex.join(est, ex.day.eqNullSafe(est.est_day)).select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("est_within_5pct"),
     )

@@ -232,6 +232,17 @@ def test_q2_dimensions_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_hll_rollup_plan_is_sketch_only(spark, sf_dir):
+    """The production HLL rollup must carry NO exact-distinct aggregate
+    — that cost belongs to the events_hll_accuracy_qa companion, or the
+    query's own plan would be exact-distinct-bound, defeating the
+    sketch's 100 TB argument."""
+    plan = _plan(spark, sf_dir, "events_hll_sketch_rollup")
+    assert "count(distinct" not in plan.lower()
+    assert "Expand" not in plan
+    assert "hll_sketch_agg" in plan
+
+
 def test_int8_quantization_no_shuffle(spark, sf_dir):
     """The codec is a narrow map: no exchange anywhere in the plan."""
     plan = _plan(spark, sf_dir, "emb_int8_quantization")
