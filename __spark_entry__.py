@@ -70,6 +70,7 @@ _PRIORITY = [
     "emb_kmeans_clusters",
     "approx_distinct_and_quantile",
     "events_hll_accuracy_qa",
+    "emb_lsh_candidate_stats",
 ]
 _FAMILY_ORDER = [
     "profiling",

@@ -42,6 +42,7 @@ EXTRA = [
     "stats_corr_price_qty",
     "emb_kmeans_clusters",
     "events_hll_sketch_rollup",
+    "emb_lsh_candidate_stats",
 ]
 
 HEADLINE = [

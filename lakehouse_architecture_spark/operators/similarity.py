@@ -44,6 +44,67 @@ def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int, dim: int) -> DataFr
     return df.withColumn("bucket", bucket)
 
 
+def sign_lsh_bands(
+    df: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, band, key): banded sign-LSH keys from axis-aligned
+    hyperplanes — band b's key packs the sign bits of dimensions
+    [b*band_bits, (b+1)*band_bits) into one integer. Axis-aligned
+    planes (sign of the raw coordinate) keep the scheme exactly
+    replicable in any SQL engine, which random Gaussian planes are not.
+
+    (n_bands, band_bits) is the recall/cost dial: a pair at angle theta
+    matches one band with p^band_bits where p = 1 - theta/pi, and any of
+    n_bands bands promotes it to a candidate. Few wide bands (8x8)
+    suit high thresholds (cos >= 0.85: per-band 0.82^8 ~ 0.21, recall
+    1-(1-0.21)^8 ~ 0.85, while random near-orthogonal pairs survive at
+    ~(1/2)^8 per band ~ 3% overall); many narrow bands (12x4) suit the
+    loose-threshold regime. Requires n_bands * band_bits <= dim."""
+    keys = []
+    for band in range(n_bands):
+        key = None
+        for i in range(band_bits):
+            dim = band * band_bits + i + 1
+            bit = F.when(
+                F.element_at(vec_col, dim) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        keys.append(key)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+
+
+def sign_lsh_candidates(
+    df: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs sharing any sign-LSH band
+    cell. One narrow map computes all band keys, a posexplode fans out
+    n_bands rows per vector, and the self-join on (band, key) generates
+    candidates per LSH cell (sum of |cell|^2, never n^2); DISTINCT
+    collapses multi-band hits."""
+    bands = sign_lsh_bands(df, n_bands, band_bits, vec_col, id_col)
+    return (
+        bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+        .join(
+            bands.select(F.col("vec_id").alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     query: DataFrame,

@@ -223,6 +223,40 @@ def test_kmeans_refine_improves_quantization(spark, sf_dir):
     assert mean_sim(refined) >= mean_sim(seed) - 1e-9
 
 
+def test_sign_lsh_strict_prunes_and_recalls_planted_dups(spark):
+    """The 8x8 strict sign-LSH config must (a) keep planted high-cosine
+    pairs as candidates and (b) prune random near-orthogonal pairs to a
+    small fraction of n^2 — the measurable form of the sub-quadratic
+    claim (emb_lsh_candidate_stats reports the same ratio at bench SF).
+    """
+    import random
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        sign_lsh_candidates,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(60):
+        rows.append((vid, [rng.gauss(0.0, 1.0) for _ in range(64)]))
+    # 5 planted near-dup partners of vectors 0..4: tiny perturbation
+    # keeps every sign bit with overwhelming probability -> cos ~ 1.
+    for k in range(5):
+        base = rows[k][1]
+        rows.append(
+            (1000 + k, [x * (1.0 + 0.001 * rng.random()) for x in base])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = {
+        (r.id_a, r.id_b)
+        for r in sign_lsh_candidates(emb, n_bands=8, band_bits=8).collect()
+    }
+    for k in range(5):
+        assert (k, 1000 + k) in cands, f"planted pair {k} lost"
+    n = 65
+    assert len(cands) / (n * (n - 1) / 2) < 0.25
+
+
 def test_blocked_near_dup_candidates_small_corpus(spark):
     """More blocks than vectors: empty sides and diagonal blocks must
     not crash or emit self/duplicate pairs."""
