@@ -211,22 +211,18 @@ assign AS (
   ) = 1
 ),
 dims AS (
-  SELECT a.centroid_id, i AS pos,
+  SELECT a.centroid_id, i AS pos, COUNT(*) AS n_members,
          CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
               AS DOUBLE) / COUNT(*) AS m
   FROM assign a JOIN embeddings e USING (vec_id),
        UNNEST(generate_series(1, len(e.embedding))) AS t(i)
   GROUP BY 1, 2
-),
-norms AS (
-  SELECT centroid_id,
-         SQRT(CAST(SUM(CAST(m * m AS DECIMAL(30,18))) AS DOUBLE))
-           AS centroid_norm
-  FROM dims GROUP BY 1
-),
-counts AS (SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY 1)
-SELECT c.centroid_id, c.n_vectors, n.centroid_norm
-FROM counts c JOIN norms n USING (centroid_id)
+)
+SELECT centroid_id,
+       MAX(n_members) AS n_vectors,
+       SQRT(CAST(SUM(CAST(m * m AS DECIMAL(30,18))) AS DOUBLE))
+         AS centroid_norm
+FROM dims GROUP BY 1
 """
 
 
@@ -275,39 +271,49 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("centroid_vec"),
         )
     )
+    # Norms are hoisted OUT of the 8-way cross join: dvv once per corpus
+    # row, dcc once per centroid — the per-pair work is a single
+    # decimal fold instead of three.
+    corpus = emb.select(
+        "vec_id", "embedding", dec_dot("embedding", "embedding").alias("dvv")
+    )
+    seeds = seeds.select(
+        "centroid_id",
+        "centroid_vec",
+        dec_dot("centroid_vec", "centroid_vec").alias("dcc"),
+    )
     cos = dec_dot("embedding", "centroid_vec") / F.sqrt(
-        dec_dot("embedding", "embedding")
-        * dec_dot("centroid_vec", "centroid_vec")
+        F.col("dvv") * F.col("dcc")
     )
     wa = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("centroid_id")
     )
     assigned = (
-        emb.crossJoin(F.broadcast(seeds))
+        corpus.crossJoin(F.broadcast(seeds))
         .select("vec_id", "embedding", "centroid_id", cos.alias("sim"))
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
+    # Member counts ride the dims aggregate (every member contributes
+    # one row per position, so any position's COUNT is the cluster
+    # size) — a separate counts branch would re-run the whole
+    # assignment (second corpus scan + crossJoin + window).
     dims = (
         assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("centroid_id", "pos")
         .agg(
+            F.count(F.lit(1)).alias("n_members"),
             (
                 F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
                 / F.count(F.lit(1))
-            ).alias("m")
+            ).alias("m"),
         )
     )
     m = F.col("m")
-    norms = dims.groupBy("centroid_id").agg(
-        F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")).alias("centroid_norm")
-    )
-    counts = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_vectors")
-    )
-    return counts.join(norms, "centroid_id").select(
-        "centroid_id", "n_vectors", "centroid_norm"
+    return dims.groupBy("centroid_id").agg(
+        F.max("n_members").alias("n_vectors"),
+        F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")).alias("centroid_norm"),
     )
 
 
