@@ -71,6 +71,7 @@ _PRIORITY = [
     "approx_distinct_and_quantile",
     "events_hll_accuracy_qa",
     "emb_lsh_candidate_stats",
+    "docs_chunk_manifest",
 ]
 _FAMILY_ORDER = [
     "profiling",

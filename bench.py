@@ -43,6 +43,7 @@ EXTRA = [
     "emb_kmeans_clusters",
     "events_hll_sketch_rollup",
     "emb_lsh_candidate_stats",
+    "docs_chunk_manifest",
 ]
 
 HEADLINE = [

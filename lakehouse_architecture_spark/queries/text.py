@@ -341,3 +341,83 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", "n_docs")
     )
+
+
+# Chunking geometry: 128-token context budget with a 96-token stride
+# (32-token overlap) — the window shape long documents are split into
+# before tokenized training samples are drawn. Integer-only math so
+# both engines derive identical manifests.
+_CHUNK_TOKENS = 128
+_CHUNK_STRIDE = 96
+
+CHUNK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= {_CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n_tokens - {_CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                       // {_CHUNK_STRIDE} END AS n_chunks
+  FROM t
+)
+SELECT doc_id, n_tokens, i AS chunk_idx,
+       i * {_CHUNK_STRIDE} + 1 AS start_tok,
+       LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n_tokens) AS end_tok,
+       LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n_tokens)
+         - i * {_CHUNK_STRIDE} AS n_chunk_tokens
+FROM k, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
+
+@query("docs_chunk_manifest", oracle=CHUNK_ORACLE)
+def docs_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk manifest: every document split into
+    128-token chunks on a 96-token stride (32-token overlap) — the
+    complement of sequence PACKING (operators/packing.py packs short
+    docs UP to a budget; this splits long docs DOWN to one). The
+    manifest is (doc_id, chunk_idx, token range) — downstream sample
+    extraction is a slice per row, needing no re-tokenization.
+
+    Guarantees, enforced by construction and mirrored in the oracle:
+    full coverage (last chunk's end = n_tokens), every chunk but
+    possibly the last is exactly 128 tokens, overlap is exactly 32
+    except before a shorter final chunk, and every doc yields >= 1
+    chunk (an empty doc gets one empty chunk). Plan: one narrow
+    projection computes token counts, a per-row sequence+explode emits
+    chunk rows — no shuffle, no join; cost is linear in output rows at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text")))
+    base = docs.select("doc_id", n.alias("n_tokens")).withColumn(
+        "n_chunks",
+        F.when(F.col("n_tokens") <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(n_tokens - {_CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})"
+                f" div {_CHUNK_STRIDE}"
+            )
+        ),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE + 1
+    end = F.least(
+        F.col("chunk_idx") * _CHUNK_STRIDE + _CHUNK_TOKENS, F.col("n_tokens")
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "chunk_idx",
+            start.alias("start_tok"),
+            end.alias("end_tok"),
+            (end - F.col("chunk_idx") * _CHUNK_STRIDE).alias("n_chunk_tokens"),
+        )
+    )

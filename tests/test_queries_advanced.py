@@ -63,3 +63,35 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
     rollup = events_hll_sketch_rollup(spark, sf_dir).collect()
     assert len(rollup) == len(qa)
     assert all(r.est_users > 0 for r in rollup)
+
+
+def test_chunk_manifest_invariants(spark, sf_dir):
+    """Coverage and overlap invariants of the sliding-window chunker:
+    chunks tile each doc exactly (first starts at 1, last ends at
+    n_tokens, consecutive starts advance by the stride), every
+    non-final chunk is the full budget, and every doc chunks."""
+    from collections import defaultdict
+
+    from lakehouse_architecture_spark.queries.text import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        docs_chunk_manifest,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    rows = docs_chunk_manifest(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert len(by_doc) == n_docs  # every doc yields >= 1 chunk
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = chunks[0].n_tokens
+        assert chunks[0].start_tok == 1
+        assert chunks[-1].end_tok == n
+        for i, c in enumerate(chunks):
+            assert c.start_tok == i * _CHUNK_STRIDE + 1
+            assert c.n_chunk_tokens == c.end_tok - c.start_tok + 1 or n == 0
+            if i < len(chunks) - 1:
+                assert c.n_chunk_tokens == _CHUNK_TOKENS
