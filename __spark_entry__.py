@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_hll_accuracy_qa",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
+    "docs_curation_funnel",
 ]
 _FAMILY_ORDER = [
     "profiling",

@@ -44,6 +44,7 @@ EXTRA = [
     "events_hll_sketch_rollup",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
+    "docs_curation_funnel",
 ]
 
 HEADLINE = [

@@ -308,3 +308,136 @@ def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- end-to-end curation funnel ---------------------------------------
+
+def _funnel_oracle() -> str:
+    from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
+
+    en = _LANG_MARKERS["en"]
+    is_en = " AND ".join(
+        f"len(regexp_extract_all(LOWER(text), '{en}'))"
+        f" >= len(regexp_extract_all(LOWER(text), '{_LANG_MARKERS[k]}'))"
+        for k in ("de", "es", "fr")
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_NORM} AS norm FROM documents
+),
+flags AS (
+  SELECT doc_id, text, norm,
+         (LENGTH(text) >= 100
+          AND len(regexp_extract_all(text, '\S+')) >= 20) AS pass_len,
+         (len(regexp_extract_all(text, '{_LANG_MARKERS["zh"]}')) = 0
+          AND {is_en}) AS is_en
+  FROM t
+),
+s2 AS (SELECT * FROM flags WHERE pass_len),
+s3 AS (SELECT * FROM s2 WHERE is_en),
+s4 AS (
+  SELECT * FROM s3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, str_split(norm, ' ') AS t FROM s4),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, s AS shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(s)
+),
+shc AS (
+  SELECT doc, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_DOC_FREQ}
+),
+{_PAIRS_SQL.strip().rstrip()},
+dup_b AS (SELECT DISTINCT doc_b FROM pairs),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_b FROM dup_b))
+SELECT 1 AS stage_idx, 'total' AS stage,
+       (SELECT COUNT(*) FROM t) AS n_surviving
+UNION ALL SELECT 2, 'length_gate', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'lang_en', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
+UNION ALL SELECT 5, 'near_dup_dedup', (SELECT COUNT(*) FROM s5)
+"""
+
+
+@query("docs_curation_funnel", oracle=_funnel_oracle())
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation decision chain as ONE auditable funnel: how
+    many documents survive each successive filter a pre-training corpus
+    actually ships through —
+
+      1 total -> 2 length gate (>=100 chars, >=20 tokens) ->
+      3 English (marker heuristic, zh-script short-circuit) ->
+      4 exact dedup (canonical = min doc_id per normalized-content
+        hash) -> 5 near-dup removal (drop the higher doc_id of every
+        exact n-gram Jaccard >= 0.3 pair among survivors).
+
+    Every stage reuses the exact operator the standalone queries check
+    (same normalization, same lang markers, same DF-capped Jaccard), so
+    the funnel's counts are consistent with the per-operator outputs by
+    construction — and the whole chain is replicated in the oracle.
+
+    Plan: stages are cumulative filters on one scan lineage; the only
+    non-map work is the exact-dedup window (shuffle on content hash)
+    and the near-dup inverted-index join on stage-4 survivors. Stage
+    counts materialize the lineage once per stage — a production run
+    would cache the survivor relation instead (the operators support
+    it; the reporting query keeps the dependency explicit)."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.operators.dedup import content_hash
+    from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_toks = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+    pass_len = (F.length(text) >= 100) & (n_toks >= 20)
+    lower = F.lower(text)
+    s = {
+        k: F.size(
+            F.regexp_extract_all(text if k == "zh" else lower, F.lit(v), 0)
+        )
+        for k, v in _LANG_MARKERS.items()
+    }
+    is_en = (
+        (s["zh"] == 0)
+        & (s["en"] >= s["de"])
+        & (s["en"] >= s["es"])
+        & (s["en"] >= s["fr"])
+    )
+    base = docs.select(
+        "doc_id", "text", pass_len.alias("pass_len"), is_en.alias("is_en")
+    )
+    s2 = base.filter("pass_len")
+    s3 = s2.filter("is_en")
+    w = Window.partitionBy(content_hash(F.col("text"))).orderBy("doc_id")
+    s4 = (
+        s3.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(
+        s4, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
+    )
+    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s5 = s4.join(dup_b, "doc_id", "left_anti")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_surviving")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_surviving",
+        )
+
+    return (
+        stage(1, "total", docs)
+        .unionByName(stage(2, "length_gate", s2))
+        .unionByName(stage(3, "lang_en", s3))
+        .unionByName(stage(4, "exact_dedup", s4))
+        .unionByName(stage(5, "near_dup_dedup", s5))
+    )
