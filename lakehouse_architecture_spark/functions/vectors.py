@@ -30,7 +30,10 @@ def dot_fixed(a: str | Column, b: str | Column, dim: int) -> Column:
     is pure register arithmetic under whole-stage codegen (measured
     ~15% off the all-pairs prefilter wall at sf0.1, after a one-time
     codegen compile of the wider expression). Use only where the
-    dimension is statically known; :func:`dot` stays the generic path.
+    dimension is statically known AND the operands are RAW scan
+    columns: element_at over a COMPUTED array (e.g. a unit-vector
+    transform) can re-evaluate the producing expression per element —
+    a measured 10x blow-up; use :func:`dot` (one zip_with pass) there.
     """
     from functools import reduce
 

@@ -469,7 +469,7 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exists for the cos>=0.8+ regime real near-dup corpora live in,
     # where per-band match probability (1 - theta/pi)^bits makes the
     # candidate set orders of magnitude smaller than n^2.
-    from lakehouse_architecture_spark.functions.vectors import dot, dot_fixed
+    from lakehouse_architecture_spark.functions.vectors import dot
 
     norm = F.sqrt(dot("embedding", "embedding"))
     unit = F.transform("embedding", lambda x: x.cast("double") / norm)
@@ -488,7 +488,11 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cands.join(ua, "id_a").join(ub, "id_b")
     # 1e-6 margin >> the double-vs-decimal fold divergence (~1e-15
     # relative), so the prefilter can never drop a true >= 0.45 pair.
-    pre = pairs.filter(dot_fixed("ua", "ub", _EMB_DIM) >= 0.45 - 1e-6)
+    # zip_with `dot` here, NOT dot_fixed: ua/ub are COMPUTED arrays
+    # (unit-vector transforms), and element_at over a computed array can
+    # re-evaluate the producing expression per element — measured 34 s
+    # vs 2.9 s for this query. dot_fixed is only for raw scan columns.
+    pre = pairs.filter(dot("ua", "ub") >= 0.45 - 1e-6)
     cos_exact = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
     return (
         pre.withColumn("cos_raw", cos_exact)
