@@ -21,9 +21,12 @@ def spread_scan(df: DataFrame) -> DataFrame:
     otherwise (a real multi-file table is already spread).
 
     Use BEFORE expression-heavy narrow work whose cost dwarfs one extra
-    shuffle of the input rows; don't bother in front of a plain
-    aggregation — the exchange would just duplicate the shuffle the agg
-    already does, costing more than the parallelism buys.
+    shuffle of the input rows. For aggregations the call is about the
+    PARTIAL phase: a cheap agg (count/sum per group) gains nothing —
+    the exchange just duplicates the agg's own shuffle — but an
+    expression-heavy partial (e.g. TPC-H Q1's ten decimal aggregates
+    per row) is the hot loop, and spreading it off a <=3-task scan
+    bought ~30% of that query's wall at sf0.1.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     try:

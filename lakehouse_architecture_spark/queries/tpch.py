@@ -43,8 +43,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: generalizes the groupBy/count/orderBy rejection
     analytics (/root/reference/src/glue_etl.py:282-289) to the full
     aggregate family the Athena layer implies.
+
+    spread_scan: this agg's PARTIAL phase is the hot loop (10 decimal
+    aggregates per row), so an unsplittable single-file bench scan
+    would run it on <=3 cores; spreading first cost one cheap shuffle
+    of the input and bought ~30% of the query wall at sf0.1. On a real
+    multi-file table the spread is a no-op by construction.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from lakehouse_architecture_spark.operators.partitioning import spread_scan
+
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
