@@ -281,3 +281,53 @@ def delete_where(
         shutil.move(staging, path)
         shutil.rmtree(backup)
     return n_before - n_after
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+) -> DataFrame:
+    """Sharded JSONL export — the hand-off format LLM training loaders
+    consume. Rows land in ``shard=K/`` directories as JSON lines, with
+    shard = pmod(xxhash64(id), n_shards): a STABLE content-keyed
+    assignment, so re-exports of the same corpus are bit-reproducible
+    shard by shard (round-robin repartition would reshuffle every run
+    and force downstream consumers to re-fetch everything), and any
+    single shard is a well-defined 1/n_shards sample for smoke training
+    runs.
+
+    Returns the export manifest — (shard, n_rows, n_files) read back
+    from the written files, not echoed from the input — so a row lost
+    in the write would show up as a manifest mismatch. Scale: the write
+    is one hash shuffle on the shard key; manifest recount is a
+    metadata-cheap aggregate over the output (run it or skip it — the
+    export itself never depends on it).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    out = df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)),
+    )
+    # repartition on the shard key so each shard directory is written by
+    # the tasks owning that key (one file per shard per non-empty task),
+    # not one small file per (input task x shard).
+    out.repartition(n_shards, "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).json(path)
+    # input_file_name() is non-deterministic and must be projected to a
+    # column before it can feed an aggregate.
+    written = spark.read.json(path).select(
+        "shard", F.input_file_name().alias("_file")
+    )
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+        .orderBy("shard")
+    )
