@@ -150,13 +150,17 @@ def run_pipeline(
             [PRIMARY_KEYS[name]],
             partition_by=PARTITION_COLUMNS[name],
         )
-        if not res.rejected.isEmpty():
+        # One count serves both the emptiness gate and the stats row —
+        # isEmpty() would be a second action over the same rejected
+        # lineage (rule evaluation + FK joins re-run per action).
+        n_rejected = res.rejected.count()
+        if n_rejected:
             append_rejected(res.rejected, rejected_base, name)
 
         curated = spark.read.parquet(os.path.join(curated_base, name))
         res.stats = {
             "clean_rows": curated.count(),
-            "rejected_rows": res.rejected.count(),
+            "rejected_rows": n_rejected,
             # post-write probe (Athena LIMIT 5 step)
             "probe_rows": len(curated.limit(5).collect()),
         }
