@@ -87,7 +87,12 @@ def process_dataset(
     typed = cast_to_schema(raw, schema)
     all_rules = rules_from_schema(schema) + list(rules or [])
     valid, invalid = validate(typed, all_rules, fk_rules)
-    valid = valid.cache()  # fans out: dedup input + stats
+    # No cache on `valid`: its only consumer is the dedup -> MERGE write
+    # (stats read the WRITTEN parquet back, and the rejected side derives
+    # from `invalid`), so materializing it would cost a full in-memory
+    # copy during the write for nothing. The raw scan underneath is
+    # already cached by split_corrupt, which is what the recomputing
+    # consumers share.
     clean = dedupe_by_key(valid, [primary_key], dedup_order)
     rejected = with_rejection_audit(invalid, source=name, job_name=job_name)
     return DatasetResult(name=name, clean=clean, rejected=rejected)
