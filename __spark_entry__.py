@@ -73,6 +73,7 @@ _PRIORITY = [
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",
+    "docs_incremental_near_dups",
 ]
 _FAMILY_ORDER = [
     "profiling",

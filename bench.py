@@ -45,6 +45,7 @@ EXTRA = [
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",
+    "docs_incremental_near_dups",
 ]
 
 HEADLINE = [

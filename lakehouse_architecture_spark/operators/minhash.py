@@ -270,28 +270,34 @@ def df_capped_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     return sh.join(keep, "shingle")
 
 
-def capped_gram_arrays(g: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Apply the document-frequency cap to a (doc, grams) ARRAY relation
-    without re-keying the corpus: the stop-shingle list (shingles with
-    df > cap) is aggregated to a single row, broadcast, and removed
-    map-side with ``array_except``.
-
-    The stop list is SMALL by construction — its size is bounded by
-    total_shingle_occurrences / cap — so the single-row broadcast holds
-    where a semi-join against the exploded relation would cost a full
-    shuffle of the corpus. ``g`` is read twice (stop-list scan + the
-    capped projection): pass a cached relation.
-    """
-    stop = (
+def stop_shingle_list(g: DataFrame, max_doc_freq: int) -> DataFrame:
+    """1-row (stop_list) relation: every shingle whose document
+    frequency in ``g`` exceeds the cap. SMALL by construction — bounded
+    by total_shingle_occurrences / cap — so it broadcasts."""
+    return (
         g.select(F.explode("grams").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_doc_freq)
         .agg(F.collect_list("shingle").alias("stop_list"))
     )
+
+
+def apply_stop_list(g: DataFrame, stop: DataFrame) -> DataFrame:
+    """Remove stop-shingles from a (doc, grams) ARRAY relation map-side:
+    single-row broadcast + ``array_except`` — never a shuffle of the
+    exploded relation."""
     return g.crossJoin(F.broadcast(stop)).select(
         "doc", F.array_except("grams", "stop_list").alias("grams")
     )
+
+
+def capped_gram_arrays(g: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Apply the document-frequency cap to a (doc, grams) ARRAY relation
+    without re-keying the corpus (stop list over ``g`` itself). ``g`` is
+    read twice (stop-list scan + the capped projection): pass a cached
+    relation."""
+    return apply_stop_list(g, stop_shingle_list(g, max_doc_freq))
 
 
 def jaccard_verify_arrays(pairs: DataFrame, g: DataFrame) -> DataFrame:
@@ -465,4 +471,78 @@ def minhash_lsh_dedupe(
         jaccard_verify_arrays(pairs, gv)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: (new_doc, corpus_doc, jaccard)
+    pairs where a NEW-batch document near-duplicates an EXISTING-corpus
+    document — the production dedup shape at 100 TB, where each daily
+    batch is checked against the accumulated corpus without ever
+    re-pairing the corpus against itself.
+
+    Same signature/band machinery as :func:`minhash_lsh_dedupe`, but
+    candidates come from an ASYMMETRIC join of new-batch band keys
+    against corpus band keys: cost is sum over shared cells of
+    |new_cell| * |corpus_cell|, proportional to the batch, never to
+    corpus^2. In production the corpus side's (doc, band, band_key)
+    relation is persisted once and appended per batch, so a daily run
+    recomputes signatures only for the new batch and the join prunes to
+    the buckets the batch actually touches; new-vs-new duplicates are
+    the symmetric operator's job on the batch alone.
+
+    The stop-shingle cap (``max_doc_freq``) is computed over the UNION
+    of both sides — document frequency is a corpus-wide property, and a
+    boilerplate shingle must be dropped consistently from both sides of
+    the verify or the capped Jaccard would be asymmetric.
+    """
+    gn = gram_arrays(new_df, text_col, id_col, shingle_n).cache()
+    gc = gram_arrays(corpus_df, text_col, id_col, shingle_n).cache()
+    bn = lsh_band_keys(
+        minhash_signatures_from_grams(gn, num_hashes), num_hashes, band_size
+    )
+    bc = lsh_band_keys(
+        minhash_signatures_from_grams(gc, num_hashes), num_hashes, band_size
+    )
+    pairs = (
+        bn.select(F.col("doc").alias("new_doc"), "band", "band_key")
+        .join(
+            bc.select(F.col("doc").alias("corpus_doc"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        stop = stop_shingle_list(gn.unionByName(gc), max_doc_freq)
+        vn, vc = apply_stop_list(gn, stop), apply_stop_list(gc, stop)
+    else:
+        vn, vc = gn, gc
+    ga = vn.select(F.col("doc").alias("new_doc"), F.col("grams").alias("ga")).hint(
+        "shuffle_hash"
+    )
+    gb = vc.select(
+        F.col("doc").alias("corpus_doc"), F.col("grams").alias("gb")
+    ).hint("shuffle_hash")
+    n_common = F.size(F.array_intersect("ga", "gb"))
+    denom = F.size("ga") + F.size("gb") - n_common
+    jac = n_common.cast("double") / F.when(denom > 0, denom)
+    return (
+        pairs.join(ga, "new_doc")
+        .join(gb, "corpus_doc")
+        .select("new_doc", "corpus_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard")
+        )
     )

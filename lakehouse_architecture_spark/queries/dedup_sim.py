@@ -621,3 +621,61 @@ def docs_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# New batch = doc_id % 10 == 0 (a tenth of the table), corpus = the
+# rest — simulates a daily ingest checked against the accumulated
+# corpus. Signatures, bands and the DF cap are computed over ALL docs
+# (document frequency is corpus-wide), exactly as the operator does
+# with its union stop list.
+INCREMENTAL_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SHC_CTE},
+sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc AS new_doc, b.doc AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc % 10 = 0 AND b.doc % 10 != 0
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
+inter AS (
+  SELECT c.new_doc, c.corpus_doc, COUNT(sb.shingle) AS n_common
+  FROM cands c
+  JOIN shc sa ON sa.doc = c.new_doc
+  LEFT JOIN shc sb ON sb.doc = c.corpus_doc AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.new_doc, i.corpus_doc,
+       ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc = i.new_doc
+JOIN sizes zb ON zb.doc = i.corpus_doc
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.3
+"""
+
+
+@query("docs_incremental_near_dups", oracle=INCREMENTAL_ORACLE)
+def docs_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a simulated NEW batch
+    (doc_id % 10 == 0) and the EXISTING corpus (the rest) via the
+    asymmetric band-key join (operators/minhash.minhash_lsh_incremental)
+    — the daily-ingest production shape, whose cost scales with the
+    batch, never corpus^2."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        minhash_lsh_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_incremental(
+        new,
+        corpus,
+        "text",
+        "doc_id",
+        threshold=0.3,
+        max_doc_freq=MAX_DOC_FREQ,
+    )

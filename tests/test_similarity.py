@@ -278,3 +278,33 @@ def test_blocked_near_dup_candidates_small_corpus(spark):
         for r in near_dup_candidates_blocked(emb, threshold=0.9).collect()
     }
     assert pairs == {(0, 1), (0, 35), (1, 35)}
+
+
+def test_incremental_dedup_checks_batch_against_corpus_only(spark):
+    """The incremental operator must report new-vs-corpus near-dups and
+    NEVER pair new docs with each other or corpus docs with each other
+    — that's the symmetric operator's job."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        minhash_lsh_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (3, FAR)], "doc_id long, text string"
+    )
+    # 10/11 both duplicate corpus doc 1 AND each other; 12 is novel
+    new = spark.createDataFrame(
+        [(10, BASE), (11, NEAR), (12, "entirely novel words nobody else uses anywhere at all today")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_doc, r.corpus_doc): r.jaccard
+        for r in minhash_lsh_incremental(
+            new, corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert pairs[(10, 1)] == 1.0          # exact dup of corpus doc found
+    assert (11, 1) in pairs               # near dup of corpus doc found
+    assert all(c in (1, 3) for (_, c) in pairs)   # right side is corpus
+    assert all(n >= 10 for (n, _) in pairs)       # left side is the batch
+    assert (10, 11) not in pairs and (11, 10) not in pairs  # no new-new
+    assert all(n != 12 for (n, _) in pairs)       # novel doc passes clean
