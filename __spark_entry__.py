@@ -74,6 +74,7 @@ _PRIORITY = [
     "docs_chunk_manifest",
     "docs_curation_funnel",
     "docs_incremental_near_dups",
+    "events_trailing_24h_volume",
 ]
 _FAMILY_ORDER = [
     "profiling",

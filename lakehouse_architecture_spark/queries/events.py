@@ -494,3 +494,60 @@ def events_hll_accuracy_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * 0.05
         ).alias("est_within_5pct"),
     )
+
+
+TRAILING_24H_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT h, event_type, n,
+         SUM(n) OVER w AS t24_sum,
+         COUNT(*) OVER w AS t24_buckets
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(h)
+               RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+       n AS n_events, t24_sum AS trailing_24h_events,
+       CAST(t24_sum AS DOUBLE) / t24_buckets AS trailing_24h_avg
+FROM win
+"""
+
+
+@query("events_trailing_24h_volume", oracle=TRAILING_24H_ORACLE)
+def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour moving volume per event type — a TIME-RANGE
+    window frame (RANGE BETWEEN 82800 seconds PRECEDING AND CURRENT
+    ROW over the hourly epoch), the frame type ROWS-based running sums
+    can't express: the window covers whatever buckets fall inside the
+    last 24 hours, not the last N rows, so gaps in the series shrink
+    the window instead of silently stretching it back in time.
+
+    Determinism: the frame bound is integer epoch seconds on hourly
+    buckets and the aggregate is an integer SUM (the avg divides two
+    exact integers), so both engines agree bit-for-bit. Plan: one
+    shuffle for the hourly aggregate; the window re-sorts only the
+    per-type hourly series (tiny vs raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rangeBetween(-82800, 0)
+    )
+    return (
+        hourly.withColumn("epoch", F.unix_timestamp("h"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.sum("n").over(w).alias("trailing_24h_events"),
+            (
+                F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+            ).alias("trailing_24h_avg"),
+        )
+    )
