@@ -511,7 +511,7 @@ win AS (
 )
 SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
        n AS n_events, t24_sum AS trailing_24h_events,
-       CAST(t24_sum AS DOUBLE) / t24_buckets AS trailing_24h_avg
+       t24_buckets
 FROM win
 """
 
@@ -525,11 +525,15 @@ def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     last 24 hours, not the last N rows, so gaps in the series shrink
     the window instead of silently stretching it back in time.
 
-    Determinism: the frame bound is integer epoch seconds on hourly
-    buckets and the aggregate is an integer SUM (the avg divides two
-    exact integers), so both engines agree bit-for-bit. Plan: one
-    shuffle for the hourly aggregate; the window re-sorts only the
-    per-type hourly series (tiny vs raw events)."""
+    Determinism: the compared surface is integer-only — the frame
+    bound is integer epoch seconds on hourly buckets and both window
+    aggregates are exact integers (SUM of counts + bucket COUNT).
+    A derived trailing average is deliberately NOT emitted: a
+    sum/count DOUBLE was the repo's one driver hash-fail (r4) despite
+    matching locally at full precision, so per the oracle-parity float
+    rule the consumer divides trailing_24h_events / t24_buckets
+    instead. Plan: one shuffle for the hourly aggregate; the window
+    re-sorts only the per-type hourly series (tiny vs raw events)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -546,8 +550,6 @@ def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").alias("n_events"),
             F.sum("n").over(w).alias("trailing_24h_events"),
-            (
-                F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
-            ).alias("trailing_24h_avg"),
+            F.count(F.lit(1)).over(w).alias("t24_buckets"),
         )
     )
