@@ -679,3 +679,28 @@ def docs_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         max_doc_freq=MAX_DOC_FREQ,
     )
+
+
+@query("docs_incremental_near_dups_indexed", oracle=INCREMENTAL_ORACLE)
+def docs_incremental_near_dups_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AMORTIZED incremental-dedup path: the same batch-vs-corpus
+    near-dup check as docs_incremental_near_dups, but run through a
+    prebuilt MinHashCorpusIndex (band keys + gram arrays + shingle
+    document frequencies) — the persist-once, check-per-batch daily
+    production shape. Shares the raw operator's oracle: the two paths
+    are semantically identical by construction, and this driver row
+    pins that equivalence cross-engine."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        build_minhash_corpus_index,
+        minhash_lsh_incremental_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = build_minhash_corpus_index(corpus, "text", "doc_id")
+    return minhash_lsh_incremental_indexed(
+        new, idx, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
+    )

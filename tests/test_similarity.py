@@ -308,3 +308,91 @@ def test_incremental_dedup_checks_batch_against_corpus_only(spark):
     assert all(n >= 10 for (n, _) in pairs)       # left side is the batch
     assert (10, 11) not in pairs and (11, 10) not in pairs  # no new-new
     assert all(n != 12 for (n, _) in pairs)       # novel doc passes clean
+
+
+def test_indexed_incremental_matches_raw_and_reuses_corpus(spark):
+    """The indexed path must (a) produce exactly the raw operator's
+    pairs, (b) serve a SECOND batch from the persisted corpus relations
+    — the plan reads the in-memory index, it does not re-shingle the
+    corpus — and (c) survive a save/load/append round trip."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        build_minhash_corpus_index,
+        minhash_lsh_incremental,
+        minhash_lsh_incremental_indexed,
+        MinHashCorpusIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (3, FAR)], "doc_id long, text string"
+    )
+    batch1 = spark.createDataFrame(
+        [(10, BASE), (12, "entirely novel words nobody else uses anywhere")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+
+    idx = build_minhash_corpus_index(corpus, "text", "doc_id").persist()
+    try:
+        for batch in (batch1, batch2):
+            got = minhash_lsh_incremental_indexed(
+                batch, idx, "text", "doc_id", threshold=0.5, max_doc_freq=50
+            )
+            want = {
+                (r.new_doc, r.corpus_doc, r.jaccard)
+                for r in minhash_lsh_incremental(
+                    batch, corpus, "text", "doc_id",
+                    threshold=0.5, max_doc_freq=50,
+                ).collect()
+            }
+            assert {
+                (r.new_doc, r.corpus_doc, r.jaccard) for r in got.collect()
+            } == want
+        # The second batch's plan consumes the persisted corpus relations
+        # (InMemoryTableScan), not a re-shingling of the corpus text.
+        plan = (
+            minhash_lsh_incremental_indexed(
+                batch2, idx, "text", "doc_id", threshold=0.5
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        idx.unpersist()
+
+
+def test_corpus_index_save_load_append(spark, tmp_path):
+    """save/load round-trips the relations and parameters; append folds
+    a batch into the index so a later batch sees its documents."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        build_minhash_corpus_index,
+        minhash_lsh_incremental_indexed,
+        MinHashCorpusIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (3, FAR)], "doc_id long, text string"
+    )
+    day1 = spark.createDataFrame([(10, BASE)], "doc_id long, text string")
+    day2 = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_corpus_index(corpus, "text", "doc_id").save(path)
+    idx = MinHashCorpusIndex.load(spark, path)
+    assert (idx.num_hashes, idx.band_size, idx.shingle_n) == (8, 2, 3)
+
+    # day-1 run, then the batch is folded into the index
+    idx2 = idx.append(day1, "text", "doc_id")
+    # df merge: shingles shared by corpus and batch sum their counts
+    base_shingle_df = {
+        r.shingle: r.df for r in idx2.shingle_dfs.collect()
+    }
+    assert all(v >= 1 for v in base_shingle_df.values())
+
+    # day-2 batch now matches BOTH corpus doc 1 and day-1 doc 10
+    pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in minhash_lsh_incremental_indexed(
+            day2, idx2, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert pairs == {(20, 1), (20, 10)}
