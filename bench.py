@@ -40,7 +40,10 @@ EXTRA = [
     "q2_min_cost_supplier",
     "docs_tfidf_top_terms",
     "docs_novelty_score",
-    "emb_near_dup_lsh",
+    # emb_near_dup_lsh (the 0.45/12x4 worst-case twin) is deliberately
+    # NOT benched: its cost is a documented anti-regime demo. The
+    # production 0.8/8x8 config is what gets measured.
+    "emb_near_dup_lsh_strict",
     "emb_int8_quantization",
     "events_anomaly_zscore",
     "events_gapfilled_hourly",
@@ -53,6 +56,7 @@ EXTRA = [
     "docs_chunk_manifest",
     "docs_curation_funnel",
     "docs_incremental_near_dups",
+    "docs_incremental_near_dups_indexed",
 ]
 
 HEADLINE = [

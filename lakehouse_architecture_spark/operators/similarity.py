@@ -63,19 +63,34 @@ def sign_lsh_bands(
     suit high thresholds (cos >= 0.85: per-band 0.82^8 ~ 0.21, recall
     1-(1-0.21)^8 ~ 0.85, while random near-orthogonal pairs survive at
     ~(1/2)^8 per band ~ 3% overall); many narrow bands (12x4) suit the
-    loose-threshold regime. Requires n_bands * band_bits <= dim."""
+    loose-threshold regime. Requires n_bands * band_bits <= dim —
+    ENFORCED per row: past-the-end ``element_at`` returns NULL, the
+    sign test would silently fall to 0, and the truncated key bits
+    would degrade selectivity with no error, so a short vector raises
+    instead (one cheap ``size()`` per row)."""
+    need = n_bands * band_bits
+    vec = F.when(F.size(F.col(vec_col)) >= need, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign_lsh_bands: need >= {need} dims "
+                      f"({n_bands} bands x {band_bits} bits), got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    base = df.select(F.col(id_col).alias("vec_id"), vec.alias("_v"))
     keys = []
     for band in range(n_bands):
         key = None
         for i in range(band_bits):
             dim = band * band_bits + i + 1
             bit = F.when(
-                F.element_at(vec_col, dim) >= 0, F.lit(1 << i)
+                F.element_at("_v", dim) >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
             key = bit if key is None else key + bit
         keys.append(key)
-    return df.select(
-        F.col(id_col).alias("vec_id"),
+    return base.select(
+        "vec_id",
         F.posexplode(F.array(*keys)).alias("band", "key"),
     )
 
@@ -633,13 +648,19 @@ def estimated_corpus_rows(
     parquet scan) divided by a measured bytes/row. Runs NO Spark job —
     the eager ``count()`` this replaces cost a full scheduling
     round-trip per invocation in the query hot path (measured as a 30%
-    wall regression on ``emb_near_dup_pairs`` at bench SF)."""
+    wall regression on ``emb_near_dup_pairs`` at bench SF).
+
+    ``_jdf`` is a classic-session-only private API (absent under Spark
+    Connect, and stats can be missing for non-scan frames); when it
+    fails the fallback is a real ``count()`` — pay one job rather than
+    silently route an arbitrarily large corpus down the O(n^2) JVM
+    nested-loop path by defaulting to "small"."""
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )
-    except Exception:  # stats unavailable: assume small (JVM path)
-        return 0
+    except Exception:  # stats unavailable != small: measure for real
+        return df.count()
     return size // bytes_per_row
 
 

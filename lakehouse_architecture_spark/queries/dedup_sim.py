@@ -435,42 +435,21 @@ WHERE dot / SQRT(na * nb) >= 0.45
 """
 
 
-@query("emb_near_dup_lsh", oracle=EMB_NEAR_DUP_LSH_ORACLE)
-def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic scale twin of ``emb_near_dup_pairs``: banded sign
-    LSH (random-hyperplane family with axis-aligned hyperplanes so the
-    oracle replicates the SAME algorithm deterministically), exact
-    decimal-fold cosine verify on the surviving candidates only.
-
-    Plan shape at 100 TB: one narrow map computes all band keys, a
-    posexplode fans out 12 (band, key) rows per vector, the self-join on
-    (band, key) generates candidates per LSH cell (Σ|cell|², never n²),
-    DISTINCT collapses multi-band hits, and only candidate pairs pay the
-    64-dim exact verify. Identical topology to the MinHash text-dedup
-    path (operators/minhash.py) — bucket, dedup, verify."""
-    from lakehouse_architecture_spark.functions.vectors import dec_dot
-
+def _lsh_verified_pairs(
+    emb: DataFrame, threshold: float, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Shared sign-LSH near-dup pipeline: banded candidates, then a
+    two-phase verify — a cheap double-fold cosine over PRE-NORMALIZED
+    vectors (unit vectors computed once per corpus row, so the per-pair
+    work is a single 64-mult fold — no norms, no sqrt per pair) prunes
+    the candidate set; the expensive order-independent decimal fold
+    re-scores only the survivors for oracle parity."""
+    from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
     from lakehouse_architecture_spark.operators.similarity import (
         sign_lsh_candidates,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cands = sign_lsh_candidates(emb, _EMB_LSH_BANDS, _EMB_LSH_BAND_BITS)
-    # Two-phase verify (same shape as emb_near_dup_pairs): a cheap
-    # double-fold cosine over PRE-NORMALIZED vectors (unit vectors
-    # computed once per corpus row, so the per-pair work is a single
-    # 64-mult fold — no norms, no sqrt per pair) prunes the candidate
-    # set; the expensive order-independent decimal fold re-scores only
-    # the survivors for oracle parity.
-    #
-    # Regime note: at this deliberately weak threshold (0.45) on
-    # near-orthogonal synthetic vectors, sign-LSH prunes only ~2x, so
-    # the exact all-pairs twin is faster at bench SF — the bucketed plan
-    # exists for the cos>=0.8+ regime real near-dup corpora live in,
-    # where per-band match probability (1 - theta/pi)^bits makes the
-    # candidate set orders of magnitude smaller than n^2.
-    from lakehouse_architecture_spark.functions.vectors import dot
-
+    cands = sign_lsh_candidates(emb, n_bands, band_bits)
     norm = F.sqrt(dot("embedding", "embedding"))
     unit = F.transform("embedding", lambda x: x.cast("double") / norm)
     ua = emb.select(
@@ -487,20 +466,97 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cands.join(ua, "id_a").join(ub, "id_b")
     # 1e-6 margin >> the double-vs-decimal fold divergence (~1e-15
-    # relative), so the prefilter can never drop a true >= 0.45 pair.
-    # zip_with `dot` here, NOT dot_fixed: ua/ub are COMPUTED arrays
-    # (unit-vector transforms), and element_at over a computed array can
-    # re-evaluate the producing expression per element — measured 34 s
-    # vs 2.9 s for this query. dot_fixed is only for raw scan columns.
-    pre = pairs.filter(dot("ua", "ub") >= 0.45 - 1e-6)
+    # relative), so the prefilter can never drop a true >= threshold
+    # pair. zip_with `dot` here, NOT dot_fixed: ua/ub are COMPUTED
+    # arrays (unit-vector transforms), and element_at over a computed
+    # array can re-evaluate the producing expression per element —
+    # measured 34 s vs 2.9 s for this query. dot_fixed is only for raw
+    # scan columns.
+    pre = pairs.filter(dot("ua", "ub") >= threshold - 1e-6)
     cos_exact = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
     return (
         pre.withColumn("cos_raw", cos_exact)
-        .filter(F.col("cos_raw") >= 0.45)
+        .filter(F.col("cos_raw") >= threshold)
         .select(
             "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine_sim")
         )
     )
+
+
+@query("emb_near_dup_lsh", oracle=EMB_NEAR_DUP_LSH_ORACLE)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic scale twin of ``emb_near_dup_pairs``: banded sign
+    LSH (random-hyperplane family with axis-aligned hyperplanes so the
+    oracle replicates the SAME algorithm deterministically), exact
+    decimal-fold cosine verify on the surviving candidates only.
+
+    Plan shape at 100 TB: one narrow map computes all band keys, a
+    posexplode fans out 12 (band, key) rows per vector, the self-join on
+    (band, key) generates candidates per LSH cell (Σ|cell|², never n²),
+    DISTINCT collapses multi-band hits, and only candidate pairs pay the
+    64-dim exact verify. Identical topology to the MinHash text-dedup
+    path (operators/minhash.py) — bucket, dedup, verify.
+
+    Regime note: this is the documented WORST-CASE twin — at the
+    deliberately weak 0.45 threshold on near-orthogonal synthetic
+    vectors, 12x4 sign-LSH prunes only ~2x, so the exact all-pairs twin
+    is faster at bench SF. The production regime is
+    ``emb_near_dup_lsh_strict`` (cos>=0.8, 8x8 bands, candidate volume
+    ~3% of n^2 — measured by ``emb_lsh_candidate_stats``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _lsh_verified_pairs(emb, 0.45, _EMB_LSH_BANDS, _EMB_LSH_BAND_BITS)
+
+
+EMB_NEAR_DUP_LSH_STRICT_ORACLE = f"""
+WITH bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band, {_band_key_sql(b, 8)} AS key"
+      " FROM embeddings"
+      for b in range(8)
+  )}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS na,
+    CAST(SUM(CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS nb
+  FROM cands
+  JOIN embeddings va ON va.vec_id = id_a
+  JOIN embeddings vb ON vb.vec_id = id_b,
+  UNNEST(generate_series(1, len(va.embedding))) AS t(i)
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / SQRT(na * nb), 6) AS cosine_sim
+FROM dots
+WHERE dot / SQRT(na * nb) >= 0.8
+"""
+
+
+@query("emb_near_dup_lsh_strict", oracle=EMB_NEAR_DUP_LSH_STRICT_ORACLE)
+def emb_near_dup_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sign-LSH regime: cos>=0.8 with 8 bands x 8 sign
+    bits — the configuration real embedding near-dup corpora run, where
+    random near-orthogonal pairs survive a band with ~(1/2)^8 so the
+    candidate set collapses to a few percent of n(n-1)/2 (3.1% measured
+    cross-engine by ``emb_lsh_candidate_stats``), while a true cos>=0.85
+    pair still matches some band with probability ~0.85. Recall on
+    planted high-cosine dups is pinned in tests/test_similarity.py.
+
+    The synthetic test corpus contains NO pairs above cos 0.61 by
+    construction, so the result set is empty at test SF — which is the
+    realistic production answer ("no near-dups at the strict
+    threshold") and exactly what the driver's oracle verifies; the
+    bench row measures the production plan's cost: candidate
+    generation at ~3% of n^2 plus a verify over that small survivor
+    set, instead of the loose twin's deliberate ~2x-pruning worst
+    case."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _lsh_verified_pairs(emb, 0.8, 8, 8)
 
 
 def _lsh_cand_count_sql(n_bands: int, bits: int) -> str:

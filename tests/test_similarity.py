@@ -280,6 +280,19 @@ def test_blocked_near_dup_candidates_small_corpus(spark):
     assert pairs == {(0, 1), (0, 35), (1, 35)}
 
 
+def test_sign_lsh_bands_rejects_short_vectors(spark):
+    """A vector with fewer dims than n_bands*band_bits must raise, not
+    silently hash on truncated (constant-zero) key bits."""
+    import pytest
+    from lakehouse_architecture_spark.operators.similarity import sign_lsh_bands
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="sign_lsh_bands: need >= 16"):
+        sign_lsh_bands(bad, n_bands=4, band_bits=4).collect()
+
+
 def test_incremental_dedup_checks_batch_against_corpus_only(spark):
     """The incremental operator must report new-vs-corpus near-dups and
     NEVER pair new docs with each other or corpus docs with each other
