@@ -310,13 +310,21 @@ def export_jsonl_shards(
 
     Returns the export manifest — (shard, n_rows, n_files) read back
     from the written files, not echoed from the input — so a row lost
-    in the write would show up as a manifest mismatch. Scale: the write
-    is one hash shuffle on the shard key; manifest recount is a
-    metadata-cheap aggregate over the output (run it or skip it — the
-    export itself never depends on it).
+    in the write would show up as a manifest mismatch. The manifest
+    covers ALL n_shards rows: a shard that received no rows (and so
+    wrote no ``shard=K/`` directory) appears with n_rows=0 rather than
+    silently vanishing — consumers can tell "empty" from "lost".
+    Scale: the write is one hash shuffle on the shard key; manifest
+    recount is a metadata-cheap aggregate over the output (run it or
+    skip it — the export itself never depends on it).
     """
     from pyspark.sql import functions as F
 
+    if id_col == "shard" or "shard" in df.columns:
+        raise ValueError(
+            "export_jsonl_shards reserves the 'shard' column for the "
+            "partition key; rename the input column first"
+        )
     spark = df.sparkSession
     out = df.withColumn(
         "shard",
@@ -333,11 +341,13 @@ def export_jsonl_shards(
     written = spark.read.json(path).select(
         "shard", F.input_file_name().alias("_file")
     )
+    counted = written.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_file").alias("n_files"),
+    )
+    all_shards = spark.range(n_shards).select(F.col("id").alias("shard"))
     return (
-        written.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("_file").alias("n_files"),
-        )
+        all_shards.join(counted, "shard", "left_outer")
+        .na.fill({"n_rows": 0, "n_files": 0})
         .orderBy("shard")
     )

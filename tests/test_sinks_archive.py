@@ -217,3 +217,25 @@ def test_export_jsonl_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
         for r in spark.read.json(out2).select("doc_id", "shard").collect()
     }
     assert a == b
+
+
+def test_export_jsonl_shards_manifest_covers_empty_shards(spark, tmp_path):
+    """A shard that received no rows must still appear in the manifest
+    with n_rows=0 (consumers distinguish 'empty' from 'lost'), and a
+    pre-existing 'shard' column is rejected, never clobbered."""
+    import pytest
+    from lakehouse_architecture_spark.sinks.writers import export_jsonl_shards
+
+    # 2 rows into 8 shards: at least 6 shards are necessarily empty
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    manifest = export_jsonl_shards(
+        df, str(tmp_path / "sparse"), n_shards=8, id_col="doc_id"
+    ).collect()
+    assert [r.shard for r in manifest] == list(range(8))
+    assert sum(r.n_rows for r in manifest) == 2
+    assert sum(1 for r in manifest if r.n_rows == 0) >= 6
+    assert all(r.n_files == 0 for r in manifest if r.n_rows == 0)
+
+    clash = df.withColumnRenamed("text", "shard")
+    with pytest.raises(ValueError, match="reserves the 'shard' column"):
+        export_jsonl_shards(clash, str(tmp_path / "clash"), 4, "doc_id")
