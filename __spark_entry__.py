@@ -36,45 +36,101 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-4 priority: (a) the 12 second-tier queries deferred in r1-r3 —
-# every one passes the local oracle gate but has never had a driver
-# row; (b) every query whose implementation changed this round (integer
-# min-hash family, metadata-driven dispatch, unrolled prefilter dots,
-# ADVICE fixes) so the driver re-hashes them against their oracles.
+# Round-5 priority: (a) the r4 red row's fix plus every query whose
+# code changed this round (integer-surface trailing window, indexed
+# incremental dedup, strict sign-LSH + the refactored loose twin and
+# its band-key guard, restructured curation funnel, count()-fallback
+# dispatch users); (b) then the STALEST standing rows — everything
+# whose last driver check was r1/r2 rotates back through the window so
+# no green row is more than two rounds old.
 _PRIORITY = [
-    # never driver-checked until now
-    "emb_knn_bruteforce_decimal",
-    "events_type_value_stats",
-    "events_props_extract",
-    "validate_orders_rejection_summary",
-    "validate_lineitem_fk_summary",
-    "docs_exact_dedupe_count",
-    "minhash_signatures_sample",
-    "docs_fingerprint",
-    "docs_shingle_stats",
-    "emb_norms",
-    "events_tumbling_window",
-    "events_daily_active_users",
-    # round-4 implementation changes
-    "minhash_lsh_near_dups",
-    "docs_ngram_jaccard_pairs",
-    "emb_near_dup_pairs",
-    "emb_near_dup_lsh",
-    "emb_knn_bruteforce",
-    "emb_knn_lsh",
-    "agg_argmax_by_status",
-    "stats_corr_price_qty",
-    "events_anomaly_zscore",
-    "docs_tfidf_top_terms",
-    # round-4 new oracles (previously rows-only or nonexistent)
-    "emb_kmeans_clusters",
-    "approx_distinct_and_quantile",
-    "events_hll_accuracy_qa",
-    "emb_lsh_candidate_stats",
-    "docs_chunk_manifest",
-    "docs_curation_funnel",
-    "docs_incremental_near_dups",
-    "events_trailing_24h_volume",
+    # round-5 fixes and new operators
+    "events_trailing_24h_volume",        # r4's one red row, surface fix
+    "docs_incremental_near_dups_indexed",  # new (amortized index path)
+    "emb_near_dup_lsh_strict",           # new (production 8x8 regime)
+    "docs_curation_funnel",              # restructured single-agg plan
+    "emb_near_dup_lsh",                  # refactored shared pipeline
+    "emb_lsh_candidate_stats",           # band-key guard touched
+    "emb_knn_bruteforce",                # dispatch fallback touched
+    "emb_near_dup_pairs",                # dispatch fallback touched
+    # r1-stale rotation (last green row is four rounds old)
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "join_inner_orders_customer",
+    "join_left_outer_order_counts",
+    "join_left_semi_active_customers",
+    "join_left_anti_inactive_customers",
+    "join_full_outer_nation_presence",
+    "join_right_outer_part_lineitems",
+    "join_cross_region_pairs",
+    "agg_stats_by_status",
+    "agg_rollup_status_priority",
+    "agg_cube_flags",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "case_when_conditional_agg",
+    "distinct_segments",
+    "dedup_latest_order_per_customer",
+    "topk_orders",
+    "window_rank_orders",
+    "window_lag_order_gaps",
+    "window_lead_ntile",
+    "window_moving_avg_frame",
+    "window_running_spend",
+    "setop_union_all_parties",
+    "setop_intersect_keys",
+    "setop_except_no_order_customers",
+    "setop_except_all_dup_aware",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_subquery_above_avg",
+    "correlated_min_per_group_join",
+    "quantiles_exact",
+    "range_join_price_bands",
+    "not_exists_insert_guard",
+    # r2-stale rotation
+    "sql_revenue_by_nation",
+    "sql_probe_orders",
+    "sql_catalog_roundtrip",
+    "sql_insert_not_exists",
+    # r3-stale rotation (two rounds old)
+    "asof_join_purchase_click",
+    "snapshot_diff_counts",
+    "profile_orders_columns",
+    "scd2_customer_history",
+    "docs_dup_components",
+    "docs_packing_manifest",
+    "docs_test_contamination",
+    "docs_pii_scrub",
+    "docs_repetition_score",
+    "docs_token_entropy",
+    "docs_novelty_score",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "events_sessionization",
+    "events_ohlc_downsample",
+    "events_gapfilled_hourly",
+    "window_percent_rank_cume",
+    "q2_min_cost_supplier",
+    "ri_dangling_lineitems",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -88,23 +144,53 @@ _FAMILY_ORDER = [
     "catalog_sql",
     "advanced",
 ]
-# Queries pushed past the driver's check horizon this round: all have
-# green rows in CORRECTNESS_r1-r3 (evidence that stands), their code is
-# unchanged in r4, and the window is better spent on the never-checked
+# Queries pushed past the driver's check horizon this round: all 50
+# have FRESH green rows in CORRECTNESS_r4 and their code is unchanged
+# in r5, so the window is spent on the fixes and the r1/r2-stale
 # rotation above.
 _SECOND_TIER = {
-    "snapshot_diff_counts",         # green r3, unchanged
-    "profile_orders_columns",       # green r3, unchanged
-    "scd2_customer_history",        # green r3, unchanged
-    "events_sessionization",        # green r3, unchanged
-    "asof_join_purchase_click",     # green r3, unchanged
-    "q2_min_cost_supplier",         # green r3, unchanged
-    "window_percent_rank_cume",     # green r3, unchanged
-    "simhash_fingerprints",         # green r3, unchanged
-    "simhash_near_pairs",           # green r3, unchanged
-    "docs_novelty_score",           # green r3, unchanged
-    "events_ohlc_downsample",       # green r3, unchanged
-    "events_gapfilled_hourly",      # green r3, unchanged
+    "agg_argmax_by_status",
+    "approx_distinct_and_quantile",
+    "docs_chunk_manifest",
+    "docs_exact_dedupe_count",
+    "docs_exact_dup_groups",
+    "docs_fingerprint",
+    "docs_hash_split_counts",
+    "docs_incremental_near_dups",
+    "docs_lang_id",
+    "docs_mixture_resample",
+    "docs_ngram_jaccard_pairs",
+    "docs_quality_score",
+    "docs_shingle_stats",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_token_stats",
+    "docs_top_terms",
+    "emb_centroid_norm_by_label",
+    "emb_int8_quantization",
+    "emb_kmeans_clusters",
+    "emb_knn_bruteforce_decimal",
+    "emb_knn_ivf",
+    "emb_knn_lsh",
+    "emb_norms",
+    "events_anomaly_zscore",
+    "events_daily_active_users",
+    "events_funnel",
+    "events_hll_accuracy_qa",
+    "events_hll_sketch_rollup",
+    "events_hourly_by_type",
+    "events_props_extract",
+    "events_retention_cohorts",
+    "events_tumbling_window",
+    "events_type_value_stats",
+    "minhash_lsh_near_dups",
+    "minhash_signatures_sample",
+    "stats_corr_price_qty",
+    "validate_lineitem_fk_invalid",
+    "validate_lineitem_fk_summary",
+    "validate_orders_invalid",
+    "validate_orders_rejection_summary",
+    "validate_orders_split_stats",
 }
 
 
