@@ -53,6 +53,7 @@ _PRIORITY = [
     "emb_lsh_candidate_stats",           # band-key guard touched
     "emb_knn_bruteforce",                # dispatch fallback touched
     "emb_near_dup_pairs",                # dispatch fallback touched
+    "docs_dedup_keep_best",              # new (keep-best election)
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",
     "q5_local_supplier_volume",

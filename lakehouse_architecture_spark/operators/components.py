@@ -93,3 +93,35 @@ def dedup_keep_one_per_component(
         .filter(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
         .drop("comp")
     )
+
+
+def dedup_keep_best_per_component(
+    df: DataFrame, labels: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Keep, per near-dup component, the member with the HIGHEST score
+    (ties: lowest id) — the production dedup policy: when a cluster of
+    near-duplicates is collapsed, keep its best member (longest /
+    highest-quality), not whichever happened to carry the smallest id.
+    Singletons (absent from ``labels``) are kept untouched.
+
+    One left join to attach labels, one max_by aggregate per component
+    to elect winners, one semi-join back — all partial-aggregated
+    shuffles on the component key, so the policy costs no more than
+    keep-min-id at any scale."""
+    lab = labels.withColumnRenamed("doc", id_col)
+    tagged = df.join(lab, id_col, "left_outer")
+    winners = (
+        tagged.filter(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(score_col), (-F.col(id_col)).alias("neg_id")),
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    singles = tagged.filter(F.col("comp").isNull()).drop("comp")
+    return singles.unionByName(
+        df.join(winners, id_col, "left_semi")
+    )

@@ -91,6 +91,72 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Keep-best election per component: winner = max n_chars, ties broken
+# by the LOWER doc_id. The (n_chars, doc_id) order is packed into one
+# exact integer for DuckDB's arg_max (no struct ordering there): the
+# 1e16 id slot is collision-free far past any test SF and HUGEINT /
+# decimal(38,0) math is exact on both engines.
+KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_SHC_CTE},
+{_PAIRS_SQL},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS doc FROM edges),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT e.d AS doc, reach.r FROM reach JOIN edges e ON e.s = reach.doc
+),
+comp AS (SELECT doc, MIN(r) AS component FROM reach GROUP BY doc)
+SELECT c.component,
+       arg_max(c.doc,
+               CAST(d.n_chars AS HUGEINT) * 10000000000000000 - c.doc)
+         AS kept_doc_id,
+       COUNT(*) AS n_members,
+       MAX(d.n_chars) AS kept_n_chars
+FROM comp c JOIN documents d ON d.doc_id = c.doc
+GROUP BY c.component ORDER BY c.component
+"""
+
+
+@query("docs_dedup_keep_best", oracle=KEEP_BEST_ORACLE)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup election: for every near-dup component, the
+    member production would keep — the longest document (n_chars), ties
+    broken by the lower doc_id — plus the component's size. This is the
+    policy layer over docs_dup_components: collapsing a duplicate
+    cluster should keep its best member, not whichever carried the
+    smallest id (operators/components.dedup_keep_best_per_component is
+    the relation-returning form; this query emits the election table
+    the policy audits). Same cost shape as components itself: the
+    election adds one max_by aggregate on the component key."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    packed = (
+        F.col("n_chars").cast("decimal(38,0)")
+        * F.lit(10000000000000000).cast("decimal(38,0)")
+        - F.col("doc_id")
+    )
+    return (
+        labels.withColumnRenamed("doc", "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.max_by("doc_id", packed).alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("kept_n_chars"),
+        )
+        .orderBy("component")
+    )
+
+
 # --- sequence packing ---------------------------------------------------
 
 PACK_BUDGET = 2048  # power of two: cumsum/budget is exact in double

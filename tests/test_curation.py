@@ -49,6 +49,32 @@ def test_dedup_keeps_one_per_component(spark):
     assert kept == [0, 1, 4, 5]
 
 
+def test_dedup_keep_best_elects_highest_score(spark):
+    """Keep-best keeps the highest-score member per component (ties:
+    lowest id) and leaves singletons untouched."""
+    from lakehouse_architecture_spark.operators.components import (
+        dedup_keep_best_per_component,
+    )
+
+    # component {1,2,3}: doc 2 longest; component {5,6}: tie -> keep 5;
+    # singletons 0 and 4 kept regardless of score
+    docs = spark.createDataFrame(
+        [(0, 1), (1, 10), (2, 99), (3, 50), (4, 2), (5, 7), (6, 7)],
+        "doc_id long, n_chars long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges)
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best_per_component(
+            docs, labels, "doc_id", "n_chars"
+        ).collect()
+    )
+    assert kept == [0, 2, 4, 5]
+
+
 def test_pack_greedy_budget_and_order(spark):
     rows = [(i, 0, 100) for i in range(10)]  # 10 docs x 100 tokens, 1 shard
     df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
