@@ -443,7 +443,21 @@ def _lsh_verified_pairs(
     vectors (unit vectors computed once per corpus row, so the per-pair
     work is a single 64-mult fold — no norms, no sqrt per pair) prunes
     the candidate set; the expensive order-independent decimal fold
-    re-scores only the survivors for oracle parity."""
+    re-scores ONLY the prefilter survivors for oracle parity.
+
+    Reworked r5: decimal math is fully DEFERRED to survivors — the old
+    shape ran an interpreted BigDecimal self-dot for every corpus row
+    up front; now per-row work is double-only and the survivor set (a
+    handful of rows) pays the three decimal folds. At sf0.1 the two
+    shapes measure within noise of each other (2k vectors — candidate
+    generation and scheduling dominate), but at a real corpus size the
+    removed per-row decimal fold is the part that scaled with n. A
+    dot_fixed variant (unrolled element_at over the raw columns) was
+    ALSO measured here and is ~20%% SLOWER than the zip_with fold in
+    this query — the 3 x 64-term expressions blow past codegen limits;
+    don't "optimize" it back in. The 1e-6 prefilter margin >> the
+    double-vs-decimal fold divergence (~1e-15 relative), so no true
+    >= threshold pair can be dropped."""
     from lakehouse_architecture_spark.functions.vectors import dec_dot, dot
     from lakehouse_architecture_spark.operators.similarity import (
         sign_lsh_candidates,
@@ -456,24 +470,21 @@ def _lsh_verified_pairs(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         unit.alias("ua"),
-        dec_dot("embedding", "embedding").alias("na"),
     )
     ub = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         unit.alias("ub"),
-        dec_dot("embedding", "embedding").alias("nb"),
     )
-    pairs = cands.join(ua, "id_a").join(ub, "id_b")
-    # 1e-6 margin >> the double-vs-decimal fold divergence (~1e-15
-    # relative), so the prefilter can never drop a true >= threshold
-    # pair. zip_with `dot` here, NOT dot_fixed: ua/ub are COMPUTED
-    # arrays (unit-vector transforms), and element_at over a computed
-    # array can re-evaluate the producing expression per element —
-    # measured 34 s vs 2.9 s for this query. dot_fixed is only for raw
-    # scan columns.
-    pre = pairs.filter(dot("ua", "ub") >= threshold - 1e-6)
-    cos_exact = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
+    pre = (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .filter(dot("ua", "ub") >= threshold - 1e-6)
+        .select("id_a", "id_b", "va", "vb")
+    )
+    cos_exact = dec_dot("va", "vb") / F.sqrt(
+        dec_dot("va", "va") * dec_dot("vb", "vb")
+    )
     return (
         pre.withColumn("cos_raw", cos_exact)
         .filter(F.col("cos_raw") >= threshold)
