@@ -247,3 +247,33 @@ def test_int8_quantization_no_shuffle(spark, sf_dir):
     """The codec is a narrow map: no exchange anywhere in the plan."""
     plan = _plan(spark, sf_dir, "emb_int8_quantization")
     assert "Exchange" not in plan
+
+
+def test_curation_funnel_single_agg_no_window(spark, sf_dir):
+    """The r5 funnel derives stages 1-4 from ONE aggregate over the
+    cached base and stage 5 from a count of dropped ids — the r4
+    keep-one WINDOW (and its per-stage lineage re-scans) must stay
+    gone, or the regex-heavy lang-ID lineage re-materializes per
+    stage."""
+    plan = _plan(spark, sf_dir, "docs_curation_funnel")
+    assert "Window" not in plan
+    assert "InMemoryTableScan" in plan  # stage counts read the cache
+
+
+def test_lsh_verify_decimal_only_after_prefilter(spark, sf_dir):
+    """The strict sign-LSH verify defers decimal math to prefilter
+    survivors: no CheckOverflow/decimal expression may appear in the
+    per-row projections BEFORE the candidate join (the old shape ran a
+    BigDecimal fold per corpus row). Heuristic: the plan's decimal
+    casts must all sit above the join — i.e. strictly fewer decimal
+    mentions than joins+rows would imply; concretely the scan-side
+    projections contain no 'decimal(30,18)'."""
+    plan = _plan(spark, sf_dir, "emb_near_dup_lsh_strict")
+    # formatted explain lists numbered nodes; find the first join node
+    # and assert no decimal cast occurs in any Project BEFORE it.
+    lines = plan.splitlines()
+    first_join = next(
+        i for i, l in enumerate(lines) if "Join" in l or "join" in l
+    )
+    pre_join = "\n".join(lines[:first_join])
+    assert "decimal(30,18)" not in pre_join
