@@ -575,7 +575,12 @@ class MinHashCorpusIndex:
     - ``shingle_dfs``: (shingle, df) — corpus-wide shingle document
       frequencies, so the stop-shingle cap over corpus+batch is a merge
       of this aggregate with the (small) batch-side counts instead of a
-      re-aggregation of the whole corpus.
+      re-aggregation of the whole corpus. INVARIANT: this is a
+      MERGEABLE PARTIAL aggregate — a shingle MAY appear in multiple
+      rows (every consumer groupBy-sums before use), which is what lets
+      a streaming ingest APPEND per-batch partial counts to the saved
+      relation instead of rewriting a corpus-scale file
+      (streaming/jobs.stream_near_dup_ingest).
 
     Lifetime is EXPLICIT: ``persist()``/``unpersist()`` for a
     long-lived session, ``save()``/``load()`` (parquet) across runs —

@@ -71,6 +71,103 @@ def stream_csv_ingest_merge(
     )
 
 
+def stream_near_dup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+):
+    """Continuous curation ingest: each micro-batch of documents is
+    near-dup-checked against the PERSISTED corpus index, survivors land
+    in the curated zone, and the index absorbs them — the round-5 batch
+    index API (`operators/minhash.MinHashCorpusIndex`) running as a
+    stream instead of a daily job.
+
+    Per micro-batch:
+
+    1. load the index relations from ``index_path``;
+    2. drop batch docs that near-duplicate the CORPUS (asymmetric
+       band-key join — cost ∝ batch, never corpus²);
+    3. drop batch-INTERNAL near-dups (symmetric pass over the
+       corpus-survivors only, keeping the lower id);
+    4. append survivors to ``target_path``;
+    5. append the survivors' band/gram/df relations to the index dirs —
+       `shingle_dfs` is a MERGEABLE partial aggregate (consumers
+       groupBy-sum it), so appending partial counts is correct and the
+       index stays current without rewriting corpus-scale files.
+
+    The sequencing inside the batch is action-ordered: the survivor
+    write materializes before the index appends, so a batch never reads
+    its own half-written index files. Reprocessing a batch after a
+    failure between steps 4 and 5 re-appends (near-dups of the now-
+    indexed survivors drop out; exact re-appends are the MERGE-on-PK
+    job's territory) — document-level idempotency here relies on the
+    dedup itself.
+    """
+    from lakehouse_architecture_spark.operators.minhash import (
+        MinHashCorpusIndex,
+        build_minhash_corpus_index,
+        minhash_lsh_dedupe,
+        minhash_lsh_incremental_indexed,
+    )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = MinHashCorpusIndex.load(spark, index_path)
+        corpus_dups = minhash_lsh_incremental_indexed(
+            batch_df, idx, text_col, id_col,
+            threshold=threshold, max_doc_freq=max_doc_freq,
+        ).select(F.col("new_doc").alias(id_col)).distinct()
+        s1 = batch_df.join(corpus_dups, id_col, "left_anti")
+        self_dups = (
+            minhash_lsh_dedupe(
+                s1, text_col, id_col,
+                threshold=threshold, max_doc_freq=max_doc_freq,
+            )
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        # Persisted for the batch only (released in finally): the
+        # survivor lineage contains both LSH passes and is consumed by
+        # four writes below.
+        survivors = s1.join(self_dups, id_col, "left_anti").persist()
+        try:
+            survivors.write.mode("append").parquet(target_path)
+            add = build_minhash_corpus_index(
+                survivors,
+                text_col, id_col,
+                num_hashes=idx.num_hashes,
+                band_size=idx.band_size,
+                shingle_n=idx.shingle_n,
+            )
+            add.bands.write.mode("append").parquet(f"{index_path}/bands")
+            add.grams.write.mode("append").parquet(f"{index_path}/grams")
+            add.shingle_dfs.write.mode("append").parquet(
+                f"{index_path}/shingle_dfs"
+            )
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str],

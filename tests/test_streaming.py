@@ -24,6 +24,72 @@ def _await(q, timeout=60):
     q.awaitTermination(timeout)
 
 
+def test_stream_near_dup_ingest_updates_index(spark, tmp_path):
+    """Continuous curation: batch 1's survivors must enter the corpus
+    index so batch 2's duplicates of them are dropped; batch-internal
+    dups drop too; novel docs always survive."""
+    import json
+
+    from lakehouse_architecture_spark.operators.minhash import (
+        build_minhash_corpus_index,
+    )
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_near_dup_ingest,
+    )
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside"
+    )
+    FAR = (
+        "completely different content about spark query engines and "
+        "columnar storage formats with no overlap whatsoever at all"
+    )
+    NOVEL = (
+        "a third entirely distinct document mentioning streaming "
+        "ingestion checkpoints watermarks and micro batch execution"
+    )
+
+    seed = spark.createDataFrame([(1, FAR)], "doc_id long, text string")
+    index_path = str(tmp_path / "mh_index")
+    build_minhash_corpus_index(seed, "text", "doc_id").save(index_path)
+
+    src = tmp_path / "docs_incoming"
+    src.mkdir()
+    target = str(tmp_path / "curated_docs")
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        q = stream_near_dup_ingest(
+            spark,
+            str(src),
+            "doc_id long, text string",
+            index_path,
+            target,
+            checkpoint_dir=str(tmp_path / "ckpt_docs"),
+            threshold=0.5,
+        ).start()
+        _await(q)
+
+    # batch 1: 10 dups the seed corpus (dropped); 11+12 duplicate each
+    # other (keep 11); 13 novel
+    write_batch("b1.json", [(10, FAR), (11, BASE), (12, BASE), (13, NOVEL)])
+    run()
+    kept1 = {r.doc_id for r in spark.read.parquet(target).collect()}
+    assert kept1 == {11, 13}
+
+    # batch 2: 20 duplicates batch-1 SURVIVOR 11 -> only dropped if the
+    # index absorbed batch 1; 21 novel
+    write_batch("b2.json", [(20, BASE), (21, "totally fresh words " * 8)])
+    run()
+    kept2 = {r.doc_id for r in spark.read.parquet(target).collect()}
+    assert kept2 == {11, 13, 21}
+
+
 def test_stream_ingest_merge_idempotent(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
