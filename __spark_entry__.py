@@ -54,6 +54,7 @@ _PRIORITY = [
     "emb_knn_bruteforce",                # dispatch fallback touched
     "emb_near_dup_pairs",                # dispatch fallback touched
     "docs_dedup_keep_best",              # new (keep-best election)
+    "minhash_estimate_qa",               # new (estimator-accuracy QA)
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",
     "q5_local_supplier_volume",

@@ -130,6 +130,109 @@ def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(F.col("doc").alias("doc_id"), "sig_0", "sig_3", "sig_7")
 
 
+# Estimator-accuracy QA in the events_hll_accuracy_qa tradition: per
+# LSH candidate pair, the signature-agreement count whose expectation
+# is 8 * Jaccard, next to the exact (capped) intersection triple that
+# determines true Jaccard — every compared column an exact integer, so
+# the row set pins the estimator's behavior cross-engine without any
+# float surface.
+MINHASH_QA_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SHC_CTE},
+sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         {" + ".join(f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+                     for i in range(8))} AS n_matching_sigs
+  FROM cands c
+  JOIN sigs a ON a.doc = c.doc_a
+  JOIN sigs b ON b.doc = c.doc_b
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(sb.shingle) AS n_common
+  FROM cands c
+  JOIN shc sa ON sa.doc = c.doc_a
+  LEFT JOIN shc sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.n_matching_sigs,
+       i.n_common, za.n AS n_a, zb.n AS n_b
+FROM m
+JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sizes za ON za.doc = m.doc_a
+JOIN sizes zb ON zb.doc = m.doc_b
+"""
+
+
+@query("minhash_estimate_qa", oracle=MINHASH_QA_ORACLE)
+def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-accuracy QA (the sketch-QA companion pattern
+    `events_hll_accuracy_qa` established): for every LSH candidate
+    pair, the number of agreeing signatures — the MinHash estimate of
+    Jaccard is n_matching_sigs/8, E[estimate] = J by the min-wise
+    property — beside the exact capped intersection triple
+    (n_common, n_a, n_b) that determines true Jaccard. All compared
+    columns are exact integers; consumers derive estimate error as
+    |matches/8 - n_common/(n_a+n_b-n_common)|. Plan: the signature and
+    band machinery is the near-dups pipeline's (map-side sigs, one
+    bucket shuffle); the exact triple is two array joins over the
+    capped gram relation — candidate pairs only, never all pairs."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        capped_gram_arrays,
+        candidate_pairs,
+        gram_arrays,
+        lsh_band_keys,
+        minhash_signatures_from_grams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gram_arrays(docs, "text", "doc_id").cache()
+    sigs = minhash_signatures_from_grams(g, 8)
+    pairs = candidate_pairs(lsh_band_keys(sigs, 8, 2))
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(8)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    gv = capped_gram_arrays(g, MAX_DOC_FREQ).cache()
+    ga = gv.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga")).hint(
+        "shuffle_hash"
+    )
+    gb = gv.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb")).hint(
+        "shuffle_hash"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_matching_sigs", matches)
+        .select("doc_a", "doc_b", "n_matching_sigs")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching_sigs",
+            F.size(F.array_intersect("ga", "gb")).cast("long").alias("n_common"),
+            F.size("ga").cast("long").alias("n_a"),
+            F.size("gb").cast("long").alias("n_b"),
+        )
+    )
+
+
 _SIMHASH_CTE = f"""
 toks AS (
   SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents
