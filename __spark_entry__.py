@@ -55,6 +55,8 @@ _PRIORITY = [
     "emb_near_dup_pairs",                # dispatch fallback touched
     "docs_dedup_keep_best",              # new (keep-best election)
     "minhash_estimate_qa",               # new (estimator-accuracy QA)
+    "emb_ivf_probe_stats",               # new (measured IVF pruning)
+    "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",
     "q5_local_supplier_volume",

@@ -183,6 +183,52 @@ def emb_centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_seeded_scores(emb: DataFrame, k: int = 8) -> DataFrame:
+    """(vec_id, embedding, centroid_id, sim): decimal-exact cosine of
+    every corpus row against the ``k`` PORTABLY md5-seeded centroids —
+    the shared front half of the k-means step and the IVF probe-stats
+    measurement, replicated verbatim by their SQL oracles. Norms are
+    hoisted OUT of the k-way cross join: dvv once per corpus row, dcc
+    once per centroid — the per-pair work is a single decimal fold
+    instead of three."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
+
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    wseed = Window.partitionBy("bucket").orderBy("hv", "vec_id")
+    seeds = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            h.alias("hv"),
+            F.pmod(h, F.lit(k)).alias("bucket"),
+        )
+        .withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", dec_dot("embedding", "embedding").alias("dvv")
+    )
+    seeds = seeds.select(
+        "centroid_id",
+        "centroid_vec",
+        dec_dot("centroid_vec", "centroid_vec").alias("dcc"),
+    )
+    cos = dec_dot("embedding", "centroid_vec") / F.sqrt(
+        F.col("dvv") * F.col("dcc")
+    )
+    return corpus.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "centroid_id", cos.alias("sim")
+    )
+
+
 KMEANS_ORACLE = """
 WITH h AS (
   SELECT vec_id, embedding,
@@ -250,47 +296,12 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     members map-side into k*dim partials."""
     from pyspark.sql import Window
 
-    from lakehouse_architecture_spark.functions.vectors import dec_dot
-
     emb = load_table(spark, sf_dir, "embeddings")
-    h = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    wseed = Window.partitionBy("bucket").orderBy("hv", "vec_id")
-    seeds = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            h.alias("hv"),
-            F.pmod(h, F.lit(8)).alias("bucket"),
-        )
-        .withColumn("rn", F.row_number().over(wseed))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("centroid_vec"),
-        )
-    )
-    # Norms are hoisted OUT of the 8-way cross join: dvv once per corpus
-    # row, dcc once per centroid — the per-pair work is a single
-    # decimal fold instead of three.
-    corpus = emb.select(
-        "vec_id", "embedding", dec_dot("embedding", "embedding").alias("dvv")
-    )
-    seeds = seeds.select(
-        "centroid_id",
-        "centroid_vec",
-        dec_dot("centroid_vec", "centroid_vec").alias("dcc"),
-    )
-    cos = dec_dot("embedding", "centroid_vec") / F.sqrt(
-        F.col("dvv") * F.col("dcc")
-    )
     wa = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("centroid_id")
     )
     assigned = (
-        corpus.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "embedding", "centroid_id", cos.alias("sim"))
+        _md5_seeded_scores(emb)
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
@@ -314,6 +325,102 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.groupBy("centroid_id").agg(
         F.max("n_members").alias("n_vectors"),
         F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")).alias("centroid_norm"),
+    )
+
+
+# IVF pruning, MEASURED (the emb_lsh_candidate_stats pattern): per
+# query, how many corpus rows do the probed inverted lists actually
+# contain, vs the full corpus a brute-force scan reads. Shares the
+# k-means oracle's md5 seeding and decimal-exact assignment so the
+# whole measurement is cross-engine checkable; all compared columns are
+# exact integers.
+IVF_PROBE_STATS_ORACLE = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM (SELECT *, hv % 8 AS bucket FROM h)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hv, vec_id) = 1
+),
+dots AS (
+  SELECT e.vec_id, s.centroid_id,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvc,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvv,
+    CAST(SUM(CAST(CAST(s.centroid_vec[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dcc
+  FROM embeddings e, seeds s,
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, s.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) = 1
+),
+sizes AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM dots
+  WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) <= 2
+),
+n AS (SELECT COUNT(*) AS n_corpus FROM embeddings)
+SELECT p.query_id,
+       COUNT(*) AS n_probed_lists,
+       CAST(SUM(s.n) AS BIGINT) AS n_probed_rows,
+       n.n_corpus
+FROM probes p JOIN sizes s USING (centroid_id), n
+GROUP BY p.query_id, n.n_corpus
+"""
+
+
+@query("emb_ivf_probe_stats", oracle=IVF_PROBE_STATS_ORACLE)
+def emb_ivf_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures the IVF pruning claim instead of asserting it (the
+    ``emb_lsh_candidate_stats`` pattern applied to the other ANN
+    index): for each of 5 query vectors probing 2 of 8 inverted lists,
+    the number of corpus rows the probed lists contain next to the full
+    corpus size a brute-force scan reads — n_probed_rows/n_corpus is
+    the fraction of the corpus an IVF search touches (~2/8 when lists
+    are balanced; imbalance shows up directly in this table). Seeding
+    and assignment are the md5/decimal machinery `emb_kmeans_clusters`
+    already pins cross-engine, so the measurement itself is
+    oracle-checked with an integer-only compared surface. At 100 TB
+    the probed-lists read is a partition-pruned scan (the corpus is
+    written partitioned by centroid id); this query quantifies exactly
+    how much that pruning saves."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _md5_seeded_scores(emb)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(wa))
+    sizes = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        probes.join(sizes, "centroid_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("query_id", "n_corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed_lists"),
+            F.sum("n").alias("n_probed_rows"),
+        )
+        .select("query_id", "n_probed_lists", "n_probed_rows", "n_corpus")
     )
 
 
