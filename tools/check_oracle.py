@@ -3,11 +3,17 @@ query on Spark AND its oracle SQL on DuckDB at a given SF, compare
 row-count + column names + order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set ``ORACLE_CHECK_PLAIN=1`` to run against a PLAIN SparkSession (no
+engine conf) exactly like the driver does — queries must not depend on
+get_spark's session conf (that failure class is invisible under the
+default mode and was behind the r4 float-normalization scare).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -47,7 +53,17 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_CHECK_PLAIN"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
