@@ -636,10 +636,17 @@ class MinHashCorpusIndex:
 
     def save(self, path: str) -> None:
         """Persist the index as three parquet relations + a meta row.
-        Path may be any Hadoop-visible FS (local, S3, HDFS)."""
+        Path may be any Hadoop-visible FS (local, S3, HDFS). The df
+        relation is written FULLY aggregated (one row per shingle), so
+        a load -> save round trip doubles as compaction of the partial
+        rows a streaming ingest appends. Compact to a NEW path and
+        swap (never save over the path being read — a lazy
+        read-under-overwrite loses the input mid-job)."""
         self.bands.write.mode("overwrite").parquet(f"{path}/bands")
         self.grams.write.mode("overwrite").parquet(f"{path}/grams")
-        self.shingle_dfs.write.mode("overwrite").parquet(f"{path}/shingle_dfs")
+        self.shingle_dfs.groupBy("shingle").agg(
+            F.sum("df").alias("df")
+        ).write.mode("overwrite").parquet(f"{path}/shingle_dfs")
         spark = self.bands.sparkSession
         spark.createDataFrame(
             [(self.num_hashes, self.band_size, self.shingle_n)],

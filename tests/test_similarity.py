@@ -409,3 +409,24 @@ def test_corpus_index_save_load_append(spark, tmp_path):
         ).collect()
     }
     assert pairs == {(20, 1), (20, 10)}
+
+    # save() compacts partial df rows (the streaming-append shape):
+    # an index whose shingle_dfs carries duplicates round-trips to one
+    # fully-aggregated row per shingle with summed counts.
+    partial = MinHashCorpusIndex(
+        bands=idx.bands,
+        grams=idx.grams,
+        shingle_dfs=idx.shingle_dfs.unionByName(idx.shingle_dfs),
+        num_hashes=idx.num_hashes,
+        band_size=idx.band_size,
+        shingle_n=idx.shingle_n,
+    )
+    compacted_path = str(tmp_path / "mh_index_compacted")
+    partial.save(compacted_path)
+    back = MinHashCorpusIndex.load(spark, compacted_path)
+    rows = back.shingle_dfs.collect()
+    assert len(rows) == len({r.shingle for r in rows})  # one row/shingle
+    orig = {r.shingle: r.df for r in idx.shingle_dfs.collect()}
+    assert {r.shingle: r.df for r in rows} == {
+        s: 2 * d for s, d in orig.items()
+    }
