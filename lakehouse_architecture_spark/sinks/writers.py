@@ -337,8 +337,16 @@ def export_jsonl_shards(
         "overwrite"
     ).json(path)
     # input_file_name() is non-deterministic and must be projected to a
-    # column before it can feed an aggregate.
-    written = spark.read.json(path).select(
+    # column before it can feed an aggregate. The read schema is given
+    # explicitly (input schema + the shard partition column): inference
+    # fails outright on an all-empty export (zero data files), which
+    # must yield an all-zeros manifest, not an error.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    read_schema = StructType(
+        list(df.schema.fields) + [StructField("shard", LongType())]
+    )
+    written = spark.read.schema(read_schema).json(path).select(
         "shard", F.input_file_name().alias("_file")
     )
     counted = written.groupBy("shard").agg(

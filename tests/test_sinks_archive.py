@@ -239,3 +239,13 @@ def test_export_jsonl_shards_manifest_covers_empty_shards(spark, tmp_path):
     clash = df.withColumnRenamed("text", "shard")
     with pytest.raises(ValueError, match="reserves the 'shard' column"):
         export_jsonl_shards(clash, str(tmp_path / "clash"), 4, "doc_id")
+
+    # an EMPTY export must produce an all-zeros manifest, not a schema-
+    # inference error (zero data files to infer from)
+    empty = df.filter("doc_id < 0")
+    manifest0 = export_jsonl_shards(
+        empty, str(tmp_path / "empty"), n_shards=4, id_col="doc_id"
+    ).collect()
+    assert [(r.shard, r.n_rows, r.n_files) for r in manifest0] == [
+        (i, 0, 0) for i in range(4)
+    ]
