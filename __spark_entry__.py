@@ -56,6 +56,7 @@ _PRIORITY = [
     "docs_dedup_keep_best",              # new (keep-best election)
     "minhash_estimate_qa",               # new (estimator-accuracy QA)
     "emb_ivf_probe_stats",               # new (measured IVF pruning)
+    "emb_knn_ivf_md5",                   # new (oracle-checked IVF search)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -379,6 +379,124 @@ GROUP BY p.query_id, n.n_corpus
 """
 
 
+# The IVF SEARCH itself, oracle-checked end to end: probe 2 of 8
+# md5-seeded lists per query, exact decimal rerank INSIDE the probed
+# lists only, top-5. The xxhash-seeded production twin (emb_knn_ivf)
+# stays rows-only because DuckDB cannot compute Spark's xxhash64; this
+# variant pins the complete algorithm - seed, assign, probe, rerank,
+# top-k tie-break - cross-engine.
+IVF_SEARCH_ORACLE = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM (SELECT *, hv % 8 AS bucket FROM h)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hv, vec_id) = 1
+),
+dots AS (
+  SELECT e.vec_id, s.centroid_id,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvc,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvv,
+    CAST(SUM(CAST(CAST(s.centroid_vec[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dcc
+  FROM embeddings e, seeds s,
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, s.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM dots
+  WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) <= 2
+),
+cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dqe,
+    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dqq,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dee
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id,
+  UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id,
+       ROUND(dqe / SQRT(dqq * dee), 6) AS cosine_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY dqe / SQRT(dqq * dee) DESC, vec_id
+) <= 5
+"""
+
+
+@query("emb_knn_ivf_md5", oracle=IVF_SEARCH_ORACLE)
+def emb_knn_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN with the whole algorithm oracle-checked:
+    md5-portable seeding, decimal-exact coarse assignment, 2-of-8
+    probed lists per query, exact decimal rerank restricted to the
+    probed lists, deterministic top-5 (cosine DESC, vec_id ASC). The
+    xxhash-seeded production twin (`emb_knn_ivf`) keeps its rows-only
+    row; this variant gives the driver a hash-checkable IVF SEARCH so
+    the index's probe->rerank semantics, not just its pruning volume
+    (`emb_ivf_probe_stats`), are pinned cross-engine."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _md5_seeded_scores(emb)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(wa))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = dec_dot("q_vec", "embedding") / F.sqrt(
+        dec_dot("q_vec", "q_vec") * dec_dot("embedding", "embedding")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("vec_id")
+    )
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+        )
+    )
+
+
 @query("emb_ivf_probe_stats", oracle=IVF_PROBE_STATS_ORACLE)
 def emb_ivf_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measures the IVF pruning claim instead of asserting it (the
