@@ -1,0 +1,231 @@
+"""Pure-Python media codecs (stdlib + numpy only).
+
+The multimodal pipeline (operators/multimodal.py) treats payloads as
+opaque bytes and needed a codec library for pixel/waveform work — this
+module removes that dependency for the two formats that need none:
+
+- PNG: a real baseline decoder (zlib IDAT inflate + full scanline
+  unfiltering, all 5 filter types, 8-bit depth, color types
+  0/2/3/4/6) and a filter-0 encoder, so decode -> transform ->
+  re-encode round-trips without Pillow. 16-bit depth and Adam7
+  interlacing raise ``NotImplementedError`` (rare in training corpora;
+  the error is a data-quality signal).
+- WAV: integer-PCM decode via the stdlib ``wave`` reader to a numpy
+  sample matrix (frames x channels), for loudness/duration features.
+
+JPEG stays header-only in multimodal.py: a baseline JPEG entropy +
+IDCT decoder is out of scope for a data engine and is the one place a
+codec library (Pillow) still buys something.
+
+Scale: these run inside Arrow-batched ``mapInPandas`` stages, one
+payload at a time per batch row — throughput is bounded by zlib and
+the per-row unfilter loop (numpy-vectorized across each scanline for
+filters 0/2; per-byte only where PNG's spec is inherently sequential,
+filters 1/3/4). Fine for feature extraction; bulk image preprocessing
+at 100 TB would swap in a native codec behind the same signatures.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a baseline PNG to a (height, width, channels) uint8 array.
+
+    Palette images (color type 3) are expanded through their PLTE to
+    RGB. Raises ``ValueError`` for a non-PNG or corrupt stream and
+    ``NotImplementedError`` for 16-bit depth / interlaced images.
+    """
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    i = 8
+    idat = bytearray()
+    plte = None
+    ihdr = None
+    while i + 8 <= len(payload):
+        clen = struct.unpack(">I", payload[i : i + 4])[0]
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG (Adam7) not supported")
+    if color not in _CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    ch = _CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += stride
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[..., 0]]
+    return px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a filter-0
+    PNG (greyscale / grey+alpha / RGB / RGBA by channel count)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(pixels: np.ndarray, max_dim: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(h, w) <= max_dim (no-op if
+    already within bounds) — deterministic integer index grid, the
+    standard cheap pre-filter before a learned resizer."""
+    h, w = pixels.shape[:2]
+    scale = min(1.0, max_dim / max(h, w))
+    if scale >= 1.0:
+        return pixels
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return pixels[ys][:, xs]
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode integer-PCM WAV bytes to samples + features.
+
+    Returns {sample_rate, n_samples, n_channels, samples (frames x
+    channels int32 ndarray), rms, peak} — rms/peak are computed over
+    all channels on amplitude normalized to [-1, 1]. Raises
+    ``ValueError`` on non-PCM or unsupported sample widths.
+    """
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            n = f.getnframes()
+            ch = f.getnchannels()
+            width = f.getsampwidth()
+            frames = f.readframes(n)
+    except wave.Error as exc:
+        raise ValueError(f"not a PCM WAV stream: {exc}") from exc
+    if len(frames) != n * ch * width:
+        # declared frame count exceeds the bytes present — a truncated
+        # capture; partial loudness stats would be silently wrong
+        raise ValueError(
+            f"truncated WAV: header declares {n} frames, "
+            f"payload holds {len(frames) // max(ch * width, 1)}"
+        )
+    if width == 1:  # 8-bit WAV is unsigned
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
+        )
+        full = 127.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+        full = 32767.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.int64)
+        full = 2147483647.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    samples = samples.reshape(-1, ch)
+    norm = samples / full
+    rms = float(np.sqrt(np.mean(norm**2))) if samples.size else None
+    peak = float(np.max(np.abs(norm))) if samples.size else None
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "n_channels": ch,
+        "samples": samples,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, sampwidth: int = 2
+) -> bytes:
+    """Encode a (frames,) or (frames, channels) int array as PCM WAV."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}[sampwidth]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(s.shape[1])
+        f.setsampwidth(sampwidth)
+        f.setframerate(sample_rate)
+        f.writeframes(np.ascontiguousarray(s.astype(dtype)).tobytes())
+    return buf.getvalue()

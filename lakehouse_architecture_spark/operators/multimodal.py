@@ -3,16 +3,24 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested. Metadata decoding is real too:
-``decode_image`` parses PNG/JPEG/GIF/BMP headers (pure Python, no
-external libs) for width/height, and ``decode_audio`` parses RIFF/WAVE
-chunks for sample rate / sample count. Full PIXEL/PCM decoding of real
-codecs still needs an image/audio library this environment lacks, so
-pixel statistics are only available for the deterministic FAKE formats
-(``encode_fake_image``/``encode_fake_audio``) used by tests; unknown
-formats raise ``NotImplementedError``. Swapping in Pillow/torchaudio
-happens inside these two functions whose contract (bytes in, features
-out) the tests pin down.
+UDF signatures — is real and tested. Decoding is real for the formats
+that need no codec library (operators/codecs.py, stdlib + numpy):
+
+- PNG: FULL pixel decode (zlib inflate + all 5 scanline filters,
+  8-bit, color types 0/2/3/4/6) — pixel statistics and real
+  nearest-neighbor resize with filter-0 re-encode;
+- WAV: FULL integer-PCM decode via the stdlib ``wave`` reader — real
+  RMS/peak loudness, not just header metadata;
+- JPEG/GIF/BMP: header metadata only (width/height from the container
+  headers). Baseline-JPEG entropy+IDCT decode is the one remaining
+  place a codec library (Pillow) buys something — swapping it in
+  happens inside ``decode_image``, whose contract (bytes in, features
+  out) the tests pin down.
+
+Unknown magic raises ``NotImplementedError`` — a data-quality signal,
+not silently-null metadata. The deterministic FAKE formats
+(``encode_fake_image``/``encode_fake_audio``) remain for plumbing
+tests that want byte-exact fixtures.
 
 Scale notes: mapInPandas streams Arrow record batches, so peak memory is
 one batch per core, not one partition; `maxRecordsPerBatch` bounds it.
@@ -103,10 +111,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None] | N
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image metadata decode: real header parsing for PNG/JPEG/GIF/BMP
-    (width/height; pixel stats need a codec library, left None), full
-    decode for the deterministic FAKEIMG1 test format. Unknown magic
-    raises — a data-quality signal, not silently-null metadata."""
+    """Image decode: FULL pixel decode for PNG (operators/codecs.py —
+    mean_pixel is the real mean over all channels) and the
+    deterministic FAKEIMG1 test format; header-only width/height for
+    JPEG/GIF/BMP (mean_pixel None until a codec library is swapped in
+    here). Unknown magic raises — a data-quality signal, not
+    silently-null metadata. A PNG variant the pure decoder doesn't
+    cover (16-bit, interlaced) degrades to header metadata."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}
     if payload.startswith(_MAGIC):
@@ -120,7 +131,23 @@ def decode_image(payload: bytes) -> dict:
             "unrecognized image format (supported headers: PNG/JPEG/GIF/BMP"
             " + FAKEIMG1 test format)"
         )
-    _fmt, w, h = parsed
+    fmt, w, h = parsed
+    if fmt == "png":
+        import zlib
+
+        from lakehouse_architecture_spark.operators.codecs import decode_png
+
+        try:
+            px = decode_png(payload)
+            return {
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "mean_pixel": float(px.mean()),
+            }
+        except (NotImplementedError, ValueError, zlib.error):
+            # 16-bit / interlaced / truncated-or-corrupt pixel data
+            # (common in scraped corpora): header metadata still stands
+            pass
     return {"width": w, "height": h, "mean_pixel": None}
 
 
@@ -166,30 +193,45 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
-    """mapInPandas stage shape for resize: passes payloads through and
-    rewrites metadata (the real pixel work is the stubbed decode's job).
-    Kept separate from feature extraction so stages compose in a
-    pipeline: decode -> resize -> re-encode -> feature-extract."""
+    """mapInPandas resize stage: REAL pixel resize for PNG payloads
+    (decode -> nearest-neighbor downscale -> filter-0 re-encode,
+    operators/codecs.py) with width/height rewritten from the actual
+    resized array; metadata-only scaling for formats without a pure
+    decoder (JPEG/GIF/BMP and the FAKE formats). Kept separate from
+    feature extraction so stages compose in a pipeline:
+    decode -> resize -> re-encode -> feature-extract."""
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # nulls arrive as NaN in pandas numeric columns — guard with
-            # notna, not truthiness (NaN is truthy)
-            scale = [
-                min(1.0, max_dim / max(w, h))
-                if pd.notna(w) and pd.notna(h)
-                else None
-                for w, h in zip(pdf["width"], pdf["height"])
-            ]
             pdf = pdf.copy()
-            pdf["width"] = [
-                int(w * s) if s is not None else w
-                for w, s in zip(pdf["width"], scale)
-            ]
-            pdf["height"] = [
-                int(h * s) if s is not None else h
-                for h, s in zip(pdf["height"], scale)
-            ]
+            payloads = list(pdf["payload"])
+            widths = list(pdf["width"])
+            heights = list(pdf["height"])
+            for j, p in enumerate(payloads):
+                if p is not None and bytes(p[:8]) == b"\x89PNG\r\n\x1a\n":
+                    import zlib
+
+                    try:
+                        px = resize_nearest(decode_png(bytes(p)), max_dim)
+                    except (NotImplementedError, ValueError, zlib.error):
+                        continue  # 16-bit/interlaced/corrupt: untouched
+                    payloads[j] = bytearray(encode_png(px))
+                    heights[j], widths[j] = px.shape[0], px.shape[1]
+                else:
+                    # nulls arrive as NaN in pandas numeric columns —
+                    # guard with notna, not truthiness (NaN is truthy)
+                    w, h = widths[j], heights[j]
+                    if pd.notna(w) and pd.notna(h):
+                        s = min(1.0, max_dim / max(w, h))
+                        widths[j], heights[j] = int(w * s), int(h * s)
+            pdf["payload"] = payloads
+            pdf["width"] = widths
+            pdf["height"] = heights
             yield pdf
 
     return df.mapInPandas(fn, schema=df.schema)
@@ -246,9 +288,11 @@ def parse_wav_header(payload: bytes) -> tuple[int, int] | None:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Audio metadata decode: real RIFF/WAVE header parsing (sample rate
-    + sample count; loudness needs PCM decode, left None), full decode
-    for the deterministic FAKEAUD1 test format."""
+    """Audio decode: FULL integer-PCM decode for WAV (stdlib ``wave``
+    via operators/codecs.py — rms is real loudness over normalized
+    amplitude), full decode for the deterministic FAKEAUD1 test
+    format. A WAV the PCM reader can't handle (compressed, float)
+    degrades to RIFF-header metadata with rms None."""
     if payload is None:
         return {"sample_rate": None, "n_samples": None, "rms": None}
     if payload.startswith(_AUDIO_MAGIC):
@@ -265,7 +309,17 @@ def decode_audio(payload: bytes) -> dict:
             "FAKEAUD1 test format)"
         )
     rate, n_samples = parsed
-    return {"sample_rate": rate, "n_samples": n_samples, "rms": None}
+    from lakehouse_architecture_spark.operators.codecs import decode_wav
+
+    try:
+        d = decode_wav(payload)
+        return {
+            "sample_rate": d["sample_rate"],
+            "n_samples": d["n_samples"],
+            "rms": d["rms"],
+        }
+    except ValueError:  # non-PCM WAV: header metadata still stands
+        return {"sample_rate": rate, "n_samples": n_samples, "rms": None}
 
 
 # backward-compatible name from the rounds where decoding was stubbed
