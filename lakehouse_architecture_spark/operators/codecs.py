@@ -163,6 +163,162 @@ def resize_nearest(pixels: np.ndarray, max_dim: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) BMP to (h, w, channels) uint8.
+
+    Supports the common cases: 24-bit BGR, 32-bit BGRA, and 8-bit
+    paletted, bottom-up or top-down row order, 4-byte row padding.
+    Compressed or exotic bit depths raise ``NotImplementedError``.
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bits, compression = struct.unpack("<HI", payload[28:34])
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression}")
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bits}")
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    row_bytes = (w * bits // 8 + 3) & ~3
+    if len(payload) < data_off + row_bytes * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 8:
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA entries -> RGB
+        return pal[rows[:, :w]]
+    ch = bits // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    # BMP stores BGR(A); emit RGB(A)
+    order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
+    return np.ascontiguousarray(px[:, :, order])
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable-width codes, CLEAR/END, table growth to
+    12 bits. Returns the decoded index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end  # truncated stream: treat as end-of-information
+        v = 0
+        for k in range(width):
+            byte = data[(bitpos + k) >> 3]
+            v |= ((byte >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB.
+
+    Walks the block stream (extensions skipped), honors local color
+    tables and Adam-style 4-pass interlacing, and LZW-decompresses the
+    image data. Animated GIFs yield frame 0 composited on nothing —
+    the usual training-corpus treatment.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    flags = payload[10]
+    gct_size = 2 << (flags & 7) if flags & 0x80 else 0
+    i = 13
+    gct = np.frombuffer(
+        payload, dtype=np.uint8, count=gct_size * 3, offset=i
+    ).reshape(-1, 3) if gct_size else None
+    i += gct_size * 3
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            iflags = payload[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                lct_size = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=lct_size * 3, offset=i
+                ).reshape(-1, 3)
+                i += lct_size * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                lzw += payload[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = np.array(_lzw_decode(bytes(lzw), min_code), dtype=np.int32)
+            if idx.size < w * h:
+                raise ValueError("truncated GIF pixel data")
+            grid = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                un = np.empty_like(grid)
+                un[order] = grid
+                grid = un
+            return pal[np.clip(grid, 0, len(pal) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_wav(payload: bytes) -> dict:
     """Decode integer-PCM WAV bytes to samples + features.
 

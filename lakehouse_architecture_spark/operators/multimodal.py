@@ -9,13 +9,16 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
 - PNG: FULL pixel decode (zlib inflate + all 5 scanline filters,
   8-bit, color types 0/2/3/4/6) — pixel statistics and real
   nearest-neighbor resize with filter-0 re-encode;
+- BMP: FULL pixel decode (uncompressed 8/24/32-bit, palette, either
+  row order);
+- GIF: FULL first-frame pixel decode (LZW, local/global palettes,
+  interlacing);
 - WAV: FULL integer-PCM decode via the stdlib ``wave`` reader — real
   RMS/peak loudness, not just header metadata;
-- JPEG/GIF/BMP: header metadata only (width/height from the container
-  headers). Baseline-JPEG entropy+IDCT decode is the one remaining
-  place a codec library (Pillow) buys something — swapping it in
-  happens inside ``decode_image``, whose contract (bytes in, features
-  out) the tests pin down.
+- JPEG: header metadata only. Baseline-JPEG entropy+IDCT decode is
+  the one remaining place a codec library (Pillow) buys something —
+  swapping it in happens inside ``decode_image``, whose contract
+  (bytes in, features out) the tests pin down.
 
 Unknown magic raises ``NotImplementedError`` — a data-quality signal,
 not silently-null metadata. The deterministic FAKE formats
@@ -132,20 +135,25 @@ def decode_image(payload: bytes) -> dict:
             " + FAKEIMG1 test format)"
         )
     fmt, w, h = parsed
-    if fmt == "png":
+    if fmt in ("png", "bmp", "gif"):
         import zlib
 
-        from lakehouse_architecture_spark.operators.codecs import decode_png
+        from lakehouse_architecture_spark.operators import codecs
 
+        dec = {
+            "png": codecs.decode_png,
+            "bmp": codecs.decode_bmp,
+            "gif": codecs.decode_gif,
+        }[fmt]
         try:
-            px = decode_png(payload)
+            px = dec(payload)
             return {
                 "width": int(px.shape[1]),
                 "height": int(px.shape[0]),
                 "mean_pixel": float(px.mean()),
             }
         except (NotImplementedError, ValueError, zlib.error):
-            # 16-bit / interlaced / truncated-or-corrupt pixel data
+            # unsupported variant / truncated-or-corrupt pixel data
             # (common in scraped corpora): header metadata still stands
             pass
     return {"width": w, "height": h, "mean_pixel": None}

@@ -120,6 +120,147 @@ def test_resize_nearest_bounds_and_content():
     assert resize_nearest(px, 100).shape == (8, 4, 3)  # no upscale
 
 
+def _bmp_bytes(px: np.ndarray, top_down: bool = False) -> bytes:
+    """Hand-built uncompressed 24-bit BMP (BGR rows, 4-byte padding)."""
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = px[:, :, ::-1]  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = b"".join(
+        rows[y].tobytes() + b"\x00" * (row_bytes - w * 3) for y in range(h)
+    )
+    hs = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hs, 1, 24, 0, len(body), 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return header + info + body
+
+
+def test_bmp_decode_both_row_orders():
+    from lakehouse_architecture_spark.operators.codecs import decode_bmp
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp_bytes(px)), px)
+    assert np.array_equal(decode_bmp(_bmp_bytes(px, top_down=True)), px)
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_bytes(px)[:-8])  # truncated pixel data
+
+
+def test_bmp_decode_8bit_palette():
+    from lakehouse_architecture_spark.operators.codecs import decode_bmp
+
+    # 2x2 indices into a 2-entry palette; rows padded to 4 bytes,
+    # bottom-up; palette entries are BGRA quads
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])  # red, green (BGR)
+    rows = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # bottom row first
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 2, 0)
+    off = 54 + len(pal)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off) + info
+        + pal + rows
+    )
+    px = decode_bmp(payload)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (0, 255, 0)   # top row = second data row
+    assert tuple(px[1, 1]) == (0, 255, 0)
+    assert tuple(px[1, 0]) == (255, 0, 0)
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Test-side GIF LZW encoder emitting CLEAR + literals + END,
+    mirroring the decoder's code-width growth rule."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    width = min_code_size + 1
+    emit(clear, width)
+    table_len = clear + 2
+    for j, idx in enumerate(indices):
+        emit(idx, width)
+        if j > 0:  # decoder appends an entry per code after the first
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+    emit(end, width)
+    out = bytearray()
+    for k in range(0, len(bits), 8):
+        out.append(sum(b << i for i, b in enumerate(bits[k : k + 8])))
+    return bytes(out)
+
+
+def _gif_bytes(idx: np.ndarray, palette: bytes, interlaced: bool = False) -> bytes:
+    h, w = idx.shape
+    n_colors = len(palette) // 3
+    depth = max((n_colors - 1).bit_length(), 1)
+    lsd_flags = 0x80 | (depth - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, lsd_flags, 0, 0)
+    out += palette + b"\x00" * ((2 << (depth - 1)) * 3 - len(palette))
+    grid = idx
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        grid = idx[order]
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    min_code = max(depth, 2)
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode([int(v) for v in grid.flatten()], min_code)
+    for k in range(0, len(lzw), 255):
+        blk = lzw[k : k + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_plain_and_interlaced():
+    from lakehouse_architecture_spark.operators.codecs import decode_gif
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, size=(10, 6), dtype=np.uint8)
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    got = decode_gif(_gif_bytes(idx, pal))
+    assert np.array_equal(got, expect)
+    got_i = decode_gif(_gif_bytes(idx, pal, interlaced=True))
+    assert np.array_equal(got_i, expect)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)
+
+
+def test_gif_lzw_table_growth_paths():
+    """A stream long enough to force several code-width bumps: the
+    decoder's table-growth / width-transition bookkeeping must stay in
+    lockstep with the (literal-only) encoder across 4->5->...->11 bit
+    widths or the pixel indices shear mid-image."""
+    from lakehouse_architecture_spark.operators.codecs import decode_gif
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    idx = np.tile(np.array([0, 1], dtype=np.uint8), 600).reshape(30, 40)
+    got = decode_gif(_gif_bytes(idx, pal))
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(got, expect)
+
+
+def test_decode_image_full_pixels_for_bmp_and_gif():
+    from lakehouse_architecture_spark.operators.multimodal import decode_image
+
+    px = np.full((4, 4, 3), 100, dtype=np.uint8)
+    out = decode_image(_bmp_bytes(px))
+    assert (out["width"], out["height"]) == (4, 4)
+    assert out["mean_pixel"] == 100.0
+    pal = bytes([10, 10, 10, 30, 30, 30])
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    out = decode_image(_gif_bytes(idx, pal))
+    assert out["mean_pixel"] == 10.0
+
+
 def test_wav_roundtrip_and_rms():
     # full-scale square wave: rms == peak == 1.0 exactly
     sq = np.where(np.arange(1000) % 2 == 0, 32767, -32767).astype(np.int32)
