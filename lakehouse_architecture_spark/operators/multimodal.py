@@ -13,12 +13,15 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
   row order);
 - GIF: FULL first-frame pixel decode (LZW, local/global palettes,
   interlacing);
+- JPEG: FULL baseline (SOF0) decode — Huffman entropy decode,
+  dequant, IDCT, chroma upsampling, restart intervals; progressive
+  (SOF2) and arithmetic-coded streams degrade to header metadata;
 - WAV: FULL integer-PCM decode via the stdlib ``wave`` reader — real
-  RMS/peak loudness, not just header metadata;
-- JPEG: header metadata only. Baseline-JPEG entropy+IDCT decode is
-  the one remaining place a codec library (Pillow) buys something —
-  swapping it in happens inside ``decode_image``, whose contract
-  (bytes in, features out) the tests pin down.
+  RMS/peak loudness, not just header metadata.
+
+A native codec library (Pillow) would still be the production swap-in
+for bulk throughput — the swap happens inside ``decode_image``, whose
+contract (bytes in, features out) the tests pin down.
 
 Unknown magic raises ``NotImplementedError`` — a data-quality signal,
 not silently-null metadata. The deterministic FAKE formats
@@ -135,7 +138,7 @@ def decode_image(payload: bytes) -> dict:
             " + FAKEIMG1 test format)"
         )
     fmt, w, h = parsed
-    if fmt in ("png", "bmp", "gif"):
+    if fmt in ("png", "bmp", "gif", "jpeg"):
         import zlib
 
         from lakehouse_architecture_spark.operators import codecs
@@ -144,6 +147,7 @@ def decode_image(payload: bytes) -> dict:
             "png": codecs.decode_png,
             "bmp": codecs.decode_bmp,
             "gif": codecs.decode_gif,
+            "jpeg": codecs.decode_jpeg,
         }[fmt]
         try:
             px = dec(payload)

@@ -261,6 +261,128 @@ def test_decode_image_full_pixels_for_bmp_and_gif():
     assert out["mean_pixel"] == 10.0
 
 
+# ---- JPEG fixtures: hand-assembled baseline streams with custom tiny
+# Huffman tables, so expected pixels are computable by hand/numpy ----
+
+# DC table: categories 0/1/2 at code length 2 -> "00","01","10"
+_JPG_DC = (bytes([0, 3] + [0] * 14), bytes([0, 1, 2]))
+# AC table: EOB (0x00) and run0/size1 (0x01) at length 2; ZRL unused
+_JPG_AC = (bytes([0, 2] + [0] * 14), bytes([0x00, 0x01]))
+
+
+def _jpeg_segments(w, h, comps, q=16):
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([q] * 64))  # DQT id 0
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + _JPG_DC[0] + _JPG_DC[1])  # DC table 0
+    seg(0xC4, bytes([0x10]) + _JPG_AC[0] + _JPG_AC[1])  # AC table 0
+    sos = bytes([len(comps)])
+    for cid, _hs, _vs in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    return out
+
+
+def _pack_bits(bits: str) -> bytes:
+    bits += "1" * (-len(bits) % 8)  # pad with 1s per spec
+    raw = bytes(int(bits[k : k + 8], 2) for k in range(0, len(bits), 8))
+    return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+
+def _jpeg_bytes(w, h, comps, bits: str, q=16) -> bytes:
+    return bytes(_jpeg_segments(w, h, comps, q) + _pack_bits(bits) + b"\xff\xd9")
+
+
+def _ref_idct(coeff: np.ndarray) -> np.ndarray:
+    """Independent direct-cosine-sum IDCT (orthonormal), for expected
+    pixel values."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+                    cv = np.sqrt(1 / 8) if v == 0 else np.sqrt(2 / 8)
+                    s += (
+                        cu * cv * coeff[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s
+    return out + 128.0
+
+
+def test_jpeg_grayscale_dc_only():
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    # all-zero coefficients: uniform mid-gray 128
+    px = decode_jpeg(_jpeg_bytes(8, 8, [(1, 1, 1)], bits="00" + "00"))
+    assert px.shape == (8, 8, 1)
+    assert np.all(px == 128)
+    # DC diff +2 (category 2, bits "10"): DC=2, q=16 -> uniform
+    # 128 + 32/8 = 132
+    px = decode_jpeg(_jpeg_bytes(8, 8, [(1, 1, 1)], bits="10" + "10" + "00"))
+    assert np.all(px == 132)
+
+
+def test_jpeg_single_ac_coefficient_matches_reference_idct():
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    # DC cat0, then AC (run0,size1) value +1 at zigzag index 1 -> EOB
+    px = decode_jpeg(
+        _jpeg_bytes(8, 8, [(1, 1, 1)], bits="00" + "01" + "1" + "00")
+    )
+    coeff = np.zeros((8, 8))
+    coeff[0, 1] = 16  # dequantized: 1 * q
+    expect = np.clip(np.round(_ref_idct(coeff)), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[:, :, 0], expect)
+
+
+def test_jpeg_color_420_uniform():
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    # 16x16, Y at 2x2 sampling, Cb/Cr at 1x1 (4:2:0). One MCU:
+    # 4 Y blocks (DC 0) then Cb DC +2 then Cr DC 0.
+    bits = ("00" + "00") * 4 + ("10" + "10" + "00") + ("00" + "00")
+    px = decode_jpeg(
+        _jpeg_bytes(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], bits=bits)
+    )
+    assert px.shape == (16, 16, 3)
+    # uniform: y=128, cb=132, cr=128 -> r=128, g=round(128-.344136*4),
+    # b=round(128+1.772*4)
+    assert np.all(px[:, :, 0] == 128)
+    assert np.all(px[:, :, 1] == round(128 - 0.344136 * 4))
+    assert np.all(px[:, :, 2] == round(128 + 1.772 * 4))
+
+
+def test_jpeg_rejects_progressive():
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    raw = bytearray(_jpeg_bytes(8, 8, [(1, 1, 1)], bits="0000"))
+    idx = bytes(raw).find(b"\xff\xc0")
+    raw[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(raw))
+
+
+def test_decode_image_real_jpeg_pixels():
+    from lakehouse_architecture_spark.operators.multimodal import decode_image
+
+    out = decode_image(_jpeg_bytes(8, 8, [(1, 1, 1)], bits="00" + "00"))
+    assert (out["width"], out["height"], out["mean_pixel"]) == (8, 8, 128.0)
+
+
 def test_wav_roundtrip_and_rms():
     # full-scale square wave: rms == peak == 1.0 exactly
     sq = np.where(np.arange(1000) % 2 == 0, 32767, -32767).astype(np.int32)
