@@ -564,6 +564,71 @@ def _decode_scan(
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Extract the JPEG payload of every video frame from an MJPEG AVI
+    (RIFF container): walks the chunk tree to the ``movi`` list and
+    collects ``..dc``/``..db`` stream chunks. Returns raw JPEG bytes
+    per frame (decode with :func:`decode_jpeg`). Non-AVI input raises
+    ``ValueError``; an AVI whose frames aren't JPEG simply yields
+    chunks that ``decode_jpeg`` will reject."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body_start = i + 8
+            if cid == b"LIST":
+                ltype = payload[body_start : body_start + 4]
+                if ltype in (b"movi", b"rec "):
+                    walk(body_start + 4, body_start + clen)
+            elif cid[2:4] in (b"dc", b"db") and clen > 0:
+                frames.append(payload[body_start : body_start + clen])
+            i = body_start + clen + (clen & 1)  # word-aligned
+
+    walk(12, len(payload))
+    return frames
+
+
+def sample_mjpeg_avi(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Decode every ``every_n``-th frame of an MJPEG AVI to pixel
+    arrays — the REAL frame-sampling path behind the video plumbing in
+    operators/multimodal.py."""
+    return [
+        decode_jpeg(f) for f in avi_mjpeg_frames(payload)[::every_n]
+    ]
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 25) -> bytes:
+    """Minimal MJPEG AVI writer (enough container for the reader and
+    for test fixtures): avih + one video stream + movi chunks."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1000000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 0, 0, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> dict:
     """Decode integer-PCM WAV bytes to samples + features.
 

@@ -16,6 +16,9 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
 - JPEG: FULL baseline (SOF0) decode — Huffman entropy decode,
   dequant, IDCT, chroma upsampling, restart intervals; progressive
   (SOF2) and arithmetic-coded streams degrade to header metadata;
+- VIDEO: real frame sampling for MJPEG-AVI (RIFF container walk +
+  per-frame JPEG decode, ``extract_video_frame_features``); other
+  containers remain the native-codec swap-point;
 - WAV: FULL integer-PCM decode via the stdlib ``wave`` reader — real
   RMS/peak loudness, not just header metadata.
 
@@ -249,10 +252,64 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
     return df.mapInPandas(fn, schema=df.schema)
 
 
+VIDEO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_width", IntegerType(), True),
+        StructField("frame_height", IntegerType(), True),
+        StructField("frame_mean_pixel", StringType(), True),
+    ]
+)
+
+
+def extract_video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """mapInPandas stage: REAL frame sampling for MJPEG-AVI payloads —
+    container walk + baseline-JPEG decode of every ``every_n``-th frame
+    (operators/codecs.py), one output row per sampled frame with pixel
+    statistics. Non-AVI payloads and undecodable frames are skipped
+    (scraped-corpus tolerance); containers Spark can't crack stay the
+    documented native-codec swap-point."""
+    from lakehouse_architecture_spark.operators.codecs import (
+        avi_mjpeg_frames,
+        decode_jpeg,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "frame_width", "frame_height",
+                "frame_mean_pixel",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    frames = avi_mjpeg_frames(bytes(p))
+                except ValueError:
+                    continue
+                for k, fr in enumerate(frames[::every_n]):
+                    try:
+                        px = decode_jpeg(fr)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(k * every_n)
+                    rows["frame_width"].append(px.shape[1])
+                    rows["frame_height"].append(px.shape[0])
+                    rows["frame_mean_pixel"].append(f"{px.mean():.4f}")
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, schema=VIDEO_FRAME_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(df: DataFrame, every_ms: int) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
-    timestamp (explode on a computed sequence — JVM-side; the stubbed
-    part is only the eventual frame decode)."""
+    timestamp (explode on a computed sequence — JVM-side; pairs with
+    extract_video_frame_features for payloads the pure MJPEG-AVI path
+    can decode)."""
     frames = df.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(

@@ -383,6 +383,30 @@ def test_decode_image_real_jpeg_pixels():
     assert (out["width"], out["height"], out["mean_pixel"]) == (8, 8, 128.0)
 
 
+def test_avi_mjpeg_frame_sampling():
+    """Round-trip: pack hand-built JPEG frames into an MJPEG AVI,
+    sample every 2nd frame, decode to known pixel values."""
+    from lakehouse_architecture_spark.operators.codecs import (
+        avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        sample_mjpeg_avi,
+    )
+
+    # 4 frames of uniform gray at distinct DC levels (128 and 132)
+    f128 = _jpeg_bytes(8, 8, [(1, 1, 1)], bits="00" + "00")
+    f132 = _jpeg_bytes(8, 8, [(1, 1, 1)], bits="10" + "10" + "00")
+    avi = encode_avi_mjpeg([f128, f132, f128, f132])
+    assert avi_mjpeg_frames(avi) == [f128, f132, f128, f132]
+    sampled = sample_mjpeg_avi(avi, every_n=2)
+    assert len(sampled) == 2
+    assert np.all(sampled[0] == 128)
+    assert np.all(sampled[1] == 128)  # frames 0 and 2
+    allf = sample_mjpeg_avi(avi)
+    assert np.all(allf[1] == 132)
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(b"RIFFxxxxWAVEnope")
+
+
 def test_wav_roundtrip_and_rms():
     # full-scale square wave: rms == peak == 1.0 exactly
     sq = np.where(np.arange(1000) % 2 == 0, 32767, -32767).astype(np.int32)
@@ -428,6 +452,35 @@ def test_spark_resize_stage_really_resizes_png(spark):
     ).collect()[0]
     assert (feats.decoded_width, feats.decoded_height) == (12, 16)
     assert feats.mean_pixel == f"{resize_nearest(px, 16).mean():.4f}"
+
+
+def test_spark_video_frame_features(spark):
+    """The video stage decodes sampled MJPEG-AVI frames with real
+    pixel stats and skips undecodable payloads."""
+    from lakehouse_architecture_spark.operators.codecs import encode_avi_mjpeg
+    from lakehouse_architecture_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frame_features,
+    )
+
+    f128 = _jpeg_bytes(8, 8, [(1, 1, 1)], bits="00" + "00")
+    f132 = _jpeg_bytes(8, 8, [(1, 1, 1)], bits="10" + "10" + "00")
+    avi = encode_avi_mjpeg([f128, f132, f128])
+    df = spark.createDataFrame(
+        [
+            (1, "video", "avi", bytearray(avi), None, None, 120),
+            (2, "video", "???", bytearray(b"garbage"), None, None, 10),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        extract_video_frame_features(df, every_n=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.media_id, r.frame_idx, r.frame_mean_pixel) for r in rows] == [
+        (1, 0, "128.0000"),
+        (1, 2, "128.0000"),
+    ]
 
 
 def test_spark_audio_features_real_rms(spark):
