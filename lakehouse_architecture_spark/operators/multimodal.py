@@ -120,13 +120,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None] | N
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode: FULL pixel decode for PNG (operators/codecs.py —
-    mean_pixel is the real mean over all channels) and the
-    deterministic FAKEIMG1 test format; header-only width/height for
-    JPEG/GIF/BMP (mean_pixel None until a codec library is swapped in
-    here). Unknown magic raises — a data-quality signal, not
-    silently-null metadata. A PNG variant the pure decoder doesn't
-    cover (16-bit, interlaced) degrades to header metadata."""
+    """Image decode: FULL pixel decode for PNG, BMP, GIF and baseline
+    JPEG (operators/codecs.py — mean_pixel is the real mean over all
+    channels) and the deterministic FAKEIMG1 test format. Unknown
+    magic raises — a data-quality signal, not silently-null metadata.
+    A variant the pure decoders don't cover (16-bit/interlaced PNG,
+    progressive JPEG, compressed BMP) or corrupt pixel data degrades
+    to header width/height with mean_pixel None."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}
     if payload.startswith(_MAGIC):
