@@ -57,6 +57,7 @@ _PRIORITY = [
     "minhash_estimate_qa",               # new (estimator-accuracy QA)
     "emb_ivf_probe_stats",               # new (measured IVF pruning)
     "emb_knn_ivf_md5",                   # new (oracle-checked IVF search)
+    "lineitem_unpivot_measure_stats",    # new (native unpivot melt)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -819,3 +819,53 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_pop_price_qty"
         ),
     )
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+UNPIVOT_ORACLE = f"""
+WITH melted AS (
+  {" UNION ALL ".join(
+      f"SELECT '{m}' AS measure, CAST({m} AS DECIMAL(18,4)) AS v FROM lineitem"
+      for m in _UNPIVOT_MEASURES
+  )}
+)
+SELECT measure,
+       COUNT(*) AS n,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       CAST(SUM(v) AS DOUBLE) AS sum_v
+FROM melted GROUP BY measure
+"""
+
+
+@query("lineitem_unpivot_measure_stats", oracle=UNPIVOT_ORACLE)
+def lineitem_unpivot_measure_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNPIVOT (wide -> long melt): the four lineitem measures become
+    (measure, value) rows via Spark's native ``unpivot`` operator, then
+    per-measure stats — the reshaping step feature/metric pipelines run
+    before generic per-metric aggregation. The oracle melts with UNION
+    ALL (portable SQL); Spark uses the real operator, which Catalyst
+    expands without re-scanning per measure. Determinism: values are
+    decimal(18,4) before melting, so MIN/MAX are exact and SUM is an
+    order-independent decimal fold cast to double at the end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.col(m).cast("decimal(18,4)").alias(m)
+            for m in _UNPIVOT_MEASURES
+        ]
+    )
+    melted = li.unpivot(
+        ids=[],
+        values=_UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        F.sum("v").cast("double").alias("sum_v"),
+    )
