@@ -58,6 +58,8 @@ _PRIORITY = [
     "emb_ivf_probe_stats",               # new (measured IVF pruning)
     "emb_knn_ivf_md5",                   # new (oracle-checked IVF search)
     "lineitem_unpivot_measure_stats",    # new (native unpivot melt)
+    "window_first_last_dense",           # new (first/last_value windows)
+    "stats_skew_kurtosis_qty",           # new (exact higher moments)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

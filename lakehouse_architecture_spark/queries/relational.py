@@ -869,3 +869,113 @@ def lineitem_unpivot_measure_stats(
         F.max("v").cast("double").alias("max_v"),
         F.sum("v").cast("double").alias("sum_v"),
     )
+
+
+@query(
+    "window_first_last_dense",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK() OVER w AS price_dense_rank,
+       CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS first_price,
+       CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+         (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+         AS last_price
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey)
+""",
+)
+def window_first_last_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / DENSE_RANK — the remaining core
+    window functions: cheapest and priciest order per customer beside
+    each row's dense price rank. LAST_VALUE uses the full-partition
+    frame (the default running frame makes it just "current row" — the
+    classic gotcha, avoided identically on both engines); ordering
+    ties break on the key so every output is deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 50 == 0
+    )
+    p = F.col("o_totalprice").cast("decimal(18,4)")
+    w = Window.partitionBy("o_custkey").orderBy(p, F.col("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.first(p).over(w).cast("double").alias("first_price"),
+        F.last(p).over(wfull).cast("double").alias("last_price"),
+    )
+
+
+@query(
+    "stats_skew_kurtosis_qty",
+    oracle="""
+WITH q AS (
+  SELECT CAST(l_quantity AS DECIMAL(9,4)) AS q1 FROM lineitem
+),
+p AS (
+  SELECT q1,
+         CAST(q1 * q1 AS DECIMAL(15,8)) AS q2
+  FROM q
+),
+pp AS (
+  SELECT q1, q2, CAST(q2 * q1 AS DECIMAL(19,12)) AS q3 FROM p
+),
+s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(q1) AS DOUBLE) AS s1,
+    CAST(SUM(q2) AS DOUBLE) AS s2,
+    CAST(SUM(q3) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(q3 * q1 AS DECIMAL(25,16))) AS DOUBLE) AS s4
+  FROM pp
+)
+SELECT n,
+  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+    / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 0), 1.5), 6) AS skewness,
+  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+         - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+    / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 0), 2) - 3.0, 6) AS excess_kurtosis
+FROM s
+""",
+)
+def stats_skew_kurtosis_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of order quantity from
+    EXACT decimal raw moments (the corr/covar pattern extended to 3rd
+    and 4th powers) — never the engine's own skewness()/kurtosis()
+    whose single-pass accumulation is nondeterministic distributed.
+    The factor types are deliberately NARROW (decimal(9,4) — quantity
+    is bounded far below 10^5) so every stepwise product fits inside
+    precision 38 on BOTH engines with no scale reduction: wide factor
+    types make Spark silently round scale and DuckDB overflow
+    outright. GREATEST clamps the variance term like the z-score/corr
+    sites. One partial-aggregated scan, 1-row result, rounded to 6
+    places (the raw-moment formulas are evaluated identically from
+    identical doubles on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q1 = F.col("l_quantity").cast("decimal(9,4)")
+    q2 = (q1 * q1).cast("decimal(15,8)")
+    q3 = (q2 * q1).cast("decimal(19,12)")
+    q4 = (q3 * q1).cast("decimal(25,16)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q1).cast("double").alias("s1"),
+        F.sum(q2).cast("double").alias("s2"),
+        F.sum(q3).cast("double").alias("s3"),
+        F.sum(q4).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1, m2 = F.col("s1") / n, F.col("s2") / n
+    m3, m4 = F.col("s3") / n, F.col("s4") / n
+    var = F.greatest(m2 - m1 * m1, F.lit(0.0))
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / F.pow(var, 2.0) - 3.0
+    return s.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
