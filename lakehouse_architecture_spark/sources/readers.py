@@ -85,6 +85,32 @@ def read_json_typed(
     return reader.load(path)
 
 
+def read_xml_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Read XML (native Spark 4 source) against a declared schema,
+    PERMISSIVE with ``_corrupt_record`` — the same no-inference,
+    bad-rows-preserved contract as :func:`read_csv_typed`. ``row_tag``
+    names the repeated element that maps to one row. Avro remains
+    env-blocked here (spark-avro is an external module and this build
+    has no JAR network); on a cluster it is one ``--packages`` flag
+    with the identical read pattern."""
+    read_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(read_schema)
+        .load(path)
+    )
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -97,6 +97,34 @@ def test_read_json_typed_corrupt_capture(spark, tmp_path):
     assert corrupt.collect()[0]._corrupt_record.startswith("{this")
 
 
+def test_read_xml_typed(spark, tmp_path):
+    """Native Spark-4 XML source with the engine's typed PERMISSIVE
+    contract: declared schema, no inference, malformed rows captured."""
+    from lakehouse_architecture_spark.sources.readers import read_xml_typed
+
+    p = tmp_path / "orders.xml"
+    p.write_text(
+        "<orders>"
+        "<order><order_num>90</order_num><order_id>501</order_id>"
+        "<user_id>1990</user_id>"
+        "<order_timestamp>2025-04-01T11:27:00</order_timestamp>"
+        "<total_amount>229.53</total_amount><date>2025-04-01</date></order>"
+        "<order><order_num>bad-int</order_num><order_id>502</order_id>"
+        "<user_id>2</user_id>"
+        "<order_timestamp>2025-04-02T10:00:00</order_timestamp>"
+        "<total_amount>1.0</total_amount><date>2025-04-02</date></order>"
+        "</orders>"
+    )
+    df = read_xml_typed(spark, str(p), ORDERS_SCHEMA, row_tag="order")
+    parsed, corrupt = split_corrupt(df)
+    good = parsed.filter("order_num IS NOT NULL").collect()
+    assert [r.order_id for r in good] == [501]
+    assert good[0].total_amount == 229.53
+    # the malformed row is captured, not silently dropped
+    assert corrupt.count() == 1
+    assert "bad-int" in corrupt.collect()[0]._corrupt_record
+
+
 def test_snapshot_diff_classifies(spark):
     from lakehouse_architecture_spark.operators.diff import snapshot_diff
 
