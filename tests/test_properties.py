@@ -141,3 +141,60 @@ def test_dedupe_by_key_keeps_min_and_is_idempotent(spark, rows):
     assert {(r.k, r.v) for r in dedupe_by_key(out_df, ["k"]).collect()} == set(
         expect.items()
     )
+
+
+# ---- pure-Python codec properties (no Spark round-trip: fast, so the
+# example budget can be larger) ----
+
+_codec_settings = settings(max_examples=40, deadline=None)
+
+
+@_codec_settings
+@given(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.integers(min_value=0, max_value=2**32 - 1),  # content seed
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """encode_png -> decode_png is the identity for every uint8 array
+    shape the encoder accepts."""
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@_codec_settings
+@given(
+    st.integers(min_value=1, max_value=500),  # frames
+    st.sampled_from([1, 2]),                  # channels
+    st.sampled_from([1, 2, 4]),               # sample width (bytes)
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, ch, width, seed):
+    """encode_wav -> decode_wav preserves rate, frame count, channel
+    shape and the exact sample values for every PCM width."""
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    if width == 1:
+        s = rng.integers(0, 256, size=(n, ch))
+    else:
+        full = 2 ** (8 * width - 1) - 1
+        s = rng.integers(-full - 1, full + 1, size=(n, ch))
+    d = decode_wav(encode_wav(s, 16000, sampwidth=width))
+    assert (d["sample_rate"], d["n_samples"], d["n_channels"]) == (16000, n, ch)
+    expect = s - 128 if width == 1 else s
+    assert np.array_equal(d["samples"], expect)
