@@ -934,10 +934,12 @@ s AS (
 )
 SELECT n,
   ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-    / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 0), 1.5), 6) AS skewness,
+    / (GREATEST(s2/n - (s1/n)*(s1/n), 0)
+       * SQRT(GREATEST(s2/n - (s1/n)*(s1/n), 0))), 6) AS skewness,
   ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-    / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 0), 2) - 3.0, 6) AS excess_kurtosis
+    / (GREATEST(s2/n - (s1/n)*(s1/n), 0)
+       * GREATEST(s2/n - (s1/n)*(s1/n), 0)) - 3.0, 6) AS excess_kurtosis
 FROM s
 """,
 )
@@ -951,9 +953,12 @@ def stats_skew_kurtosis_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision 38 on BOTH engines with no scale reduction: wide factor
     types make Spark silently round scale and DuckDB overflow
     outright. GREATEST clamps the variance term like the z-score/corr
-    sites. One partial-aggregated scan, 1-row result, rounded to 6
-    places (the raw-moment formulas are evaluated identically from
-    identical doubles on both engines)."""
+    sites. var^1.5 and var^2 are spelled var*sqrt(var) and var*var —
+    multiply and sqrt are IEEE-exact on both engines, where POWER is a
+    libm call whose 1-ulp drift is exactly the class that bit the
+    tfidf float column. One partial-aggregated scan, 1-row result,
+    rounded to 6 places (the raw-moment formulas are evaluated
+    identically from identical doubles on both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
     q1 = F.col("l_quantity").cast("decimal(9,4)")
     q2 = (q1 * q1).cast("decimal(15,8)")
@@ -970,10 +975,10 @@ def stats_skew_kurtosis_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1, m2 = F.col("s1") / n, F.col("s2") / n
     m3, m4 = F.col("s3") / n, F.col("s4") / n
     var = F.greatest(m2 - m1 * m1, F.lit(0.0))
-    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
     kurt = (
         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
-    ) / F.pow(var, 2.0) - 3.0
+    ) / (var * var) - 3.0
     return s.select(
         "n",
         F.round(skew, 6).alias("skewness"),
