@@ -92,15 +92,19 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = row
         elif f == 2:  # Up
             cur = (row + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif f == 1:  # Sub: per-channel prefix sum (vectorized — the
+            # recurrence cur[x] = row[x] + cur[x-ch] mod 256 is a
+            # cumsum over each stride-ch residue class)
+            cur = row.copy()
+            for r in range(ch):
+                cur[r::ch] = np.cumsum(row[r::ch], dtype=np.int64) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: inherently sequential in x
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0
                 b = int(prev[x])
                 c = int(prev[x - ch]) if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:
                     p = a + b - c
