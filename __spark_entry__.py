@@ -60,6 +60,9 @@ _PRIORITY = [
     "lineitem_unpivot_measure_stats",    # new (native unpivot melt)
     "window_first_last_dense",           # new (first/last_value windows)
     "stats_skew_kurtosis_qty",           # new (exact higher moments)
+    "docs_dedup_savings_report",         # new (dedup byte savings)
+    "events_user_lifetime",              # new (per-entity lifetime)
+    "orders_rfm_segments",               # new (RFM quartile segmentation)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

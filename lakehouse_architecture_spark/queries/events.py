@@ -553,3 +553,39 @@ def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("t24_buckets"),
         )
     )
+
+
+@query(
+    "events_user_lifetime",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+         AS lifetime_days
+FROM events
+WHERE user_id % 20 = 0
+GROUP BY user_id
+""",
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary — first/last touch, event count,
+    distinct active days, calendar lifespan: the per-entity profile
+    table every engagement/churn analysis starts from. One partial-
+    aggregated shuffle on user_id; timestamps render through the
+    engine-neutral formatted string and day math is exact integer
+    DATEDIFF."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+            "lifetime_days"
+        ),
+    )

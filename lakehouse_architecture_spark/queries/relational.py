@@ -984,3 +984,69 @@ def stats_skew_kurtosis_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders
+  WHERE o_custkey % 100 = 0
+  GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+FROM base
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order vs
+    the corpus max date), frequency and decimal-exact monetary value,
+    each quartiled with NTILE over a deterministic (metric, custkey)
+    order: the classic marketing-analytics segmentation shape, and the
+    pattern any per-entity score bucketing reduces to. The corpus max
+    date is a 1-row broadcast; the customer aggregate is one
+    partial-aggregated shuffle; the three quartile windows sort only
+    the per-customer rollup (tiny vs the fact table)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    maxd = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("corpus_max_date")
+    )
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("corpus_max_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )

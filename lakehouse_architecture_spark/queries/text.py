@@ -421,3 +421,47 @@ def docs_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (end - F.col("chunk_idx") * _CHUNK_STRIDE).alias("n_chunk_tokens"),
         )
     )
+
+
+@query(
+    "docs_dedup_savings_report",
+    oracle=f"""
+WITH g AS (
+  SELECT md5({SQL_NORM}) AS h,
+         COUNT(*) AS n,
+         SUM(n_chars) AS bytes_g,
+         arg_min(n_chars, doc_id) AS canon_bytes
+  FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(bytes_g) AS BIGINT) AS bytes_total,
+       CAST(SUM(canon_bytes) AS BIGINT) AS bytes_after_exact,
+       CAST(SUM(bytes_g) - SUM(canon_bytes) AS BIGINT) AS bytes_saved
+FROM g
+""",
+)
+def docs_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case as one integer row: how many documents
+    and how many bytes exact dedup removes, with the kept bytes being
+    the CANONICAL (min doc_id) member's — the "what did dedup buy us"
+    report every curation pipeline publishes. One groupBy on the
+    content hash + a 1-row rollup; min_by picks the canonical member's
+    size without a join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(content_hash(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("bytes_g"),
+        F.min_by("n_chars", "doc_id").alias("canon_bytes"),
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.sum("bytes_g").cast("long").alias("bytes_total"),
+        F.sum("canon_bytes").cast("long").alias("bytes_after_exact"),
+        (F.sum("bytes_g") - F.sum("canon_bytes"))
+        .cast("long")
+        .alias("bytes_saved"),
+    )
