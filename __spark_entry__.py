@@ -63,6 +63,7 @@ _PRIORITY = [
     "docs_dedup_savings_report",         # new (dedup byte savings)
     "events_user_lifetime",              # new (per-entity lifetime)
     "orders_rfm_segments",               # new (RFM quartile segmentation)
+    "minhash_recall_curve",              # new (measured LSH recall)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

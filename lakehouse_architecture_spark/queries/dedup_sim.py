@@ -904,3 +904,98 @@ def docs_incremental_near_dups_indexed(
     return minhash_lsh_incremental_indexed(
         new, idx, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
     )
+
+
+# Recall curve: for each candidate Jaccard threshold, how many true
+# near-dup pairs exist (exact inverted-index count) and how many of
+# them the banded-LSH pipeline surfaces (candidates that verify at the
+# threshold). Integer-only compared surface; the ratio IS the measured
+# recall the (num_hashes, band_size) knobs trade against cost.
+MINHASH_RECALL_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SHC_CTE},
+sigs AS (SELECT doc, {_SIGS_SQL} FROM sh GROUP BY doc),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
+exact AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.doc_a, e.doc_b,
+         CAST(e.n_common AS DOUBLE) / (za.n + zb.n - e.n_common) AS j,
+         (c.doc_a IS NOT NULL) AS found
+  FROM exact e
+  JOIN sizes za ON za.doc = e.doc_a
+  JOIN sizes zb ON zb.doc = e.doc_b
+  LEFT JOIN cands c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+),
+t(threshold_pct) AS (VALUES (30), (50), (70), (90))
+SELECT t.threshold_pct,
+       COUNT(*) FILTER (WHERE j >= t.threshold_pct / 100.0)
+         AS n_true_pairs,
+       COUNT(*) FILTER (WHERE j >= t.threshold_pct / 100.0 AND found)
+         AS n_lsh_found
+FROM scored, t
+GROUP BY t.threshold_pct
+"""
+
+
+@query("minhash_recall_curve", oracle=MINHASH_RECALL_ORACLE)
+def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall curve, measured not assumed: per Jaccard threshold
+    (30/50/70/90%), the EXACT number of true near-dup pairs (inverted
+    index, DF-capped) beside how many of them the banded MinHash
+    pipeline's candidate set contains — n_lsh_found/n_true_pairs is
+    the recall the LSH S-curve promises (higher at higher thresholds
+    by construction). This is the table that justifies a (num_hashes,
+    band_size) choice at 100 TB, where running the exact pair join is
+    exactly what LSH exists to avoid; at test SF both sides are
+    cross-engine checked. Integer-only compared surface."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        candidate_pairs,
+        capped_gram_arrays,
+        gram_arrays,
+        lsh_band_keys,
+        minhash_signatures_from_grams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gram_arrays(docs, "text", "doc_id").cache()
+    cands = candidate_pairs(
+        lsh_band_keys(minhash_signatures_from_grams(g, 8), 8, 2)
+    ).withColumn("found", F.lit(True))
+    gv = capped_gram_arrays(g, MAX_DOC_FREQ).cache()
+    sh = gv.select(
+        "doc", F.size("grams").alias("n"), F.explode("grams").alias("shingle")
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle")
+    j = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    scored = (
+        sa.join(sb, (sa.shingle == sb.shingle) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cands, ["doc_a", "doc_b"], "left_outer")
+        .select(j.alias("j"), F.coalesce("found", F.lit(False)).alias("found"))
+    )
+    thresholds = spark.createDataFrame(
+        [(30,), (50,), (70,), (90,)], "threshold_pct int"
+    )
+    hit = F.col("j") >= F.col("threshold_pct") / 100.0
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count_if(hit).alias("n_true_pairs"),
+            F.count_if(hit & F.col("found")).alias("n_lsh_found"),
+        )
+    )
