@@ -364,7 +364,50 @@ def test_jpeg_color_420_uniform():
     assert np.all(px[:, :, 2] == round(128 + 1.772 * 4))
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_restart_intervals_reset_dc_prediction():
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    # 16x8 grayscale = 2 MCUs with DRI=1: each MCU is its own entropy
+    # segment; the DC predictor resets at the RST marker, so two
+    # identical DC-diff codes yield the SAME level twice (without the
+    # reset the second block would accumulate to 136).
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    seg(0xDB, bytes([0]) + bytes([16] * 64))
+    seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + _JPG_DC[0] + _JPG_DC[1])
+    seg(0xC4, bytes([0x10]) + _JPG_AC[0] + _JPG_AC[1])
+    seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    mcu = _pack_bits("10" + "10" + "00")  # DC diff +2, EOB
+    out += mcu + b"\xff\xd0" + mcu + b"\xff\xd9"
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (8, 16, 1)
+    assert np.all(px == 132)  # both MCUs at DC=2, predictor reset
+
+
+def test_gif_animated_first_frame_and_extensions():
+    """Graphic-control extensions are skipped and only the FIRST frame
+    of an animation is decoded."""
+    from lakehouse_architecture_spark.operators.codecs import decode_gif
+
+    pal = bytes([7, 7, 7, 200, 200, 200])
+    f0 = np.zeros((3, 3), dtype=np.uint8)
+    f1 = np.ones((3, 3), dtype=np.uint8)
+    base = bytearray(_gif_bytes(f0, pal))
+    # splice: [header+lsd+gct] [GCE ext] [img0] [GCE ext] [img1] [trailer]
+    hdr_end = 13 + len(pal)
+    img0 = bytes(base[hdr_end:-1])  # image block without trailer
+    img1 = bytes(bytearray(_gif_bytes(f1, pal))[hdr_end:-1])
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphic control ext
+    animated = bytes(base[:hdr_end]) + gce + img0 + gce + img1 + b"\x3b"
+    px = decode_gif(animated)
+    assert np.all(px == 7)  # first frame's palette entry 0
     import pytest as _pytest
 
     from lakehouse_architecture_spark.operators.codecs import decode_jpeg
