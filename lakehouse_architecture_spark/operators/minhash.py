@@ -442,6 +442,7 @@ def minhash_lsh_dedupe(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH).
 
@@ -461,21 +462,29 @@ def minhash_lsh_dedupe(
     Cache lifetime: the internal ``.cache()`` on the gram relation(s)
     lives until the session ends or ``spark.catalog.clearCache()`` —
     the CALLER owns release. A long-lived session running repeated
-    dedup passes should use :class:`MinHashCorpusIndex` +
-    :func:`minhash_lsh_incremental_indexed`, whose persistence is
-    explicit (``index.persist()`` / ``index.unpersist()``).
+    dedup passes over CHANGING inputs (each new input plan is a new
+    cache entry that never hits again) must pass
+    ``persist_intermediate=False`` — the gram lineage is then
+    recomputed by its 2-3 consumers instead of leaking one cache entry
+    per invocation; the streaming ingest job does exactly this, and
+    repeated passes over the SAME corpus should use
+    :class:`MinHashCorpusIndex` + :func:`minhash_lsh_incremental_indexed`,
+    whose persistence is explicit (``index.persist()``/``unpersist()``).
     """
-    g = gram_arrays(df, text_col, id_col, shingle_n).cache()
+    g = gram_arrays(df, text_col, id_col, shingle_n)
+    if persist_intermediate:
+        g = g.cache()
     sigs = minhash_signatures_from_grams(g, num_hashes)
     bands = lsh_band_keys(sigs, num_hashes, band_size)
     pairs = candidate_pairs(bands)
     # The verify relation is read twice (ga and gb sides) — cache the
     # capped projection so the stop-list agg + array_except run once.
-    gv = (
-        g
-        if max_doc_freq is None
-        else capped_gram_arrays(g, max_doc_freq).cache()
-    )
+    if max_doc_freq is None:
+        gv = g
+    else:
+        gv = capped_gram_arrays(g, max_doc_freq)
+        if persist_intermediate:
+            gv = gv.cache()
     return (
         jaccard_verify_arrays(pairs, gv)
         .filter(F.col("jaccard") >= threshold)

@@ -132,10 +132,15 @@ def stream_near_dup_ingest(
             threshold=threshold, max_doc_freq=max_doc_freq,
         ).select(F.col("new_doc").alias(id_col)).distinct()
         s1 = batch_df.join(corpus_dups, id_col, "left_anti")
+        # persist_intermediate=False: each micro-batch is a NEW plan,
+        # so the operator's convenience caches would leak one entry per
+        # batch for the stream's lifetime (the batch-sized recompute is
+        # the cheap side of that trade).
         self_dups = (
             minhash_lsh_dedupe(
                 s1, text_col, id_col,
                 threshold=threshold, max_doc_freq=max_doc_freq,
+                persist_intermediate=False,
             )
             .select(F.col("doc_b").alias(id_col))
             .distinct()
