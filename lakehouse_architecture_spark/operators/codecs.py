@@ -37,6 +37,21 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# The full set of exceptions a CORRUPT (not merely unsupported) stream
+# can raise out of these decoders: malformed structures surface as
+# ValueError, but truncated segments hit struct/IndexError, bad table
+# references hit KeyError, and bad deflate streams hit zlib.error.
+# Batch stages that must tolerate scraped garbage catch THIS, not a
+# hand-maintained subset.
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    KeyError,
+    IndexError,
+    struct.error,
+    zlib.error,
+)
+
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a baseline PNG to a (height, width, channels) uint8 array.

@@ -142,8 +142,6 @@ def decode_image(payload: bytes) -> dict:
         )
     fmt, w, h = parsed
     if fmt in ("png", "bmp", "gif", "jpeg"):
-        import zlib
-
         from lakehouse_architecture_spark.operators import codecs
 
         dec = {
@@ -159,7 +157,7 @@ def decode_image(payload: bytes) -> dict:
                 "height": int(px.shape[0]),
                 "mean_pixel": float(px.mean()),
             }
-        except (NotImplementedError, ValueError, zlib.error):
+        except codecs.DECODE_ERRORS:
             # unsupported variant / truncated-or-corrupt pixel data
             # (common in scraped corpora): header metadata still stands
             pass
@@ -216,6 +214,7 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
     feature extraction so stages compose in a pipeline:
     decode -> resize -> re-encode -> feature-extract."""
     from lakehouse_architecture_spark.operators.codecs import (
+        DECODE_ERRORS,
         decode_png,
         encode_png,
         resize_nearest,
@@ -229,11 +228,9 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
             heights = list(pdf["height"])
             for j, p in enumerate(payloads):
                 if p is not None and bytes(p[:8]) == b"\x89PNG\r\n\x1a\n":
-                    import zlib
-
                     try:
                         px = resize_nearest(decode_png(bytes(p)), max_dim)
-                    except (NotImplementedError, ValueError, zlib.error):
+                    except DECODE_ERRORS:
                         continue  # 16-bit/interlaced/corrupt: untouched
                     payloads[j] = bytearray(encode_png(px))
                     heights[j], widths[j] = px.shape[0], px.shape[1]
@@ -271,6 +268,7 @@ def extract_video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
     (scraped-corpus tolerance); containers Spark can't crack stay the
     documented native-codec swap-point."""
     from lakehouse_architecture_spark.operators.codecs import (
+        DECODE_ERRORS,
         avi_mjpeg_frames,
         decode_jpeg,
     )
@@ -291,7 +289,7 @@ def extract_video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
                 for k, fr in enumerate(frames[::every_n]):
                     try:
                         px = decode_jpeg(fr)
-                    except (ValueError, NotImplementedError):
+                    except DECODE_ERRORS:
                         continue
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(k * every_n)

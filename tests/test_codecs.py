@@ -450,6 +450,27 @@ def test_avi_mjpeg_frame_sampling():
         avi_mjpeg_frames(b"RIFFxxxxWAVEnope")
 
 
+def test_decode_image_survives_corrupt_streams():
+    """Scraped-corpus posture: random garbage behind every known magic
+    must degrade (header metadata or NotImplementedError), never leak
+    KeyError/struct.error/IndexError out of a batch stage."""
+    import random
+
+    from lakehouse_architecture_spark.operators.multimodal import decode_image
+
+    random.seed(7)
+    magics = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a", b"BM"]
+    for m in magics:
+        for _ in range(100):
+            junk = m + bytes(
+                random.getrandbits(8) for _ in range(random.randint(0, 120))
+            )
+            try:
+                decode_image(junk)
+            except NotImplementedError:
+                pass  # the one allowed signal
+
+
 def test_wav_roundtrip_and_rms():
     # full-scale square wave: rms == peak == 1.0 exactly
     sq = np.where(np.arange(1000) % 2 == 0, 32767, -32767).astype(np.int32)
