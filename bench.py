@@ -57,6 +57,19 @@ EXTRA = [
     "docs_curation_funnel",
     "docs_incremental_near_dups",
     "docs_incremental_near_dups_indexed",
+    # round-5 additions
+    "docs_dedup_keep_best",
+    "docs_dedup_savings_report",
+    "minhash_estimate_qa",
+    "minhash_recall_curve",
+    "emb_ivf_probe_stats",
+    "emb_knn_ivf_md5",
+    "events_trailing_24h_volume",
+    "events_user_lifetime",
+    "orders_rfm_segments",
+    "lineitem_unpivot_measure_stats",
+    "window_first_last_dense",
+    "stats_skew_kurtosis_qty",
 ]
 
 HEADLINE = [

@@ -63,7 +63,10 @@ def main() -> int:
             .getOrCreate()
         )
     else:
-        spark = get_spark("oracle-check")
+        spark = get_spark(
+            "oracle-check",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
