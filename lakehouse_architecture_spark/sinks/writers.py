@@ -169,11 +169,18 @@ def merge_upsert(
     path: str,
     keys: list[str],
     partition_by: str | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Idempotent MERGE: rows matching on ``keys`` are replaced by the
     update row; new keys are inserted. Re-running the same updates is a
     no-op on row counts (the reference's idempotency contract,
     /root/reference/src/glue_etl.py:339-349).
+
+    Schema drift is LOUD: an update column absent from the target
+    raises unless ``evolve_schema=True``, which adds it (existing rows
+    read back null — Delta's mergeSchema semantics on the parquet
+    fallback). Silently dropping a new column is the one thing a MERGE
+    must never do to a curated zone.
     """
     exists = os.path.exists(path) and any(
         not e.startswith(("_", ".")) for e in os.listdir(path)
@@ -205,7 +212,17 @@ def merge_upsert(
     survivors = affected.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
     )
-    merged = survivors.unionByName(updates.select(*affected.columns))
+    extra = [c for c in updates.columns if c not in affected.columns]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"merge_upsert: update columns {extra} are absent from the "
+            "target; pass evolve_schema=True to add them (existing rows "
+            "read back null) instead of silently dropping them"
+        )
+    if extra:
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = survivors.unionByName(updates.select(*affected.columns))
 
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     write_partitioned(merged, staging, partition_by)

@@ -249,3 +249,33 @@ def test_export_jsonl_shards_manifest_covers_empty_shards(spark, tmp_path):
     assert [(r.shard, r.n_rows, r.n_files) for r in manifest0] == [
         (i, 0, 0) for i in range(4)
     ]
+
+
+def test_merge_upsert_schema_drift_loud_and_evolvable(spark, tmp_path):
+    """A new update column must never be silently dropped: drift raises
+    by default; evolve_schema=True adds the column with nulls for
+    pre-existing rows (Delta mergeSchema semantics on the fallback)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", "2025-01-01"), (2, "b", "2025-01-01")],
+        "id long, v string, date string",
+    )
+    merge_upsert(spark, base, path, ["id"], partition_by="date")
+
+    upd = spark.createDataFrame(
+        [(2, "b2", "2025-01-01", "new")],
+        "id long, v string, date string, extra string",
+    )
+    with pytest.raises(ValueError, match="absent from the target"):
+        merge_upsert(spark, upd, path, ["id"], partition_by="date")
+
+    merge_upsert(
+        spark, upd, path, ["id"], partition_by="date", evolve_schema=True
+    )
+    out = {r.id: (r.v, r.extra) for r in spark.read.parquet(path).collect()}
+    assert out == {1: ("a", None), 2: ("b2", "new")}
