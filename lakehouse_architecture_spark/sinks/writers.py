@@ -180,7 +180,10 @@ def merge_upsert(
     raises unless ``evolve_schema=True``, which adds it (existing rows
     read back null — Delta's mergeSchema semantics on the parquet
     fallback). Silently dropping a new column is the one thing a MERGE
-    must never do to a curated zone.
+    must never do to a curated zone. On the Delta delegate path,
+    evolution is Delta's own concern — enable
+    ``spark.databricks.delta.schema.autoMerge.enabled`` there; this
+    flag governs the parquet fallback only.
     """
     exists = os.path.exists(path) and any(
         not e.startswith(("_", ".")) for e in os.listdir(path)
