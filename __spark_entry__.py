@@ -64,6 +64,8 @@ _PRIORITY = [
     "events_user_lifetime",              # new (per-entity lifetime)
     "orders_rfm_segments",               # new (RFM quartile segmentation)
     "minhash_recall_curve",              # new (measured LSH recall)
+    "events_dow_hour_heatmap",           # new (calendar crosstab)
+    "lineitem_discount_band_profile",    # new (fixed-width histogram)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -589,3 +589,32 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lifetime_days"
         ),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap (Monday=0) — the
+    capacity-planning crosstab every event system draws. Calendar
+    convention is pinned explicitly on both engines (Spark's weekday()
+    and DuckDB's isodow-1 both give Monday=0; the engines' default
+    dayofweek disagree on where Sunday lands — the classic cross-engine
+    calendar bug, avoided by construction). One partial-aggregated
+    shuffle on the 7x24 key space."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

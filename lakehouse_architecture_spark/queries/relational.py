@@ -1050,3 +1050,42 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"),
     )
+
+
+@query(
+    "lineitem_discount_band_profile",
+    oracle="""
+SELECT CAST(FLOOR(CAST(l_discount AS DECIMAL(9,4)) / 0.02) AS INT) AS band,
+       COUNT(*) AS n_items,
+       CAST(MIN(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS band_min,
+       CAST(MAX(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS band_max,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,8)))
+            AS DOUBLE) AS discount_given
+FROM lineitem
+GROUP BY 1
+""",
+)
+def lineitem_discount_band_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-width histogram banding: discounts bucketed into 2-point
+    bands with per-band counts, range and the exact discount dollars
+    given away — the value-distribution profile (width_bucket shape)
+    pricing analytics draws. The band index floors an EXACT decimal
+    quotient, so band edges cannot waver between engines; the dollar
+    sum is an order-independent decimal fold. One partial-aggregated
+    scan over ~6 bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(9,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.groupBy(
+        F.floor(d / 0.02).cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min(d).cast("double").alias("band_min"),
+        F.max(d).cast("double").alias("band_max"),
+        F.sum((p * d).cast("decimal(28,8)")).cast("double").alias(
+            "discount_given"
+        ),
+    )
