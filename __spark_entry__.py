@@ -66,6 +66,8 @@ _PRIORITY = [
     "minhash_recall_curve",              # new (measured LSH recall)
     "events_dow_hour_heatmap",           # new (calendar crosstab)
     "lineitem_discount_band_profile",    # new (fixed-width histogram)
+    "basket_brand_pairs",                # new (market-basket support)
+    "events_type_transitions",           # new (Markov transition counts)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -1089,3 +1089,42 @@ def lineitem_discount_band_profile(
             "discount_given"
         ),
     )
+
+
+@query(
+    "basket_brand_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.brand AS brand_a, b.brand AS brand_b,
+       COUNT(*) AS n_orders_together
+FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+GROUP BY 1, 2
+HAVING COUNT(*) >= 20
+""",
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of part brands appearing in
+    the same order with their support count (>= 20 orders) — the
+    association-mining primitive recommendation pipelines start from.
+    Distinct (order, brand) first bounds the self-join fan-out at
+    brands-per-order choose 2 (brands are low-cardinality, so this
+    stays small at any SF); one shuffle on the order key, then a
+    partial-aggregated pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("brand").alias("brand_b"))
+    return (
+        a.join(b, (a.ok == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 20)
+    )
