@@ -68,6 +68,7 @@ _PRIORITY = [
     "lineitem_discount_band_profile",    # new (fixed-width histogram)
     "basket_brand_pairs",                # new (market-basket support)
     "events_type_transitions",           # new (Markov transition counts)
+    "events_value_p95_by_type",          # new (exact per-group quantile)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -652,3 +652,44 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "events_value_p95_by_type",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, n AS n_events,
+       value AS p95_value
+FROM ranked
+WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+""",
+)
+def events_value_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p95 as the rank-selected MEMBER value (the
+    discrete percentile): row_number over (value, event_id) picks the
+    ceil(0.95 n)-th element per event type — no interpolation, so the
+    engines cannot disagree on convention, and the emitted double is a
+    raw member value, not derived math. The shape generalizes to any
+    per-group exact quantile; one shuffle on the group key serves both
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long")
+    ).select(
+        "event_type", F.col("n").alias("n_events"), F.col("value").alias("p95_value")
+    )
