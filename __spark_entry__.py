@@ -69,6 +69,8 @@ _PRIORITY = [
     "basket_brand_pairs",                # new (market-basket support)
     "events_type_transitions",           # new (Markov transition counts)
     "events_value_p95_by_type",          # new (exact per-group quantile)
+    "orders_cohort_monthly_value",       # new (revenue cohort matrix)
+    "supplier_fulfillment_latency",      # new (SLA latency rollup)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

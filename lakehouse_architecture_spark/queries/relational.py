@@ -1128,3 +1128,98 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .filter(F.col("n_orders_together") >= 20)
     )
+
+
+@query(
+    "orders_cohort_monthly_value",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         date_trunc('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.cohort_month, '%Y-%m') AS cohort_month,
+       strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+       COUNT(DISTINCT o.o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+WHERE f.cohort_month >= DATE '1997-01-01'
+GROUP BY 1, 2
+""",
+)
+def orders_cohort_monthly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort matrix: customers grouped by FIRST-order month,
+    revenue and activity tracked per subsequent order month — the LTV
+    table growth analytics is built on (the events-side retention
+    cohorts count users; this one follows the money). Plan: one
+    aggregate for first-order months (small per-customer relation,
+    broadcast back), then a single partial-aggregated pass over
+    orders; months render as strings so both engines agree exactly and
+    revenue is an order-independent decimal fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month"))
+        .filter(F.col("cohort_month") >= F.lit("1997-01-01").cast("date"))
+    )
+    return (
+        orders.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            ),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "supplier_fulfillment_latency",
+    oracle="""
+SELECT l.l_suppkey,
+       COUNT(*) AS n_shipments,
+       CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+         AS total_ship_lag_days,
+       MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+         AS max_ship_lag_days,
+       COUNT(*) FILTER (
+         WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+       ) AS n_over_90d
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_suppkey % 25 = 0
+GROUP BY l.l_suppkey
+""",
+)
+def supplier_fulfillment_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier fulfillment latency: order-to-ship lag totals/max
+    and the over-90-day SLA-breach count — the logistics rollup
+    (integer DATEDIFF only, so the compared surface is exact;
+    consumers derive the mean as total/n). The selective supplier
+    filter pushes below the join; one partial-aggregated shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") % 25 == 0
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum(lag).cast("long").alias("total_ship_lag_days"),
+            F.max(lag).alias("max_ship_lag_days"),
+            F.count_if(lag > 90).alias("n_over_90d"),
+        )
+    )
