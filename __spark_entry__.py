@@ -71,6 +71,8 @@ _PRIORITY = [
     "events_value_p95_by_type",          # new (exact per-group quantile)
     "orders_cohort_monthly_value",       # new (revenue cohort matrix)
     "supplier_fulfillment_latency",      # new (SLA latency rollup)
+    "orders_interarrival_stats",         # new (purchase-cadence gaps)
+    "events_anomaly_mad",                # new (robust median/MAD anomalies)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

@@ -693,3 +693,80 @@ def events_value_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.col("n").alias("n_events"), F.col("value").alias("p95_value")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, n_events AS med FROM (
+    SELECT event_type, n_events,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY n_events, hour_start) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly)
+  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+),
+dev AS (
+  SELECT h.hour_start, h.event_type, h.n_events, m.med,
+         ABS(h.n_events - m.med) AS d
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, d AS mad FROM (
+    SELECT event_type, d,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY d, hour_start) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+)
+SELECT v.hour_start, v.event_type, v.n_events, v.med, a.mad
+FROM dev v JOIN mad a USING (event_type)
+WHERE v.d > 5 * a.mad
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST volume anomalies: hours whose per-type count deviates
+    from the type's MEDIAN by more than 5x the median absolute
+    deviation — the outlier-resistant companion to the z-score
+    detector (a single extreme hour shifts a mean/sigma but not a
+    median/MAD). Both medians are rank-SELECTED members under
+    tie-broken orders, so the entire compared surface is exact
+    integers; no float enters the pipeline at all. Plan: one shuffle
+    for the hourly aggregate; the median windows sort only the tiny
+    per-type hourly series; the two 1-row-per-type stats broadcast
+    back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def rank_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "hour_start")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"))
+            .select("event_type", F.col(val_col).alias(out_name))
+        )
+
+    med = rank_median(hourly, "n_events", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = rank_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > 5 * F.col("mad"))
+        .select("hour_start", "event_type", "n_events", "med", "mad")
+    )

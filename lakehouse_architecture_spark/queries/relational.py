@@ -1223,3 +1223,48 @@ def supplier_fulfillment_latency(
             F.count_if(lag > 90).alias("n_over_90d"),
         )
     )
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders WHERE o_custkey % 100 = 0
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       MIN(gap_days) AS min_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM seq
+GROUP BY o_custkey
+HAVING COUNT(gap_days) > 0
+""",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival gaps (LAG over each customer's
+    order history, orderkey tie-break) rolled to integer day stats —
+    the purchase-cadence profile churn models consume; the mean is
+    total/n downstream. One shuffle on the customer key serves both
+    the window and the aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    return (
+        orders.select("o_custkey", gap.alias("gap_days"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
