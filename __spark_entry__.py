@@ -73,6 +73,7 @@ _PRIORITY = [
     "supplier_fulfillment_latency",      # new (SLA latency rollup)
     "orders_interarrival_stats",         # new (purchase-cadence gaps)
     "events_anomaly_mad",                # new (robust median/MAD anomalies)
+    "docs_dup_profile_by_source",        # new (cross-source leakage)
     "emb_kmeans_clusters",               # refactored shared scoring
     # r1-stale rotation (last green row is four rounds old)
     "q4_priority_late_ship",

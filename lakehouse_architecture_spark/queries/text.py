@@ -465,3 +465,52 @@ def docs_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+@query(
+    "docs_dup_profile_by_source",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5({SQL_NORM}) AS ch FROM documents
+),
+xs AS (
+  SELECT ch FROM h GROUP BY ch HAVING COUNT(DISTINCT source) > 1
+)
+SELECT h.source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT h.ch) AS BIGINT)
+         AS n_within_source_dups,
+       COUNT(xs.ch) AS n_cross_source_docs
+FROM h LEFT JOIN xs ON h.ch = xs.ch
+GROUP BY h.source
+""",
+)
+def docs_dup_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate profile per mixture source: within-source exact-dup
+    counts AND the documents whose content also appears in ANOTHER
+    source — cross-source leakage, the thing that silently double-
+    weights content when sources are sampled independently. One hash
+    projection, a distinct-source aggregate on the hash (small by
+    construction), and a broadcast-joined rollup; integer-only
+    compared surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", content_hash(F.col("text")).alias("ch"))
+    xs = (
+        h.groupBy("ch")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("ch", F.lit(True).alias("cross"))
+    )
+    return (
+        h.join(F.broadcast(xs), "ch", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("ch"))
+            .cast("long")
+            .alias("n_within_source_dups"),
+            F.count_if(F.col("cross").isNotNull()).alias(
+                "n_cross_source_docs"
+            ),
+        )
+    )
