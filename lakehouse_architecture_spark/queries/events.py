@@ -501,16 +501,21 @@ WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
   FROM events GROUP BY 1, 2
 ),
-win AS (
+idx AS (
   SELECT h, event_type, n,
-         SUM(n) OVER w AS t24_sum,
-         COUNT(*) OVER w AS t24_buckets
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', h) AS hour_idx
   FROM hourly
-  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(h)
-               RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+),
+win AS (
+  SELECT h, event_type, n, hour_idx,
+         CAST(SUM(n) OVER w AS BIGINT) AS t24_sum,
+         COUNT(*) OVER w AS t24_buckets
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
-       n AS n_events, t24_sum AS trailing_24h_events,
+       hour_idx, n AS n_events, t24_sum AS trailing_24h_events,
        t24_buckets
 FROM win
 """
@@ -525,14 +530,21 @@ def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     last 24 hours, not the last N rows, so gaps in the series shrink
     the window instead of silently stretching it back in time.
 
-    Determinism: the compared surface is integer-only — the frame
-    bound is integer epoch seconds on hourly buckets and both window
-    aggregates are exact integers (SUM of counts + bucket COUNT).
-    A derived trailing average is deliberately NOT emitted: a
-    sum/count DOUBLE was the repo's one driver hash-fail (r4) despite
-    matching locally at full precision, so per the oracle-parity float
-    rule the consumer divides trailing_24h_events / t24_buckets
-    instead. Plan: one shuffle for the hourly aggregate; the window
+    Determinism: the compared surface is integer-only AND timezone-free
+    by construction. The r4 driver hash-fail taught the float rule
+    (no derived doubles on a compared surface); the r5 hash-fail, on
+    this same query, taught the timezone rule: ``unix_timestamp`` on a
+    TIMESTAMP_NTZ column converts through the session timezone, the one
+    environment knob the driver controls and we cannot inspect. The
+    window therefore orders by an integer HOUR INDEX measured from a
+    pinned NTZ literal — ``timestampdiff(HOUR, TIMESTAMP_NTZ
+    '2024-01-01 00:00:00', h)`` / DuckDB ``date_diff('hour', ...)`` —
+    verified invariant under UTC / Asia/Kolkata / America/New_York
+    session TZs. The index is EMITTED in the compared surface so any
+    future driver mismatch is localized (index vs sums) from the driver
+    row alone. A derived trailing average is still deliberately NOT
+    emitted (float rule); the consumer divides trailing_24h_events /
+    t24_buckets. Plan: one shuffle for the hourly aggregate; the window
     re-sorts only the per-type hourly series (tiny vs raw events)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -540,14 +552,20 @@ def events_trailing_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("epoch")
-        .rangeBetween(-82800, 0)
+        .orderBy("hour_idx")
+        .rangeBetween(-23, 0)
     )
     return (
-        hourly.withColumn("epoch", F.unix_timestamp("h"))
+        hourly.withColumn(
+            "hour_idx",
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)"
+            ),
+        )
         .select(
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type",
+            "hour_idx",
             F.col("n").alias("n_events"),
             F.sum("n").over(w).alias("trailing_24h_events"),
             F.count(F.lit(1)).over(w).alias("t24_buckets"),
