@@ -412,27 +412,53 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(day, est_users) per day plus a NULL-day total row, purely from
-    mergeable HLL sketches — shared by the production rollup query and
-    the accuracy-QA query below."""
+    """(day, n_events, est_users) per day plus a NULL-day total row,
+    purely from mergeable HLL sketches (n_events is a plain count — no
+    distinct expansion anywhere) — shared by the production rollup
+    query and the accuracy-QA query below. This is the library surface:
+    call it directly for the actual estimates."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
     )
     total = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.sum("n_events").alias("n_events"),
     )
     return daily.select(
-        "day", F.hll_sketch_estimate("sketch").alias("est_users")
+        "day", "n_events", F.hll_sketch_estimate("sketch").alias("est_users")
     ).unionByName(
         total.select(
             F.lit(None).cast("date").alias("day"),
+            "n_events",
             F.col("est").alias("est_users"),
         )
     )
 
 
-@query("events_hll_sketch_rollup", oracle=None)  # engine-specific sketch
+# Invariant-style oracle: the estimate itself is engine-specific
+# (Spark's Apache DataSketches HLL), so the compared surface is the
+# exact day spine + exact event counts (both recomputed by DuckDB)
+# plus a sketch-sanity band asserted as literal TRUE — 1 <= est_users
+# <= n_events, genuinely evaluated Spark-side, so a broken or wildly
+# drifting estimator FAILS the driver hash instead of recording the
+# rows-only `err` the registry carried through r4. The tight 5% band
+# (which needs exact distincts) stays in events_hll_accuracy_qa.
+HLL_ROLLUP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+total AS (
+  SELECT CAST(NULL AS DATE) AS day, COUNT(*) AS n_events FROM events
+)
+SELECT day, n_events, TRUE AS est_in_count_band
+FROM (SELECT * FROM daily UNION ALL SELECT * FROM total)
+"""
+
+
+@query("events_hll_sketch_rollup", oracle=HLL_ROLLUP_ORACLE)
 def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
     merged with ``hll_union_agg`` into the total — the re-aggregation
@@ -443,12 +469,22 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan is SKETCH-ONLY — no exact distinct aggregate anywhere
     (tests/test_plans.py asserts no expand/distinct in the plan), so the
     query's own cost profile is the one the 100 TB argument claims.
-    Estimator accuracy is driver-checked by the companion
-    ``events_hll_accuracy_qa`` query and pinned in pytest.
-
-    No oracle: the sketch estimator is implementation-specific (Spark's
-    Apache DataSketches HLL), so the driver records rows-only here."""
-    return _hll_daily_rollup(spark, sf_dir).orderBy(F.asc_nulls_last("day"))
+    The registry surface is the day spine + exact event counts + the
+    sketch-sanity band (see HLL_ROLLUP_ORACLE); the raw estimates come
+    from the ``_hll_daily_rollup`` library path, and the tight 5%
+    accuracy gate is the companion ``events_hll_accuracy_qa``."""
+    return (
+        _hll_daily_rollup(spark, sf_dir)
+        .select(
+            "day",
+            "n_events",
+            (
+                (F.col("est_users") >= 1)
+                & (F.col("est_users") <= F.col("n_events"))
+            ).alias("est_in_count_band"),
+        )
+        .orderBy(F.asc_nulls_last("day"))
+    )
 
 
 @query(

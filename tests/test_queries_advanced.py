@@ -62,7 +62,13 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
 
     rollup = events_hll_sketch_rollup(spark, sf_dir).collect()
     assert len(rollup) == len(qa)
-    assert all(r.est_users > 0 for r in rollup)
+    assert all(r.est_in_count_band for r in rollup)
+    assert all(r.n_events > 0 for r in rollup)
+
+    from lakehouse_architecture_spark.queries.events import _hll_daily_rollup
+
+    lib = _hll_daily_rollup(spark, sf_dir).collect()
+    assert all(r.est_users > 0 for r in lib)  # raw-estimate library path
 
 
 def test_chunk_manifest_invariants(spark, sf_dir):
