@@ -727,23 +727,41 @@ WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
 )
 def events_value_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group p95 as the rank-selected MEMBER value (the
-    discrete percentile): row_number over (value, event_id) picks the
-    ceil(0.95 n)-th element per event type — no interpolation, so the
-    engines cannot disagree on convention, and the emitted double is a
-    raw member value, not derived math. The shape generalizes to any
-    per-group exact quantile; one shuffle on the group key serves both
-    windows."""
+    discrete percentile): the ceil(0.95 n)-th element of each event
+    type's value distribution — no interpolation, so the engines cannot
+    disagree on convention, and the emitted double is a raw member
+    value, not derived math.
+
+    Scale shape (the r5 plan-audit fix): a window over RAW events
+    partitioned by the 5-value event_type key would sort ~1/5 of the
+    corpus in a single task at 100 TB — the textbook low-cardinality
+    window trap. Instead the values are first collapsed to
+    (event_type, value) frequency counts — a partial-aggregated
+    shuffle, the same cost class as any groupBy — and the running-count
+    window ranks only the DISTINCT-value relation, whose partitions are
+    bounded by distinct values per type, not rows. The selected member
+    (first value whose cumulative count reaches the target rank) is
+    identical to the row_number selection the oracle still uses."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    counts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("event_type")
-    ranked = ev.select(
+    ranked = counts.select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
     )
+    target = F.ceil(0.95 * F.col("n")).cast("long")
     return ranked.filter(
-        F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long")
+        (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
     ).select(
         "event_type", F.col("n").alias("n_events"), F.col("value").alias("p95_value")
     )

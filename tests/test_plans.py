@@ -243,6 +243,25 @@ def test_hll_rollup_plan_is_sketch_only(spark, sf_dir):
     assert "hll_sketch_agg" in plan
 
 
+def test_p95_window_ranks_aggregated_relation(spark, sf_dir):
+    """The exact-p95 window must consume the (event_type, value)
+    frequency aggregate, never raw events: a window partitioned by the
+    5-value event_type key over raw rows sorts ~1/5 of the corpus in
+    one task at scale (the low-cardinality window trap, r5 plan
+    audit). Asserted structurally: no row_number over raw rows, and
+    every Window node sits strictly above the value-collapsing
+    HashAggregate pair in the physical plan."""
+    import re
+
+    plan = _plan(spark, sf_dir, "events_value_p95_by_type")
+    assert "row_number" not in plan.lower()
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids
+    # node ids are topological (children first): aggregates feed windows
+    assert max(agg_ids) < min(win_ids)
+
+
 def test_int8_quantization_no_shuffle(spark, sf_dir):
     """The codec is a narrow map: no exchange anywhere in the plan."""
     plan = _plan(spark, sf_dir, "emb_int8_quantization")
