@@ -681,7 +681,9 @@ def decode_wav(payload: bytes) -> dict:
         samples = np.frombuffer(frames, dtype="<i2").astype(np.int32)
         full = 32767.0
     elif width == 4:
-        samples = np.frombuffer(frames, dtype="<i4").astype(np.int64)
+        # stays int32 (the documented dtype): 32-bit PCM values already
+        # fit, and widening to int64 silently broke fixed-schema callers
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.int32)
         full = 2147483647.0
     else:
         raise ValueError(f"unsupported WAV sample width {width}")

@@ -906,19 +906,42 @@ def _corpus_index_for(spark: SparkSession, sf_dir: str):
         build_minhash_corpus_index,
     )
 
-    if sf_dir not in _CORPUS_INDEXES:
+    # Keyed by (session id, sf_dir), not sf_dir alone: test harnesses
+    # stop and recreate SparkSessions within one process, and an index
+    # persisted under a dead session fails opaquely on reuse (r5
+    # ADVICE). A new session gets a fresh index; entries bound to dead
+    # sessions are dropped eagerly so the cache cannot grow past one
+    # live session's worth of indexes.
+    for k in [k for k in _CORPUS_INDEXES if k[0]() is None]:
+        del _CORPUS_INDEXES[k]
+    import weakref
+
+    key = (weakref.ref(spark), sf_dir)
+    live = next(
+        (
+            v
+            for (ref, d), v in _CORPUS_INDEXES.items()
+            if d == sf_dir and ref() is spark
+        ),
+        None,
+    )
+    if live is None:
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
-        _CORPUS_INDEXES[sf_dir] = build_minhash_corpus_index(
-            corpus, "text", "doc_id"
-        ).persist()
-    return _CORPUS_INDEXES[sf_dir]
+        live = build_minhash_corpus_index(corpus, "text", "doc_id").persist()
+        _CORPUS_INDEXES[key] = live
+    return live
 
 
 def _release_corpus_indexes() -> None:
-    for idx in _CORPUS_INDEXES.values():
-        idx.unpersist()
+    for (ref, _), idx in _CORPUS_INDEXES.items():
+        if ref() is None:
+            continue  # owning session garbage-collected
+        try:
+            idx.unpersist()
+        except Exception:
+            pass  # owning session stopped: nothing left to release
     _CORPUS_INDEXES.clear()
 
 

@@ -184,6 +184,17 @@ def merge_upsert(
     evolution is Delta's own concern — enable
     ``spark.databricks.delta.schema.autoMerge.enabled`` there; this
     flag governs the parquet fallback only.
+
+    Mixed-schema reads: a partition-pruned evolve rewrites ONLY the
+    affected partitions, so the table legitimately holds old- and
+    new-schema footers side by side afterwards. The target read below
+    therefore always sets ``mergeSchema`` — plain schema sampling could
+    pick an old footer and a later evolve-merge would then rewrite
+    partitions from survivors read WITHOUT the evolved column, silently
+    nulling stored values. Consumers of an evolved parquet table need
+    the same option (``spark.read.option("mergeSchema", "true")``)
+    until a full-rewrite compaction (:func:`compact_table`) homogenizes
+    the footers; Delta tables carry the schema in the log and do not.
     """
     exists = os.path.exists(path) and any(
         not e.startswith(("_", ".")) for e in os.listdir(path)
@@ -196,7 +207,10 @@ def merge_upsert(
         _delta_merge(spark, updates, path, keys)
         return
 
-    target = spark.read.parquet(path)
+    # mergeSchema: the table may hold mixed footers after a pruned
+    # evolve-merge (see docstring) — a plain read could sample an old
+    # footer and silently drop the evolved column from the rewrite.
+    target = spark.read.option("mergeSchema", "true").parquet(path)
 
     if partition_by:
         # Partition pruning: only partitions present in the update set are
@@ -221,6 +235,16 @@ def merge_upsert(
             f"merge_upsert: update columns {extra} are absent from the "
             "target; pass evolve_schema=True to add them (existing rows "
             "read back null) instead of silently dropping them"
+        )
+    # Target columns absent from the update (e.g. a previously evolved
+    # column, updated by a narrower feed): Delta's UPDATE SET * keeps
+    # the target's old value on matched rows, so backfill them from the
+    # matched target row (update-sized join); unmatched inserts get
+    # null, like Delta INSERT * with an absent source column.
+    missing = [c for c in affected.columns if c not in updates.columns]
+    if missing:
+        updates = updates.join(
+            affected.select(*keys, *missing), on=keys, how="left"
         )
     if extra:
         merged = survivors.unionByName(updates, allowMissingColumns=True)
@@ -264,7 +288,10 @@ def delete_where(
     rewritten — at 100 TB a delete keyed to a few partitions touches
     only those directories.
     """
-    target = spark.read.parquet(path)
+    # mergeSchema for the same mixed-footer reason as merge_upsert: a
+    # pruned rewrite must never re-materialize partitions through a
+    # sampled old schema.
+    target = spark.read.option("mergeSchema", "true").parquet(path)
 
     if partition_by:
         # Partitions that actually contain matches: a distinct over the

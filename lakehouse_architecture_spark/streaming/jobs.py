@@ -13,6 +13,8 @@ batch and streaming cannot drift apart — one code path, two drivers.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Callable
 
 import pandas as pd
@@ -102,14 +104,87 @@ def stream_near_dup_ingest(
        groupBy-sum it), so appending partial counts is correct and the
        index stays current without rewriting corpus-scale files.
 
-    The sequencing inside the batch is action-ordered: the survivor
-    write materializes before the index appends, so a batch never reads
-    its own half-written index files. Reprocessing a batch after a
-    failure between steps 4 and 5 re-appends (near-dups of the now-
-    indexed survivors drop out; exact re-appends are the MERGE-on-PK
-    job's territory) — document-level idempotency here relies on the
-    dedup itself.
+    Steps 4-5 are EXACTLY-ONCE via stage-then-publish (the r5 ADVICE
+    failure window: a crash between the survivor append and the index
+    append used to replay the batch with its survivors absent from the
+    index, duplicating them in the curated zone). Per batch:
+
+    - already-committed batch ids (marker under the checkpoint) are
+      skipped outright;
+    - all four outputs are first written to a batch-keyed STAGING
+      directory under the checkpoint and sealed with a ``_STAGED``
+      marker — nothing is visible to the index or the curated zone
+      until staging completes, so a crash mid-stage replays into a
+      clean overwrite;
+    - publish then MOVES each staged data file into its destination
+      under a ``batch{id}-`` deterministic name; a crash mid-publish
+      resumes (sealed staging is never recomputed — recomputing against
+      a half-published index would see the batch's own bands and drop
+      every survivor as its own duplicate) and moves only the files
+      still in staging;
+    - the commit marker lands last, then staging is removed.
+
+    Moves are same-filesystem renames (checkpoint and sinks must share
+    a filesystem — the usual arrangement); on object stores, swap the
+    move for a copy+delete or a manifest commit.
     """
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        near_dup_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            target_path=target_path,
+            checkpoint_dir=checkpoint_dir,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_doc_freq=max_doc_freq,
+        )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _publish_staged(staged_sub: str, dest_dir: str, batch_id: int) -> None:
+    """Move each staged data file into ``dest_dir`` under a
+    deterministic ``batch{id}-`` name. Replaying a half-published batch
+    re-moves only the files still in staging; already-moved files are
+    gone from staging, so nothing double-publishes."""
+    if not os.path.isdir(staged_sub):
+        return
+    os.makedirs(dest_dir, exist_ok=True)
+    for fname in sorted(os.listdir(staged_sub)):
+        if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+            continue
+        src = os.path.join(staged_sub, fname)
+        os.replace(src, os.path.join(dest_dir, f"batch{batch_id}-{fname}"))
+
+
+def near_dup_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> None:
+    """One exactly-once micro-batch of :func:`stream_near_dup_ingest`
+    (module-level so replay/crash scenarios are directly testable).
+    See that docstring for the stage-seal-publish-commit protocol."""
     from lakehouse_architecture_spark.operators.minhash import (
         MinHashCorpusIndex,
         build_minhash_corpus_index,
@@ -117,14 +192,19 @@ def stream_near_dup_ingest(
         minhash_lsh_incremental_indexed,
     )
 
-    stream = (
-        spark.readStream.format("json")
-        .schema(schema)
-        .load(source_dir)
-    )
+    commit_dir = os.path.join(checkpoint_dir, "near_dup_commits")
+    committed = os.path.join(commit_dir, f"batch-{batch_id}")
+    if os.path.exists(committed):
+        return  # exactly-once: this batch already fully published
+    staging = os.path.join(checkpoint_dir, "near_dup_staging", str(batch_id))
+    sealed = os.path.join(staging, "_STAGED")
 
-    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+    if not os.path.exists(sealed):
+        # Nothing of this batch is visible yet (publish starts only
+        # after the seal), so recomputing against the index is safe.
         if batch_df.isEmpty():
+            os.makedirs(commit_dir, exist_ok=True)
+            open(committed, "w").close()
             return
         idx = MinHashCorpusIndex.load(spark, index_path)
         corpus_dups = minhash_lsh_incremental_indexed(
@@ -147,10 +227,12 @@ def stream_near_dup_ingest(
         )
         # Persisted for the batch only (released in finally): the
         # survivor lineage contains both LSH passes and is consumed by
-        # four writes below.
+        # four staged writes below.
         survivors = s1.join(self_dups, id_col, "left_anti").persist()
         try:
-            survivors.write.mode("append").parquet(target_path)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(staging, "target")
+            )
             add = build_minhash_corpus_index(
                 survivors,
                 text_col, id_col,
@@ -158,19 +240,30 @@ def stream_near_dup_ingest(
                 band_size=idx.band_size,
                 shingle_n=idx.shingle_n,
             )
-            add.bands.write.mode("append").parquet(f"{index_path}/bands")
-            add.grams.write.mode("append").parquet(f"{index_path}/grams")
-            add.shingle_dfs.write.mode("append").parquet(
-                f"{index_path}/shingle_dfs"
+            add.bands.write.mode("overwrite").parquet(
+                os.path.join(staging, "bands")
+            )
+            add.grams.write.mode("overwrite").parquet(
+                os.path.join(staging, "grams")
+            )
+            add.shingle_dfs.write.mode("overwrite").parquet(
+                os.path.join(staging, "shingle_dfs")
             )
         finally:
             survivors.unpersist()
+        open(sealed, "w").close()
 
-    return (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+    _publish_staged(os.path.join(staging, "target"), target_path, batch_id)
+    _publish_staged(os.path.join(staging, "bands"), f"{index_path}/bands", batch_id)
+    _publish_staged(os.path.join(staging, "grams"), f"{index_path}/grams", batch_id)
+    _publish_staged(
+        os.path.join(staging, "shingle_dfs"),
+        f"{index_path}/shingle_dfs",
+        batch_id,
     )
+    os.makedirs(commit_dir, exist_ok=True)
+    open(committed, "w").close()
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def stream_dedup(

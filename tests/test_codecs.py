@@ -486,6 +486,12 @@ def test_wav_roundtrip_and_rms():
         encode_wav(np.zeros((50, 2), dtype=np.int32), 44100)
     )
     assert st["samples"].shape == (50, 2)
+    # every PCM width decodes to the documented int32 dtype — 32-bit
+    # PCM widened to int64 once and silently broke fixed-schema callers
+    for width, val in ((1, 100), (2, 20000), (4, 2_000_000_000)):
+        full = np.full(16, val, dtype=np.int64 if width == 4 else np.int32)
+        got = decode_wav(encode_wav(full, 8000, sampwidth=width))
+        assert got["samples"].dtype == np.int32, width
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxWAVEnot really")
 

@@ -279,3 +279,44 @@ def test_merge_upsert_schema_drift_loud_and_evolvable(spark, tmp_path):
     )
     out = {r.id: (r.v, r.extra) for r in spark.read.parquet(path).collect()}
     assert out == {1: ("a", None), 2: ("b2", "new")}
+
+
+def test_merge_upsert_evolve_survives_mixed_schema_partitions(spark, tmp_path):
+    """A pruned evolve-merge rewrites only the touched partitions,
+    leaving old-schema footers in untouched ones. The NEXT merge must
+    still see the evolved column (mergeSchema target read) — a plain
+    read can sample an old footer and silently null previously stored
+    values when it rewrites an affected partition from survivors."""
+    from lakehouse_architecture_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", "2025-01-01"), (2, "b", "2025-01-02"), (3, "c", "2025-01-02")],
+        "id long, v string, date string",
+    )
+    merge_upsert(spark, base, path, ["id"], partition_by="date")
+
+    # evolve: touches ONLY the 01-02 partition; 01-01 keeps old schema
+    upd1 = spark.createDataFrame(
+        [(2, "b2", "2025-01-02", "kept")],
+        "id long, v string, date string, extra string",
+    )
+    merge_upsert(
+        spark, upd1, path, ["id"], partition_by="date", evolve_schema=True
+    )
+
+    # second merge into the SAME evolved partition from a NARROWER feed
+    # (no extra column): the matched row (id=2) must keep extra='kept'
+    # per Delta UPDATE-SET-* semantics, and the survivor path must not
+    # re-read it through a sampled old-schema footer
+    upd2 = spark.createDataFrame(
+        [(2, "b3", "2025-01-02"), (3, "c2", "2025-01-02")],
+        "id long, v string, date string",
+    )
+    merge_upsert(spark, upd2, path, ["id"], partition_by="date")
+
+    out = {
+        r.id: (r.v, r.extra)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert out == {1: ("a", None), 2: ("b3", "kept"), 3: ("c2", None)}

@@ -90,6 +90,87 @@ def test_stream_near_dup_ingest_updates_index(spark, tmp_path):
     assert kept2 == {11, 13, 21}
 
 
+def test_near_dup_batch_replay_exactly_once(spark, tmp_path, monkeypatch):
+    """The r5 ADVICE failure window: a crash between the survivor
+    append and the index append must NOT duplicate survivors in the
+    curated zone when Structured Streaming replays the batch. Driven
+    through the module-level batch handler so the crash point and the
+    replay are explicit."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        build_minhash_corpus_index,
+    )
+    from lakehouse_architecture_spark.streaming import jobs
+
+    index_path = str(tmp_path / "idx")
+    target = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    seed = spark.createDataFrame(
+        [(1, "seed corpus document about storage engines " * 3)],
+        "doc_id long, text string",
+    )
+    build_minhash_corpus_index(seed, "text", "doc_id").save(index_path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "a novel document on streaming ingestion " * 4),
+            (11, "another unrelated text about window frames " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(index_path=index_path, target_path=target, checkpoint_dir=ckpt)
+
+    # Crash mid-publish: the curated-zone files land, the index moves
+    # fail — exactly the window that used to double-append on replay.
+    real_publish = jobs._publish_staged
+    calls = {"n": 0}
+
+    def crashing_publish(staged_sub, dest_dir, batch_id):
+        if calls["n"] >= 1 and "idx" in dest_dir:
+            raise OSError("simulated crash before index publish")
+        calls["n"] += 1
+        real_publish(staged_sub, dest_dir, batch_id)
+
+    monkeypatch.setattr(jobs, "_publish_staged", crashing_publish)
+    try:
+        jobs.near_dup_handle_batch(spark, batch, 0, **kw)
+    except OSError:
+        pass
+    monkeypatch.setattr(jobs, "_publish_staged", real_publish)
+
+    # target already holds the survivors; commit marker must NOT exist
+    assert {r.doc_id for r in spark.read.parquet(target).collect()} == {10, 11}
+    import os
+
+    assert not os.path.exists(
+        os.path.join(ckpt, "near_dup_commits", "batch-0")
+    )
+
+    # replay (what foreachBatch does after restart): resumes the sealed
+    # staging — no recompute against the half-published index, no
+    # double-publish of the already-moved curated files
+    jobs.near_dup_handle_batch(spark, batch, 0, **kw)
+    rows = spark.read.parquet(target).collect()
+    assert sorted(r.doc_id for r in rows) == [10, 11]  # exactly once
+    assert os.path.exists(os.path.join(ckpt, "near_dup_commits", "batch-0"))
+
+    # the index absorbed the batch exactly once: a re-sent duplicate of
+    # survivor 10 is dropped, and a third replay of batch 0 is a no-op
+    jobs.near_dup_handle_batch(spark, batch, 0, **kw)
+    assert sorted(r.doc_id for r in spark.read.parquet(target).collect()) == [
+        10,
+        11,
+    ]
+    batch2 = spark.createDataFrame(
+        [(20, "a novel document on streaming ingestion " * 4)],
+        "doc_id long, text string",
+    )
+    jobs.near_dup_handle_batch(spark, batch2, 1, **kw)
+    assert sorted(r.doc_id for r in spark.read.parquet(target).collect()) == [
+        10,
+        11,
+    ]
+
+
 def test_stream_ingest_merge_idempotent(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
