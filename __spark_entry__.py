@@ -36,64 +36,22 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-5 priority: (a) the r4 red row's fix plus every query whose
-# code changed this round (integer-surface trailing window, indexed
-# incremental dedup, strict sign-LSH + the refactored loose twin and
-# its band-key guard, restructured curation funnel, count()-fallback
-# dispatch users); (b) then the STALEST standing rows — everything
-# whose last driver check was r1/r2 rotates back through the window so
-# no green row is more than two rounds old.
+# Round-6 priority: (a) every query whose code changed this round (the
+# r5 red row's TZ-free rewrite, the two invariant-oracle conversions,
+# the aggregate-then-rank p95, the session-keyed index cache user);
+# (b) then the STALEST standing rows — the r1 join/agg/window/setop/
+# scalar families and the r2 sql_* group that r5's window filled up
+# before reaching, so no green row stays more than two rounds old;
+# (c) then the r3-stale tail. Everything refreshed green in r5 rotates
+# to the second tier.
 _PRIORITY = [
-    # round-5 fixes and new operators
-    "events_trailing_24h_volume",        # r4's one red row, surface fix
-    "docs_incremental_near_dups_indexed",  # new (amortized index path)
-    "emb_near_dup_lsh_strict",           # new (production 8x8 regime)
-    "docs_curation_funnel",              # restructured single-agg plan
-    "emb_near_dup_lsh",                  # refactored shared pipeline
-    "emb_lsh_candidate_stats",           # band-key guard touched
-    "emb_knn_bruteforce",                # dispatch fallback touched
-    "emb_near_dup_pairs",                # dispatch fallback touched
-    "docs_dedup_keep_best",              # new (keep-best election)
-    "minhash_estimate_qa",               # new (estimator-accuracy QA)
-    "emb_ivf_probe_stats",               # new (measured IVF pruning)
-    "emb_knn_ivf_md5",                   # new (oracle-checked IVF search)
-    "lineitem_unpivot_measure_stats",    # new (native unpivot melt)
-    "window_first_last_dense",           # new (first/last_value windows)
-    "stats_skew_kurtosis_qty",           # new (exact higher moments)
-    "docs_dedup_savings_report",         # new (dedup byte savings)
-    "events_user_lifetime",              # new (per-entity lifetime)
-    "orders_rfm_segments",               # new (RFM quartile segmentation)
-    "minhash_recall_curve",              # new (measured LSH recall)
-    "events_dow_hour_heatmap",           # new (calendar crosstab)
-    "lineitem_discount_band_profile",    # new (fixed-width histogram)
-    "basket_brand_pairs",                # new (market-basket support)
-    "events_type_transitions",           # new (Markov transition counts)
-    "events_value_p95_by_type",          # new (exact per-group quantile)
-    "orders_cohort_monthly_value",       # new (revenue cohort matrix)
-    "supplier_fulfillment_latency",      # new (SLA latency rollup)
-    "orders_interarrival_stats",         # new (purchase-cadence gaps)
-    "events_anomaly_mad",                # new (robust median/MAD anomalies)
-    "docs_dup_profile_by_source",        # new (cross-source leakage)
-    "emb_kmeans_clusters",               # refactored shared scoring
-    # r1-stale rotation (last green row is four rounds old)
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_priority_counts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_late_supplier",
+    # round-6 fixes (changed code MUST re-check)
+    "events_trailing_24h_volume",   # r4/r5 red row: TZ-free hour index
+    "emb_knn_ivf",                  # invariant oracle (was rows-only err)
+    "events_hll_sketch_rollup",     # invariant oracle (was rows-only err)
+    "events_value_p95_by_type",     # aggregate-then-rank scale rewrite
+    "docs_incremental_near_dups_indexed",  # session-keyed index cache
+    # r1-stale rotation (last driver row is five rounds old)
     "q22_dormant_customers",
     "join_inner_orders_customer",
     "join_left_outer_order_counts",
@@ -133,7 +91,7 @@ _PRIORITY = [
     "sql_probe_orders",
     "sql_catalog_roundtrip",
     "sql_insert_not_exists",
-    # r3-stale rotation (two rounds old)
+    # r3-stale tail (fills the remaining window slots)
     "asof_join_purchase_click",
     "snapshot_diff_counts",
     "profile_orders_columns",
@@ -166,14 +124,19 @@ _FAMILY_ORDER = [
     "catalog_sql",
     "advanced",
 ]
-# Queries pushed past the driver's check horizon this round: all 50
-# have FRESH green rows in CORRECTNESS_r4 and their code is unchanged
-# in r5, so the window is spent on the fixes and the r1/r2-stale
-# rotation above.
+# Queries pushed past the driver's check horizon this round: all have
+# FRESH green rows in CORRECTNESS_r4 or r5 and their code is unchanged
+# in r6, so the window is spent on the changed queries and the
+# r1/r2/r3-stale rotation above.
 _SECOND_TIER = {
     "agg_argmax_by_status",
     "approx_distinct_and_quantile",
+    "basket_brand_pairs",
     "docs_chunk_manifest",
+    "docs_curation_funnel",
+    "docs_dedup_keep_best",
+    "docs_dedup_savings_report",
+    "docs_dup_profile_by_source",
     "docs_exact_dedupe_count",
     "docs_exact_dup_groups",
     "docs_fingerprint",
@@ -190,29 +153,66 @@ _SECOND_TIER = {
     "docs_top_terms",
     "emb_centroid_norm_by_label",
     "emb_int8_quantization",
+    "emb_ivf_probe_stats",
     "emb_kmeans_clusters",
+    "emb_knn_bruteforce",
     "emb_knn_bruteforce_decimal",
-    "emb_knn_ivf",
+    "emb_knn_ivf_md5",
     "emb_knn_lsh",
+    "emb_lsh_candidate_stats",
+    "emb_near_dup_lsh",
+    "emb_near_dup_lsh_strict",
+    "emb_near_dup_pairs",
     "emb_norms",
+    "events_anomaly_mad",
     "events_anomaly_zscore",
     "events_daily_active_users",
+    "events_dow_hour_heatmap",
     "events_funnel",
     "events_hll_accuracy_qa",
-    "events_hll_sketch_rollup",
     "events_hourly_by_type",
     "events_props_extract",
     "events_retention_cohorts",
     "events_tumbling_window",
+    "events_type_transitions",
     "events_type_value_stats",
+    "events_user_lifetime",
+    "lineitem_discount_band_profile",
+    "lineitem_unpivot_measure_stats",
+    "minhash_estimate_qa",
     "minhash_lsh_near_dups",
+    "minhash_recall_curve",
     "minhash_signatures_sample",
+    "orders_cohort_monthly_value",
+    "orders_interarrival_stats",
+    "orders_rfm_segments",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_supplier",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "stats_corr_price_qty",
+    "stats_skew_kurtosis_qty",
+    "supplier_fulfillment_latency",
     "validate_lineitem_fk_invalid",
     "validate_lineitem_fk_summary",
     "validate_orders_invalid",
     "validate_orders_rejection_summary",
     "validate_orders_split_stats",
+    "window_first_last_dense",
 }
 
 
