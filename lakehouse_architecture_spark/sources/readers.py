@@ -46,6 +46,37 @@ def read_csv_typed(
     return reader.load(path)
 
 
+def read_csv_inferred(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    timestamp_format: str | None = None,
+    sampling_ratio: float = 1.0,
+) -> DataFrame:
+    """Opt-in schema-INFERENCE read — the reference's exploratory ingest
+    mode (/root/reference/src/glue_etl.py:453-454) as an explicit escape
+    hatch, NOT the default: inference costs a full extra pass over the
+    data, so production ingest declares its schema and goes through
+    :func:`read_csv_typed` (PERMISSIVE + ``_corrupt_record``).
+
+    Use this only for schema-unknown exploration, then freeze what it
+    infers into a declared ``StructType`` (``df.schema``) and switch to
+    the typed reader. ``sampling_ratio`` bounds the inference pass on
+    big inputs (Spark samples that fraction of rows to type columns);
+    the data pass still reads everything.
+    """
+    reader = (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .option("samplingRatio", str(sampling_ratio))
+        .option("mode", "PERMISSIVE")
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.load(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(parsed, corrupt) split; both sides keep the source columns.
 

@@ -79,6 +79,32 @@ def test_read_csv_typed_corrupt_capture(spark, tmp_path):
     assert corrupt.collect()[0]._corrupt_record.startswith("not,an,int")
 
 
+def test_read_csv_inferred_freeze_roundtrip(spark, tmp_path):
+    """The opt-in inference escape hatch must type columns sensibly and
+    its inferred schema must be freezable into the typed reader (the
+    documented explore-then-declare workflow)."""
+    from lakehouse_architecture_spark.sources.readers import read_csv_inferred
+
+    p = tmp_path / "explore.csv"
+    p.write_text(
+        "id,label,score,seen\n"
+        "1,alpha,0.5,2025-04-01T11:27:00\n"
+        "2,beta,1.25,2025-04-02T09:00:00\n"
+    )
+    inferred = read_csv_inferred(spark, str(p))
+    types = dict(inferred.dtypes)
+    assert types["id"] == "int"
+    assert types["label"] == "string"
+    assert types["score"] == "double"
+    assert types["seen"].startswith("timestamp")
+
+    # freeze: the inferred schema drives the production typed reader
+    frozen = read_csv_typed(spark, str(p), inferred.schema)
+    parsed, corrupt = split_corrupt(frozen)
+    assert parsed.count() == 2 and corrupt.count() == 0
+    assert [r.id for r in parsed.orderBy("id").collect()] == [1, 2]
+
+
 def test_read_json_typed_corrupt_capture(spark, tmp_path):
     from lakehouse_architecture_spark.sources.readers import read_json_typed
 
