@@ -160,6 +160,7 @@ def compact_table(
     shutil.move(path, backup)
     shutil.move(staging, path)
     shutil.rmtree(backup)
+    _refresh_swapped_path(spark, path)
     return len(files_before), len(_data_files(path))
 
 
@@ -269,6 +270,21 @@ def merge_upsert(
         shutil.move(path, backup)
         shutil.move(staging, path)
         shutil.rmtree(backup)
+    _refresh_swapped_path(spark, path)
+
+
+def _refresh_swapped_path(spark: SparkSession, path: str) -> None:
+    """Invalidate cached plans/file listings over a staging-swapped
+    table (what Delta's transaction log does implicitly). Any DataFrame
+    cached over ``path`` before the swap holds the OLD file listing in
+    its captured scan; without the refresh, a post-swap action on a
+    plan that cache-matches it fails FILE_NOT_EXIST (or silently serves
+    pre-swap rows). Surfaced by the pipeline's idempotent re-run, where
+    the curated read is cached as the next run's FK reference."""
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # cache invalidation must never fail the committed write
 
 
 def delete_where(
@@ -337,6 +353,7 @@ def delete_where(
         shutil.move(path, backup)
         shutil.move(staging, path)
         shutil.rmtree(backup)
+    _refresh_swapped_path(spark, path)
     return n_before - n_after
 
 
