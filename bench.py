@@ -70,6 +70,23 @@ EXTRA = [
     "lineitem_unpivot_measure_stats",
     "window_first_last_dense",
     "stats_skew_kurtosis_qty",
+    # round-6 additions (changed plans worth tracking)
+    "events_value_p95_by_type",
+    "emb_knn_ivf",
+]
+
+# Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
+# so the numbers and their interpretation travel together.
+NOTES: list[str] = [
+    "r6: interleaved A/B of the three r5 nominal regressions "
+    "(agg_stats_by_status, validate_lineitem_fk_invalid, "
+    "emb_near_dup_pairs) — see 'ab_check' for medians measured "
+    "alternating in one session; plans unchanged (EXPLAIN.md).",
+    "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
+    "instead of reusing the MinHash corpus index: banded LSH candidates "
+    "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
+    "break the funnel's exact cross-engine oracle; the warm wall is "
+    "sequential stage latency at bench SF, not data volume.",
 ]
 
 HEADLINE = [
@@ -206,6 +223,17 @@ def run_pipeline_e2e(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _load_ab_check() -> dict | None:
+    """Pick up the interleaved A/B re-measurement (tools/ab_check.py
+    writes /tmp/ab_check.json) if one was run this round; the bench
+    must not fail when it wasn't."""
+    try:
+        with open("/tmp/ab_check.json") as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakehouse_architecture_spark.queries import QUERIES
@@ -268,6 +296,8 @@ def main() -> None:
         "timing": {"warmup_runs": 1, "timed_runs": TIMED_RUNS, "stat": "median"},
         "pipeline_e2e": e2e,
         "errors": errors,
+        "notes": NOTES,
+        "ab_check": _load_ab_check(),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

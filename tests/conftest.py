@@ -4,11 +4,15 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from lakehouse_architecture_spark.session import get_spark
 
-SF_SMALL = "/root/testdata/sf0.001"
+# CI (or any machine without the driver-generated tables) points this
+# at tools/gen_testdata.py output; the schemas and value domains match.
+SF_SMALL = os.environ.get("LAKEHOUSE_TESTDATA_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
