@@ -438,11 +438,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a BASELINE (SOF0) JPEG to (h, w, 3) RGB or (h, w, 1)
-    grayscale uint8 — sequential DCT, 8-bit, Huffman, 1 or 3
+    """Decode a BASELINE (SOF0) or PROGRESSIVE (SOF2) JPEG to
+    (h, w, 3) RGB or (h, w, 1) grayscale uint8 — 8-bit Huffman, 1 or 3
     components, any sampling factors (nearest-neighbor chroma
-    upsampling), restart intervals. Progressive (SOF2), arithmetic
-    coding and 12-bit raise ``NotImplementedError``.
+    upsampling), restart intervals; progressive spectral selection and
+    successive approximation (DC/AC first + refinement scans, EOB
+    runs). Arithmetic coding, hierarchical, lossless and 12-bit frames
+    raise ``NotImplementedError``.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
@@ -450,7 +452,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart = 0
+    prog: _ProgState | None = None
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -460,6 +464,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if marker == 0xD9:
+            break
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         seg = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -481,7 +487,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl = _build_huffman(counts, seg[j + 17 : j + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -490,9 +496,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgState(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0xC{marker & 15:X})"
+                f"unsupported JPEG frame (SOF marker 0xC{marker & 15:X})"
             )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
@@ -501,16 +510,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_tbl = {}
+            scan_order = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tbl[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
-                payload, i + 2 + seg_len, frame, scan_tbl, qt,
-                huff_dc, huff_ac, restart,
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    payload, i + 2 + seg_len, frame, scan_tbl, qt,
+                    huff_dc, huff_ac, restart,
+                )
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            i = _decode_progressive_scan(
+                payload, i + 2 + seg_len, prog, scan_order, scan_tbl,
+                ss, se, ahl >> 4, ahl & 15, huff_dc, huff_ac, restart,
             )
-        elif marker == 0xD9:
-            break
+            continue
         i += 2 + seg_len
+    if progressive and prog is not None and prog.any_scan:
+        return _assemble_planes(frame, prog.dequantized(qt))
     raise ValueError("JPEG contains no scan")
 
 
@@ -564,6 +582,16 @@ def _decode_scan(
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    return _assemble_planes(frame, planes)
+
+
+def _assemble_planes(frame, planes) -> np.ndarray:
+    """Upsample subsampled component pixel planes to full resolution,
+    crop padding, and color-convert (shared by the baseline single-scan
+    path and the progressive multi-scan path)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
     for cid, ch, cv, _tq in comps:
         p = planes[cid]
@@ -581,6 +609,201 @@ def _decode_scan(
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _ProgState:
+    """Coefficient accumulator for a progressive frame: per component,
+    the zigzag-order DCT coefficients of every block in the padded MCU
+    grid, built up across scans (spectral bands x approximation bits)
+    and turned into pixel planes once all scans are read."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coef: dict[int, np.ndarray] = {}
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        self.eobrun = 0
+        self.any_scan = False
+        for cid, ch, cv, _tq in comps:
+            self.coef[cid] = np.zeros(
+                (self.mcuy * cv, self.mcux * ch, 64), dtype=np.int32
+            )
+            # non-interleaved scans cover the component's REAL block
+            # grid (from its scaled dimensions), not the padded one
+            cw = -(-w * ch // self.hmax)
+            chh = -(-h * cv // self.vmax)
+            self.nblocks[cid] = (-(-chh // 8), -(-cw // 8))
+
+    def dequantized(self, qt) -> dict[int, np.ndarray]:
+        _h, _w, comps = self.frame
+        planes = {}
+        for cid, _ch, _cv, tq in comps:
+            zz = self.coef[cid] * qt[tq]  # (by, bx, 64)
+            blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+            blocks.reshape(zz.shape[:2] + (64,))[
+                :, :, _ZIGZAG
+            ] = zz.astype(np.float64)
+            px = (
+                np.einsum("ij,byjk,kl->byil", _DCT_M.T, blocks, _DCT_M)
+                + 128.0
+            )
+            by, bx = zz.shape[:2]
+            planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        return planes
+
+
+def _decode_progressive_scan(
+    payload, pos, prog, scan_order, scan_tbl, ss, se, ah, al,
+    huff_dc, huff_ac, restart,
+) -> int:
+    """Decode one progressive SOS entropy segment into ``prog``'s
+    coefficient state; returns the payload offset just past the
+    segment (at the next marker). Implements all four scan kinds: DC
+    first/refine (optionally interleaved over MCUs) and AC
+    first/refine (always single-component, with EOB runs)."""
+    h, w, comps = prog.frame
+    by_cid = {c[0]: c for c in comps}
+    r = _BitReader(payload, pos)
+    prog.eobrun = 0
+    prog.any_scan = True
+    pred = {cid: 0 for cid in scan_order}
+    n_units = 0
+
+    def maybe_restart():
+        nonlocal pred
+        if restart and n_units and n_units % restart == 0:
+            r.align_past_rst()
+            pred = {cid: 0 for cid in scan_order}
+            prog.eobrun = 0
+
+    if ss == 0:  # DC scan (interleaved or not); Se must be 0
+        if len(scan_order) > 1:
+            for my in range(prog.mcuy):
+                for mx in range(prog.mcux):
+                    maybe_restart()
+                    n_units += 1
+                    for cid in scan_order:
+                        _cid, ch, cv, _tq = by_cid[cid]
+                        td, _ta = scan_tbl[cid]
+                        for byy in range(cv):
+                            for bxx in range(ch):
+                                _dc_unit(
+                                    r, prog.coef[cid],
+                                    my * cv + byy, mx * ch + bxx,
+                                    huff_dc.get(td), pred, cid, ah, al,
+                                )
+        else:
+            cid = scan_order[0]
+            nby, nbx = prog.nblocks[cid]
+            td, _ta = scan_tbl[cid]
+            for byy in range(nby):
+                for bxx in range(nbx):
+                    maybe_restart()
+                    n_units += 1
+                    _dc_unit(
+                        r, prog.coef[cid], byy, bxx,
+                        huff_dc.get(td), pred, cid, ah, al,
+                    )
+    else:  # AC scan: always one component
+        cid = scan_order[0]
+        nby, nbx = prog.nblocks[cid]
+        _td, ta = scan_tbl[cid]
+        tbl = huff_ac[ta]
+        for byy in range(nby):
+            for bxx in range(nbx):
+                maybe_restart()
+                n_units += 1
+                blk = prog.coef[cid][byy, bxx]
+                if ah == 0:
+                    _ac_first(r, blk, tbl, ss, se, al, prog)
+                else:
+                    _ac_refine(r, blk, tbl, ss, se, al, prog)
+
+    # step past any partial byte, then to the next marker
+    i = r.pos if r.bit == 0 else r.pos + 1
+    while i + 1 < len(payload) and not (
+        payload[i] == 0xFF and payload[i + 1] not in (0x00,)
+    ):
+        i += 1
+    return i
+
+
+def _dc_unit(r, coef, byy, bxx, dc_tbl, pred, cid, ah, al) -> None:
+    if ah == 0:  # first DC scan: diff-coded magnitude, shifted up
+        t = _huff_decode(r, dc_tbl)
+        pred[cid] += _extend(r.read_bits(t), t)
+        coef[byy, bxx, 0] = pred[cid] << al
+    else:  # refinement: one correction bit per block
+        if r.read_bit():
+            coef[byy, bxx, 0] |= 1 << al
+
+
+def _ac_first(r, blk, tbl, ss, se, al, prog) -> None:
+    if prog.eobrun > 0:
+        prog.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, tbl)
+        rl, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if rl == 15:  # ZRL
+                k += 16
+                continue
+            prog.eobrun = (1 << rl) - 1
+            if rl:
+                prog.eobrun += r.read_bits(rl)
+            break
+        k += rl
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        blk[k] = _extend(r.read_bits(sz), sz) << al
+        k += 1
+
+
+def _ac_refine(r, blk, tbl, ss, se, al, prog) -> None:
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if prog.eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, tbl)
+            rl, sz = rs >> 4, rs & 15
+            val = 0
+            if sz == 0:
+                if rl < 15:  # EOB run: refine the rest of the band below
+                    prog.eobrun = 1 << rl
+                    if rl:
+                        prog.eobrun += r.read_bits(rl)
+                    break
+                # rl == 15: ZRL — advance over 16 zero-history coeffs
+            else:
+                if sz != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if rl == 0:
+                        break
+                    rl -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if prog.eobrun > 0:
+        while k <= se:
+            if blk[k]:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        prog.eobrun -= 1
 
 
 def avi_mjpeg_frames(payload: bytes) -> list[bytes]:

@@ -13,9 +13,10 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
   row order);
 - GIF: FULL first-frame pixel decode (LZW, local/global palettes,
   interlacing);
-- JPEG: FULL baseline (SOF0) decode — Huffman entropy decode,
-  dequant, IDCT, chroma upsampling, restart intervals; progressive
-  (SOF2) and arithmetic-coded streams degrade to header metadata;
+- JPEG: FULL baseline (SOF0) AND progressive (SOF2) decode — Huffman
+  entropy decode, spectral-selection/successive-approximation scans,
+  dequant, IDCT, chroma upsampling, restart intervals;
+  arithmetic-coded streams degrade to header metadata;
 - VIDEO: real frame sampling for MJPEG-AVI (RIFF container walk +
   per-frame JPEG decode, ``extract_video_frame_features``); other
   containers remain the native-codec swap-point;
@@ -125,8 +126,8 @@ def decode_image(payload: bytes) -> dict:
     channels) and the deterministic FAKEIMG1 test format. Unknown
     magic raises — a data-quality signal, not silently-null metadata.
     A variant the pure decoders don't cover (16-bit/interlaced PNG,
-    progressive JPEG, compressed BMP) or corrupt pixel data degrades
-    to header width/height with mean_pixel None."""
+    arithmetic-coded JPEG, compressed BMP) or corrupt pixel data
+    degrades to header width/height with mean_pixel None."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}
     if payload.startswith(_MAGIC):

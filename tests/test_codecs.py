@@ -321,6 +321,108 @@ def _ref_idct(coeff: np.ndarray) -> np.ndarray:
     return out + 128.0
 
 
+# Progressive AC table: EOB0 (0x00) and run0/size1 (0x01) at length 2,
+# EOB1 (0x10) at length 3 ("100") so EOB-run coverage is testable.
+_JPG_AC_PROG = (bytes([0, 2, 1] + [0] * 13), bytes([0x00, 0x01, 0x10]))
+
+
+def _jpeg_prog_bytes(w, h, comps, scans, q=16) -> bytes:
+    """Assemble a PROGRESSIVE (SOF2) stream: shared tables + one SOS
+    per (component_ids, Ss, Se, Ah, Al, bits) scan tuple."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    seg(0xC2, sof)  # SOF2: progressive
+    seg(0xC4, bytes([0x00]) + _JPG_DC[0] + _JPG_DC[1])
+    seg(0xC4, bytes([0x10]) + _JPG_AC_PROG[0] + _JPG_AC_PROG[1])
+    for cids, ss, se, ah, al, bits in scans:
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(_pack_bits(bits))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_progressive_dc_successive_approximation():
+    """DC first scan at Al=1 plus a refinement scan must reconstruct
+    DC=3 exactly (2 from the shifted first pass | 1 correction bit):
+    uniform 128 + 3*16/8 = 134."""
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    px = decode_jpeg(
+        _jpeg_prog_bytes(
+            8, 8, [(1, 1, 1)],
+            [
+                ([1], 0, 0, 0, 1, "01" + "1"),  # DC first: +1 -> coef 2
+                ([1], 0, 0, 1, 0, "1"),         # DC refine: |1 -> coef 3
+                ([1], 1, 63, 0, 0, "00"),       # AC first: EOB
+            ],
+        )
+    )
+    assert px.shape == (8, 8, 1)
+    assert np.all(px == 134)
+
+
+def test_jpeg_progressive_ac_eobrun_and_refinement():
+    """Two blocks; the AC first scan places k=1 at Al=1 and covers the
+    second block with an EOB run (EOB1); the refinement scan corrects
+    k=1 upward and inserts a brand-new k=2 coefficient. Expected pixels
+    from the independent cosine-sum IDCT."""
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    px = decode_jpeg(
+        _jpeg_prog_bytes(
+            16, 8, [(1, 1, 1)],
+            [
+                ([1], 0, 0, 0, 0, "00" + "00"),  # DC first: both DC=0
+                # AC first, Al=1: blk1 k1=+1<<1=2, then EOB1(+0 bits)=1
+                # -> blk2 entirely skipped
+                ([1], 1, 63, 0, 1, "01" + "1" + "100" + "0"),
+                # AC refine, Al=0: blk1: new k2=+1 ("01","1"), correction
+                # bit 1 for k1 (2->3), EOB0; blk2: EOB0
+                ([1], 1, 63, 1, 0, "01" + "1" + "1" + "00" + "00"),
+            ],
+        )
+    )
+    assert px.shape == (8, 16, 1)
+    mat = np.zeros((8, 8))
+    mat[0, 1] = 3 * 16  # zigzag k=1
+    mat[1, 0] = 1 * 16  # zigzag k=2
+    expected = np.clip(np.round(_ref_idct(mat)), 0, 255)
+    assert np.array_equal(px[:, :8, 0], expected)
+    assert np.all(px[:, 8:, 0] == 128)
+
+
+def test_jpeg_progressive_interleaved_color_420():
+    """Interleaved DC scan over 4:2:0 MCUs (4 Y + Cb + Cr blocks) plus
+    per-component AC scans: uniform Y=132, neutral chroma."""
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    px = decode_jpeg(
+        _jpeg_prog_bytes(
+            16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+            [
+                # DC interleaved: Y diffs +2,0,0,0; Cb 0; Cr 0
+                ([1, 2, 3], 0, 0, 0, 0, "10" + "10" + "00" * 3 + "00" + "00"),
+                ([1], 1, 63, 0, 0, "00" * 4),
+                ([2], 1, 63, 0, 0, "00"),
+                ([3], 1, 63, 0, 0, "00"),
+            ],
+        )
+    )
+    assert px.shape == (16, 16, 3)
+    assert np.all(px == 132)
+
+
 def test_jpeg_grayscale_dc_only():
     from lakehouse_architecture_spark.operators.codecs import decode_jpeg
 
@@ -412,9 +514,14 @@ def test_gif_animated_first_frame_and_extensions():
 
     from lakehouse_architecture_spark.operators.codecs import decode_jpeg
 
+    # progressive (SOF2) now decodes; a DC-only stream flipped to SOF2
+    # reads the same DC coefficient as a DC scan — uniform mid-gray
     raw = bytearray(_jpeg_bytes(8, 8, [(1, 1, 1)], bits="0000"))
     idx = bytes(raw).find(b"\xff\xc0")
-    raw[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    raw[idx + 1] = 0xC2
+    assert np.all(decode_jpeg(bytes(raw)) == 128)
+    # arithmetic-coded frames (SOF9) remain a loud NotImplementedError
+    raw[idx + 1] = 0xC9
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(raw))
 
