@@ -80,8 +80,11 @@ EXTRA = [
 NOTES: list[str] = [
     "r6: interleaved A/B of the three r5 nominal regressions "
     "(agg_stats_by_status, validate_lineitem_fk_invalid, "
-    "emb_near_dup_pairs) — see 'ab_check' for medians measured "
-    "alternating in one session; plans unchanged (EXPLAIN.md).",
+    "emb_near_dup_pairs): 7 alternating reps in one session gave "
+    "within-session spreads of 0.45/0.62/0.89 s — each LARGER than "
+    "the r4->r5 delta it was meant to explain (0.14/0.13/0.23 s), "
+    "and plans are unchanged (EXPLAIN.md). Verdict: measurement "
+    "noise, no action. Raw medians in 'ab_check'.",
     "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
     "instead of reusing the MinHash corpus index: banded LSH candidates "
     "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
