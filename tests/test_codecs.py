@@ -423,6 +423,192 @@ def test_jpeg_progressive_interleaved_color_420():
     assert np.all(px == 132)
 
 
+# ---- test-side JPEG encoders for the baseline-vs-progressive
+# equivalence property: same coefficients, two codings, one answer ----
+
+# DC categories 0..6 at code length 3; AC: EOB, ZRL and (run,size) for
+# run 0..15 x size 1..3 at code length 8 (canonical, order as listed)
+_PROP_DC = (bytes([0, 0, 7] + [0] * 13), bytes(range(7)))
+_PROP_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 4)
+]
+_PROP_AC = (
+    bytes([0, 0, 0, 0, 0, 0, 0, len(_PROP_AC_SYMS)] + [0] * 8),
+    bytes(_PROP_AC_SYMS),
+)
+
+
+def _enc_codes(counts, symbols):
+    """symbol -> canonical bitstring (the encoder mirror of the
+    decoder's _build_huffman)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = format(code, f"0{length}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODE = _enc_codes(_PROP_DC[0], _PROP_DC[1])
+_AC_CODE = _enc_codes(_PROP_AC[0], _PROP_AC[1])
+
+
+def _cat_bits(v: int) -> tuple[int, str]:
+    """JPEG category + magnitude bits for a signed value."""
+    if v == 0:
+        return 0, ""
+    cat = abs(v).bit_length()
+    mag = v if v > 0 else v + (1 << cat) - 1
+    return cat, format(mag, f"0{cat}b")
+
+
+def _enc_baseline_blocks(blocks) -> str:
+    """blocks: list of length-64 int arrays (zigzag order)."""
+    bits, pred = "", 0
+    for zz in blocks:
+        cat, mag = _cat_bits(int(zz[0]) - pred)
+        pred = int(zz[0])
+        bits += _DC_CODE[cat] + mag
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bits += _AC_CODE[0xF0]
+                run -= 16
+            cat, mag = _cat_bits(v)
+            bits += _AC_CODE[(run << 4) | cat] + mag
+            run = 0
+        if run:
+            bits += _AC_CODE[0x00]
+    return bits
+
+
+def _enc_prog_scans(blocks):
+    """Progressive coding of the same blocks, mirroring the spec's
+    (and libjpeg's) successive-approximation encoders: DC first at
+    Al=1 (arithmetic >> like the decoder's <<) + DC refine bit, AC
+    first (band 1-63) at Al=1 with magnitude truncation toward zero
+    + AC refine at Al=0 with ZRL/EOB correction-bit buffering. Returns
+    the four scans' bit strings."""
+    dc1, dcr, pred = "", "", 0
+    for zz in blocks:
+        hi = int(zz[0]) >> 1  # arithmetic (floor) shift, both signs
+        cat, mag = _cat_bits(hi - pred)
+        pred = hi
+        dc1 += _DC_CODE[cat] + mag
+        dcr += str(int(zz[0]) & 1)
+
+    ac1 = ""
+    for zz in blocks:  # AC first, Al=1: magnitudes truncated toward 0
+        run, last_nz = 0, 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            hi = (abs(v) >> 1) * (1 if v > 0 else -1)
+            if hi == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac1 += _AC_CODE[0xF0]
+                run -= 16
+            cat, mag = _cat_bits(hi)
+            ac1 += _AC_CODE[(run << 4) | cat] + mag
+            run = 0
+            last_nz = k
+        if last_nz < 63:
+            ac1 += _AC_CODE[0x00]  # EOB (covers this block)
+
+    acr = ""
+    for zz in blocks:  # AC refine, Al=0: history = |v|>>1 magnitudes
+        temps = [abs(int(zz[k])) for k in range(64)]
+        eob_pos = max((k for k in range(1, 64) if temps[k] == 1), default=0)
+        run, br = 0, ""
+        for k in range(1, 64):
+            t = temps[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_pos:
+                acr += _AC_CODE[0xF0] + br
+                br = ""
+                run -= 16
+            if t > 1:  # already significant: one correction bit
+                br += str(t & 1)
+                continue
+            acr += (
+                _AC_CODE[(run << 4) | 1]
+                + ("1" if int(zz[k]) > 0 else "0")
+                + br
+            )
+            br, run = "", 0
+        if run > 0 or br:
+            acr += _AC_CODE[0x00] + br  # EOB + trailing correction bits
+    return dc1, dcr, ac1, acr
+
+
+def test_jpeg_progressive_equals_baseline_on_random_blocks():
+    """Property: encoding the SAME coefficient blocks as a baseline
+    stream and as a 4-scan progressive stream (DC/AC successive
+    approximation at Al=1 with refinement) must decode to identical
+    pixels — the decoders share only the IDCT tail, so agreement
+    exercises the whole progressive scan machinery."""
+    from lakehouse_architecture_spark.operators.codecs import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        nblocks = int(rng.integers(1, 4))
+        blocks = []
+        for _ in range(nblocks):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = int(rng.integers(-7, 8))
+            for k in rng.choice(
+                np.arange(1, 64), size=int(rng.integers(0, 8)), replace=False
+            ):
+                zz[k] = int(rng.integers(-7, 8))
+            blocks.append(zz)
+        w, h = 8 * nblocks, 8
+
+        def seg_stream(sof_marker, scans):
+            out = bytearray(b"\xff\xd8")
+
+            def seg(marker, body):
+                out.extend(
+                    bytes([0xFF, marker])
+                    + struct.pack(">H", len(body) + 2)
+                    + body
+                )
+
+            seg(0xDB, bytes([0]) + bytes([16] * 64))
+            seg(0xC0 if sof_marker == 0xC0 else 0xC2,
+                struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            seg(0xC4, bytes([0x00]) + _PROP_DC[0] + _PROP_DC[1])
+            seg(0xC4, bytes([0x10]) + _PROP_AC[0] + _PROP_AC[1])
+            for ss, se, ah, al, bits in scans:
+                seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+                out.extend(_pack_bits(bits))
+            out.extend(b"\xff\xd9")
+            return bytes(out)
+
+        base = seg_stream(0xC0, [(0, 63, 0, 0, _enc_baseline_blocks(blocks))])
+        dc1, dcr, ac1, acr = _enc_prog_scans(blocks)
+        prog = seg_stream(
+            0xC2,
+            [
+                (0, 0, 0, 1, dc1),
+                (0, 0, 1, 0, dcr),
+                (1, 63, 0, 1, ac1),
+                (1, 63, 1, 0, acr),
+            ],
+        )
+        px_base = decode_jpeg(base)
+        px_prog = decode_jpeg(prog)
+        assert np.array_equal(px_base, px_prog), f"trial {trial}"
+
+
 def test_jpeg_grayscale_dc_only():
     from lakehouse_architecture_spark.operators.codecs import decode_jpeg
 
