@@ -51,6 +51,11 @@ _PRIORITY = [
     "events_hll_sketch_rollup",     # invariant oracle (was rows-only err)
     "events_value_p95_by_type",     # aggregate-then-rank scale rewrite
     "docs_incremental_near_dups_indexed",  # session-keyed index cache
+    # round-6 NEW queries (first driver check)
+    "docs_rare_token_ratio",
+    "docs_dup_cluster_size_histogram",
+    "events_signup_to_purchase_1h",
+    "events_daily_new_vs_returning",
     # r1-stale rotation (last driver row is five rounds old)
     "q22_dormant_customers",
     "join_inner_orders_customer",

@@ -530,3 +530,59 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(ndup).select(F.explode(rows).alias("r")).select(
         "r.*"
     )
+
+
+CLUSTER_SIZE_HIST_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_SHC_CTE},
+{_PAIRS_SQL},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS doc FROM edges),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT e.d AS doc, reach.r FROM reach JOIN edges e ON e.s = reach.doc
+),
+comp AS (SELECT doc, MIN(r) AS component FROM reach GROUP BY doc),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM csize GROUP BY 1
+"""
+
+
+@query("docs_dup_cluster_size_histogram", oracle=CLUSTER_SIZE_HIST_ORACLE)
+def docs_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup cluster SIZE distribution — how duplication mass is
+    shaped: many pairs vs a few mega-clusters. The deciding input for
+    dedup policy (keep-one collapses a k-cluster to 1 doc, so the
+    histogram IS the projected token savings) and the early-warning
+    for boilerplate explosions (a fat tail here means a template is
+    eating the corpus). Same component labels the keep-one/keep-best
+    elections use; two extra count aggregates, each over relations no
+    bigger than the cluster count."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    csize = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        csize.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

@@ -842,3 +842,121 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > 5 * F.col("mad"))
         .select("hour_start", "event_type", "n_events", "med", "mad")
     )
+
+
+SIGNUP_CONV_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT s.user_id, COUNT(e.event_id) AS n_purchases_1h
+  FROM s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts > s.first_signup AND e.ts <= s.first_signup + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT s.user_id,
+       strftime(s.first_signup, '%Y-%m-%d %H:%M:%S') AS first_signup,
+       p.n_purchases_1h,
+       p.n_purchases_1h > 0 AS converted_1h
+FROM s JOIN p USING (user_id)
+"""
+
+
+@query("events_signup_to_purchase_1h", oracle=SIGNUP_CONV_ORACLE)
+def events_signup_to_purchase_1h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-BOUNDED conversion: for every user's FIRST signup, the
+    purchases landing inside the following hour — the windowed funnel
+    (activation within SLA) that an unbounded funnel overstates. The
+    window arithmetic is naive-timestamp interval math on both engines
+    (TZ-free; the r5/r6 timezone rule), and the compared surface is
+    the rendered first-touch plus exact integers/booleans.
+
+    Plan: the signup side collapses to one row per user BEFORE the
+    join (min-aggregate, partial map-side), so the range join fans out
+    per purchase, never per event pair; both sides shuffle once on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("first_signup"))
+        & (
+            F.col("p_ts")
+            <= F.col("first_signup") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id", "first_signup")
+        .agg(F.count("p_ts").alias("n_purchases_1h"))
+        .select(
+            "user_id",
+            F.date_format("first_signup", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_signup"
+            ),
+            "n_purchases_1h",
+            (F.col("n_purchases_1h") > 0).alias("converted_1h"),
+        )
+    )
+
+
+NEW_VS_RETURNING_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT d.day,
+       COUNT(*) AS n_active_users,
+       COUNT(*) FILTER (WHERE f.first_day = d.day) AS n_new_users,
+       COUNT(*) FILTER (WHERE f.first_day <> d.day)
+         AS n_returning_users
+FROM daily d JOIN firsts f USING (user_id)
+GROUP BY 1
+"""
+
+
+@query("events_daily_new_vs_returning", oracle=NEW_VS_RETURNING_ORACLE)
+def events_daily_new_vs_returning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Growth accounting: per day, active users split into NEW (first
+    ever touch is that day) vs RETURNING — the decomposition behind
+    every growth dashboard, and the base for the retention matrix.
+    One shuffle on user_id produces both the first-touch relation and
+    the distinct (day, user) activity; the final rollup shuffles the
+    tiny day key. Integer-only compared surface."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.count_if(F.col("first_day") == F.col("day")).alias(
+                "n_new_users"
+            ),
+            F.count_if(F.col("first_day") != F.col("day")).alias(
+                "n_returning_users"
+            ),
+        )
+    )

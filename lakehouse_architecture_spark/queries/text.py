@@ -514,3 +514,61 @@ def docs_dup_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Rare = document frequency <= this (types, not occurrences). Mirrored
+# literally in the oracle so both engines draw the same line.
+RARE_DF_CAP = 2
+
+RARE_TOKEN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents),
+       UNNEST(t) AS u(tok)
+  WHERE u.tok <> ''
+),
+types AS (SELECT DISTINCT doc_id, tok FROM toks),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM types GROUP BY 1)
+SELECT t.doc_id,
+       COUNT(*) AS n_types,
+       COUNT(*) FILTER (WHERE d.df <= {RARE_DF_CAP}) AS n_rare_types
+FROM types t JOIN dfreq d USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@query("docs_rare_token_ratio", oracle=RARE_TOKEN_ORACLE)
+def docs_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density per document — distinct normalized tokens
+    whose corpus document frequency is <= RARE_DF_CAP, next to the
+    doc's distinct-token count. High rare-type share flags OCR noise,
+    codes/ids, and boilerplate-free gibberish; near-zero flags
+    template text — both ends are curation signals, and the consumer
+    derives the ratio from the two exact integers (float rule).
+
+    Plan: inverted-index topology — one shuffle on token for the
+    document-frequency aggregate, the type relation re-joined on token
+    (partial aggregation absorbs the explode map-side), one shuffle on
+    doc_id for the per-doc rollup. No corpus-squared term anywhere."""
+    from lakehouse_architecture_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    types = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = types.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        types.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.count_if(F.col("df") <= RARE_DF_CAP).alias("n_rare_types"),
+        )
+    )
