@@ -70,9 +70,12 @@ EXTRA = [
     "lineitem_unpivot_measure_stats",
     "window_first_last_dense",
     "stats_skew_kurtosis_qty",
-    # round-6 additions (changed plans worth tracking)
+    # round-6 additions (changed plans worth tracking). emb_knn_ivf is
+    # deliberately NOT benched: since r6 it is the recall-QA contract
+    # (IVF + exact brute force + recall join), so its wall would say
+    # nothing about the IVF plan — emb_knn_ivf_md5 times the actual
+    # probe-pruned search.
     "events_value_p95_by_type",
-    "emb_knn_ivf",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
@@ -82,9 +85,12 @@ NOTES: list[str] = [
     "(agg_stats_by_status, validate_lineitem_fk_invalid, "
     "emb_near_dup_pairs): 7 alternating reps in one session gave "
     "within-session spreads of 0.45/0.62/0.89 s — each LARGER than "
-    "the r4->r5 delta it was meant to explain (0.14/0.13/0.23 s), "
-    "and plans are unchanged (EXPLAIN.md). Verdict: measurement "
-    "noise, no action. Raw medians in 'ab_check'.",
+    "the r4->r5 delta it was meant to explain (0.14/0.13/0.23 s per "
+    "VERDICT r5's table; BENCH_r04.json itself parsed null, so "
+    "ab_check's r04_median fields are null by construction). Plans "
+    "unchanged (EXPLAIN.md). Verdict: measurement noise, no action. "
+    "Raw interleaved medians in 'ab_check', stamped with the file "
+    "mtime of the run that produced them.",
     "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
     "instead of reusing the MinHash corpus index: banded LSH candidates "
     "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
@@ -228,11 +234,15 @@ def run_pipeline_e2e(spark, sf_dir: str) -> dict:
 
 def _load_ab_check() -> dict | None:
     """Pick up the interleaved A/B re-measurement (tools/ab_check.py
-    writes /tmp/ab_check.json) if one was run this round; the bench
-    must not fail when it wasn't."""
+    writes /tmp/ab_check.json) if one was run; the payload is stamped
+    with the file's mtime so a stale prior-round measurement is
+    self-describing rather than silently passing as current. The bench
+    must not fail when no A/B was run."""
     try:
         with open("/tmp/ab_check.json") as fh:
-            return json.load(fh)
+            payload = json.load(fh)
+        payload["measured_at_unix"] = int(os.path.getmtime("/tmp/ab_check.json"))
+        return payload
     except Exception:
         return None
 

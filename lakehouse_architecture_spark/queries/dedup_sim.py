@@ -906,25 +906,20 @@ def _corpus_index_for(spark: SparkSession, sf_dir: str):
         build_minhash_corpus_index,
     )
 
-    # Keyed by (session id, sf_dir), not sf_dir alone: test harnesses
-    # stop and recreate SparkSessions within one process, and an index
-    # persisted under a dead session fails opaquely on reuse (r5
-    # ADVICE). A new session gets a fresh index; entries bound to dead
-    # sessions are dropped eagerly so the cache cannot grow past one
-    # live session's worth of indexes.
+    # Keyed by (session weakref, sf_dir), not sf_dir alone: test
+    # harnesses stop and recreate SparkSessions within one process, and
+    # an index persisted under a dead session fails opaquely on reuse
+    # (r5 ADVICE). A new session object never matches an old key, so it
+    # always rebuilds; entries whose session has been garbage-collected
+    # are swept here (a stopped-but-still-referenced session's entry
+    # lingers until _release_corpus_indexes or GC — bounded by the
+    # number of sessions the process ever holds alive at once).
     for k in [k for k in _CORPUS_INDEXES if k[0]() is None]:
         del _CORPUS_INDEXES[k]
     import weakref
 
     key = (weakref.ref(spark), sf_dir)
-    live = next(
-        (
-            v
-            for (ref, d), v in _CORPUS_INDEXES.items()
-            if d == sf_dir and ref() is spark
-        ),
-        None,
-    )
+    live = _CORPUS_INDEXES.get(key)
     if live is None:
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0

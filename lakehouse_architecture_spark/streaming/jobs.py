@@ -194,9 +194,14 @@ def near_dup_handle_batch(
 
     commit_dir = os.path.join(checkpoint_dir, "near_dup_commits")
     committed = os.path.join(commit_dir, f"batch-{batch_id}")
-    if os.path.exists(committed):
-        return  # exactly-once: this batch already fully published
     staging = os.path.join(checkpoint_dir, "near_dup_staging", str(batch_id))
+    if os.path.exists(committed):
+        # exactly-once: already fully published. A crash between the
+        # marker write and the cleanup below can leave the (fully
+        # drained) staging directory behind — sweep it here so crashes
+        # never accumulate disk across the stream's lifetime.
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     sealed = os.path.join(staging, "_STAGED")
 
     if not os.path.exists(sealed):
