@@ -470,7 +470,10 @@ def emb_knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact neighbor lists are oracle-checked end-to-end by the
     md5-seeded twin ``emb_knn_ivf_md5``; per-list pruning is measured by
     ``emb_ivf_probe_stats``; this query pins the production hash-seeded
-    regime so no registry row is ever rows-only."""
+    regime so no registry row is ever rows-only. NOTE: as the QA
+    contract it deliberately runs the exact brute-force reference too —
+    production ANN calls ``operators.similarity.knn_ivf`` directly and
+    never pays that cost."""
     from lakehouse_architecture_spark.operators.similarity import (
         knn_bruteforce,
         knn_ivf,

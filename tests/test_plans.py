@@ -296,3 +296,29 @@ def test_lsh_verify_decimal_only_after_prefilter(spark, sf_dir):
     )
     pre_join = "\n".join(lines[:first_join])
     assert "decimal(30,18)" not in pre_join
+
+
+def test_signup_conversion_is_hash_join(spark, sf_dir):
+    """The time-bounded funnel's range predicates ride an equi hash
+    join on user_id — never a nested-loop over event pairs."""
+    plan = _plan(spark, sf_dir, "events_signup_to_purchase_1h")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast locally, shuffled at scale
+
+
+def test_rare_token_ratio_no_cartesian(spark, sf_dir):
+    """Inverted-index topology: the document-frequency join keys on
+    token; nothing corpus-squared appears in the plan."""
+    plan = _plan(spark, sf_dir, "docs_rare_token_ratio")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_vs_returning_single_user_shuffle_family(spark, sf_dir):
+    """Growth accounting joins two user-keyed aggregates — hash join,
+    no nested loop, and the day rollup is partial-aggregated."""
+    plan = _plan(spark, sf_dir, "events_daily_new_vs_returning")
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x2 stages
