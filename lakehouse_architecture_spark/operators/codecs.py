@@ -54,11 +54,13 @@ DECODE_ERRORS = (
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a baseline PNG to a (height, width, channels) uint8 array.
+    """Decode an 8-bit PNG to a (height, width, channels) uint8 array —
+    sequential or Adam7-interlaced (each of the 7 sub-images is
+    unfiltered independently and scattered into place, per spec).
 
     Palette images (color type 3) are expanded through their PLTE to
     RGB. Raises ``ValueError`` for a non-PNG or corrupt stream and
-    ``NotImplementedError`` for 16-bit depth / interlaced images.
+    ``NotImplementedError`` for 16-bit depth.
     """
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
@@ -84,18 +86,57 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG (Adam7) not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _CHANNELS[color]
-    stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        px = _png_unfilter(raw, 0, w, h, ch)[0].reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        expected = sum(
+            ph * (pw * ch + 1)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(w, h)
+        )
+        if len(raw) != expected:
+            raise ValueError("PNG IDAT length mismatch")
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub, pos = _png_unfilter(raw, pos, pw, ph, ch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[..., 0]]
+    return px
+
+
+def _adam7_passes(w: int, h: int):
+    """The 7 Adam7 sub-image geometries as (x0, y0, dx, dy, pw, ph),
+    empty passes skipped."""
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw and ph:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int):
+    """Reverse PNG scanline filtering for one (sub-)image of w x h
+    pixels starting at byte ``pos``; returns ((h, w*ch) uint8 array,
+    next position). Filter state (prev row) is local to the image, per
+    spec — each Adam7 pass filters independently."""
+    stride = w * ch
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         pos += 1
@@ -130,13 +171,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f} on row {y}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, ch)
-    if color == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        px = pal[px[..., 0]]
-    return px
+    return out, pos
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -183,11 +218,13 @@ def resize_nearest(pixels: np.ndarray, max_dim: int) -> np.ndarray:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed (BI_RGB) BMP to (h, w, channels) uint8.
+    """Decode a BMP to (h, w, channels) uint8.
 
-    Supports the common cases: 24-bit BGR, 32-bit BGRA, and 8-bit
-    paletted, bottom-up or top-down row order, 4-byte row padding.
-    Compressed or exotic bit depths raise ``NotImplementedError``.
+    Supports the common cases: uncompressed (BI_RGB) 24-bit BGR,
+    32-bit BGRA and 8-bit paletted, plus RLE8-compressed (BI_RLE8)
+    8-bit paletted — bottom-up or top-down row order, 4-byte row
+    padding. Other compressions / bit depths raise
+    ``NotImplementedError``.
     """
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP stream")
@@ -195,32 +232,75 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     hdr_size = struct.unpack("<I", payload[14:18])[0]
     w, h_signed = struct.unpack("<ii", payload[18:26])
     bits, compression = struct.unpack("<HI", payload[28:34])
-    if compression != 0:
-        raise NotImplementedError(f"BMP compression {compression}")
-    if bits not in (8, 24, 32):
-        raise NotImplementedError(f"BMP bit depth {bits}")
     h = abs(h_signed)
     top_down = h_signed < 0
-    row_bytes = (w * bits // 8 + 3) & ~3
-    if len(payload) < data_off + row_bytes * h:
-        raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
-    ).reshape(h, row_bytes)
+    if compression == 1:  # BI_RLE8
+        if bits != 8:
+            raise ValueError(f"BMP RLE8 with bit depth {bits}")
+        idx = _bmp_rle8_rows(payload[data_off:], w, h)
+    elif compression != 0:
+        raise NotImplementedError(f"BMP compression {compression}")
+    elif bits not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bits}")
+    else:
+        row_bytes = (w * bits // 8 + 3) & ~3
+        if len(payload) < data_off + row_bytes * h:
+            raise ValueError("truncated BMP pixel data")
+        idx = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)
     if not top_down:
-        rows = rows[::-1]
+        idx = idx[::-1]
     if bits == 8:
         pal_off = 14 + hdr_size
         n_colors = struct.unpack("<I", payload[46:50])[0] or 256
         pal = np.frombuffer(
             payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
         ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA entries -> RGB
-        return pal[rows[:, :w]]
+        return pal[idx[:, :w]]
     ch = bits // 8
-    px = rows[:, : w * ch].reshape(h, w, ch)
+    px = idx[:, : w * ch].reshape(h, w, ch)
     # BMP stores BGR(A); emit RGB(A)
     order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
     return np.ascontiguousarray(px[:, :, order])
+
+
+def _bmp_rle8_rows(data: bytes, w: int, h: int) -> np.ndarray:
+    """Expand a BI_RLE8 stream into an (h, w) index raster in STORED
+    row order (caller flips for bottom-up). Implements encoded runs,
+    absolute mode (word-aligned), end-of-line (0,0), end-of-bitmap
+    (0,1) and delta (0,2). Unwritten pixels stay 0 per the format's
+    'delta skips leave gaps' convention."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        count, val = data[i], data[i + 1]
+        i += 2
+        if count:  # encoded run
+            end = min(x + count, w)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta: skip right/up in stored order
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal bytes, word-aligned
+            if i + val > n:
+                raise ValueError("truncated BMP RLE8 absolute run")
+            end = min(x + val, w)
+            out[y, x:end] = np.frombuffer(
+                data, dtype=np.uint8, count=end - x, offset=i
+            )
+            x = end
+            i += val + (val & 1)
+    return out
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:

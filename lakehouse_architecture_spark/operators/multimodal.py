@@ -9,7 +9,7 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
 - PNG: FULL pixel decode (zlib inflate + all 5 scanline filters,
   8-bit, color types 0/2/3/4/6) — pixel statistics and real
   nearest-neighbor resize with filter-0 re-encode;
-- BMP: FULL pixel decode (uncompressed 8/24/32-bit, palette, either
+- BMP: FULL pixel decode (uncompressed 8/24/32-bit + RLE8, palette, either
   row order);
 - GIF: FULL first-frame pixel decode (LZW, local/global palettes,
   interlacing);
@@ -121,12 +121,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None] | N
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode: FULL pixel decode for PNG, BMP, GIF and baseline
+    """Image decode: FULL pixel decode for PNG, BMP, GIF and
     JPEG (operators/codecs.py — mean_pixel is the real mean over all
     channels) and the deterministic FAKEIMG1 test format. Unknown
     magic raises — a data-quality signal, not silently-null metadata.
-    A variant the pure decoders don't cover (16-bit/interlaced PNG,
-    arithmetic-coded JPEG, compressed BMP) or corrupt pixel data
+    A variant the pure decoders don't cover (16-bit PNG,
+    arithmetic-coded JPEG, RLE4/bitfield BMP) or corrupt pixel data
     degrades to header width/height with mean_pixel None."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}

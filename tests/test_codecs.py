@@ -147,6 +147,39 @@ def test_bmp_decode_both_row_orders():
         decode_bmp(_bmp_bytes(px)[:-8])  # truncated pixel data
 
 
+def test_bmp_decode_rle8():
+    """RLE8-compressed paletted BMP: encoded runs, absolute mode with
+    word alignment, end-of-line, delta skip, end-of-bitmap — each
+    opcode exercised, expected pixels hand-computable."""
+    from lakehouse_architecture_spark.operators.codecs import decode_bmp
+
+    # palette: 0 black, 1 red, 2 green (stored BGRA)
+    pal = bytes([0, 0, 0, 0]) + bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])
+    # 5x3, bottom-up. Stored rows (bottom first):
+    #  row0: run(5,1)                      -> 1 1 1 1 1
+    #  row1: abs(3:[2,0,2])+pad, run(2,1)  -> 2 0 2 1 1
+    #  row2: run(2,2), delta(+2,+0), run(1,1), EOB -> 2 2 0 0 1
+    rle = bytes(
+        [5, 1, 0, 0]
+        + [0, 3, 2, 0, 2, 0]  # absolute 3 + pad byte
+        + [2, 1, 0, 0]
+        + [2, 2, 0, 2, 2, 0, 1, 1, 0, 1]
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 1, len(rle), 0, 0, 3, 0)
+    off = 54 + len(pal)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off) + info
+        + pal + rle
+    )
+    px = decode_bmp(payload)
+    assert px.shape == (3, 5, 3)
+    RED, GREEN, BLACK = (255, 0, 0), (0, 255, 0), (0, 0, 0)
+    # top display row = stored row 2
+    assert [tuple(c) for c in px[0]] == [GREEN, GREEN, BLACK, BLACK, RED]
+    assert [tuple(c) for c in px[1]] == [GREEN, BLACK, GREEN, RED, RED]
+    assert [tuple(c) for c in px[2]] == [RED] * 5
+
+
 def test_bmp_decode_8bit_palette():
     from lakehouse_architecture_spark.operators.codecs import decode_bmp
 
@@ -861,3 +894,30 @@ def test_spark_audio_features_real_rms(spark):
     assert (row.sample_rate, row.n_samples) == (8000, 8000)
     assert row.duration_computed_ms == 1000
     assert row.rms == "1.0000"
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: split an image into the 7 sub-images, filter each pass
+    independently (mixed filter types to prove per-pass filter-state
+    isolation), deflate, decode — must equal the original. Covers
+    dimensions where some passes are empty."""
+    from lakehouse_architecture_spark.operators.codecs import _adam7_passes
+
+    rng = np.random.default_rng(11)
+    for (h, w, ch, color) in ((9, 5, 3, 2), (3, 3, 1, 0), (8, 8, 4, 6)):
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        raw = bytearray()
+        for i, (x0, y0, dx, dy, pw, ph) in enumerate(
+            _adam7_passes(w, h)
+        ):
+            sub = px[y0::dy, x0::dx]
+            assert sub.shape[:2] == (ph, pw)
+            raw += _reference_filter(sub, i % 5)  # rotate filter types
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        payload = (
+            _PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), px), (h, w, ch)

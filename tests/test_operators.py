@@ -227,3 +227,25 @@ def test_scd2_lifecycle(spark):
     # idempotency: re-applying the same snapshot changes nothing
     hist3 = scd2_apply(hist2, updates, "cust_id", ["segment", "name"], "2024-07-15")
     assert hist3.count() == hist2.count()
+
+
+def test_gen_testdata_deterministic(tmp_path):
+    """CI's synthetic tables must be byte-identical across runs (same
+    seed, same numpy/pyarrow) — a drifting generator would make CI
+    failures unreproducible."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_testdata import generate
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate(0.001, a)
+    generate(0.001, b)
+    names = sorted(os.listdir(a))
+    assert "documents.parquet" in names and len(names) == 10
+    for f in names:
+        ha = hashlib.md5(open(os.path.join(a, f), "rb").read()).hexdigest()
+        hb = hashlib.md5(open(os.path.join(b, f), "rb").read()).hexdigest()
+        assert ha == hb, f
