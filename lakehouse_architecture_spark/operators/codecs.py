@@ -1,28 +1,33 @@
 """Pure-Python media codecs (stdlib + numpy only).
 
 The multimodal pipeline (operators/multimodal.py) treats payloads as
-opaque bytes and needed a codec library for pixel/waveform work — this
-module removes that dependency for the two formats that need none:
+opaque bytes; this module does the actual pixel/waveform work with no
+codec library:
 
-- PNG: a real baseline decoder (zlib IDAT inflate + full scanline
-  unfiltering, all 5 filter types, 8-bit depth, color types
-  0/2/3/4/6) and a filter-0 encoder, so decode -> transform ->
-  re-encode round-trips without Pillow. 16-bit depth and Adam7
-  interlacing raise ``NotImplementedError`` (rare in training corpora;
-  the error is a data-quality signal).
+- PNG: full decoder (zlib IDAT inflate + all 5 scanline filters,
+  8-bit depth, color types 0/2/3/4/6, Adam7 interlacing with per-pass
+  filter state) and a filter-0 encoder, so decode -> transform ->
+  re-encode round-trips without Pillow. 16-bit depth raises
+  ``NotImplementedError`` (rare in training corpora; the error is a
+  data-quality signal).
+- BMP: uncompressed 8/24/32-bit plus RLE8/RLE4 paletted streams.
+- GIF: first-frame decode (variable-width LZW, interlacing, local and
+  global palettes).
+- JPEG: full BASELINE (SOF0) and PROGRESSIVE (SOF2) decode — Huffman
+  entropy decode, spectral-selection/successive-approximation scans
+  with EOB runs, dequantization, IDCT, chroma upsampling, restart
+  intervals. Arithmetic coding / 12-bit / hierarchical raise.
+- AVI: RIFF container walk to per-frame MJPEG samples.
 - WAV: integer-PCM decode via the stdlib ``wave`` reader to a numpy
   sample matrix (frames x channels), for loudness/duration features.
 
-JPEG stays header-only in multimodal.py: a baseline JPEG entropy +
-IDCT decoder is out of scope for a data engine and is the one place a
-codec library (Pillow) still buys something.
-
 Scale: these run inside Arrow-batched ``mapInPandas`` stages, one
-payload at a time per batch row — throughput is bounded by zlib and
-the per-row unfilter loop (numpy-vectorized across each scanline for
-filters 0/2; per-byte only where PNG's spec is inherently sequential,
-filters 1/3/4). Fine for feature extraction; bulk image preprocessing
-at 100 TB would swap in a native codec behind the same signatures.
+payload at a time per batch row — throughput is bounded by zlib /
+Huffman bit-reading and the inherently sequential spec loops (PNG
+filters 3/4, JPEG entropy decode); scanline math and the IDCT are
+numpy-vectorized. Fine for feature extraction; bulk image
+preprocessing at 100 TB would swap in a native codec behind the same
+signatures.
 """
 
 from __future__ import annotations
@@ -221,8 +226,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode a BMP to (h, w, channels) uint8.
 
     Supports the common cases: uncompressed (BI_RGB) 24-bit BGR,
-    32-bit BGRA and 8-bit paletted, plus RLE8-compressed (BI_RLE8)
-    8-bit paletted — bottom-up or top-down row order, 4-byte row
+    32-bit BGRA and 8-bit paletted, plus RLE8- and RLE4-compressed
+    paletted streams — bottom-up or top-down row order, 4-byte row
     padding. Other compressions / bit depths raise
     ``NotImplementedError``.
     """
@@ -238,6 +243,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         if bits != 8:
             raise ValueError(f"BMP RLE8 with bit depth {bits}")
         idx = _bmp_rle8_rows(payload[data_off:], w, h)
+    elif compression == 2:  # BI_RLE4: expand nibble indices to bytes
+        if bits != 4:
+            raise ValueError(f"BMP RLE4 with bit depth {bits}")
+        idx = _bmp_rle4_rows(payload[data_off:], w, h)
+        bits = 8  # palette path below indexes per byte
     elif compression != 0:
         raise NotImplementedError(f"BMP compression {compression}")
     elif bits not in (8, 24, 32):
@@ -263,6 +273,48 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     # BMP stores BGR(A); emit RGB(A)
     order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
     return np.ascontiguousarray(px[:, :, order])
+
+
+def _bmp_rle4_rows(data: bytes, w: int, h: int) -> np.ndarray:
+    """Expand a BI_RLE4 stream into an (h, w) per-pixel index raster in
+    stored row order. Encoded runs alternate the two nibbles of the
+    value byte; absolute mode packs indices two-per-byte, padded to a
+    word boundary; control opcodes match RLE8."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        count, val = data[i], data[i + 1]
+        i += 2
+        if count:  # encoded run alternating high/low nibble
+            hi, lo = val >> 4, val & 15
+            for j in range(count):
+                if x >= w:
+                    break
+                out[y, x] = hi if j % 2 == 0 else lo
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE4 delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute: val nibbles, stored 2/byte, word-aligned
+            nbytes = (val + 1) // 2
+            if i + nbytes > n:
+                raise ValueError("truncated BMP RLE4 absolute run")
+            for j in range(val):
+                if x >= w:
+                    break
+                b = data[i + j // 2]
+                out[y, x] = b >> 4 if j % 2 == 0 else b & 15
+                x += 1
+            i += nbytes + (nbytes & 1)
+    return out
 
 
 def _bmp_rle8_rows(data: bytes, w: int, h: int) -> np.ndarray:

@@ -9,7 +9,7 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
 - PNG: FULL pixel decode (zlib inflate + all 5 scanline filters,
   8-bit, color types 0/2/3/4/6) — pixel statistics and real
   nearest-neighbor resize with filter-0 re-encode;
-- BMP: FULL pixel decode (uncompressed 8/24/32-bit + RLE8, palette, either
+- BMP: FULL pixel decode (uncompressed 8/24/32-bit + RLE8/RLE4, palette, either
   row order);
 - GIF: FULL first-frame pixel decode (LZW, local/global palettes,
   interlacing);
@@ -126,7 +126,7 @@ def decode_image(payload: bytes) -> dict:
     channels) and the deterministic FAKEIMG1 test format. Unknown
     magic raises — a data-quality signal, not silently-null metadata.
     A variant the pure decoders don't cover (16-bit PNG,
-    arithmetic-coded JPEG, RLE4/bitfield BMP) or corrupt pixel data
+    arithmetic-coded JPEG, bitfield BMP) or corrupt pixel data
     degrades to header width/height with mean_pixel None."""
     if payload is None:
         return {"width": None, "height": None, "mean_pixel": None}

@@ -921,3 +921,29 @@ def test_png_adam7_interlaced_roundtrip():
             + _chunk(b"IEND", b"")
         )
         assert np.array_equal(decode_png(payload), px), (h, w, ch)
+
+
+def test_bmp_decode_rle4():
+    """RLE4: encoded runs alternate the value byte's two nibbles and
+    absolute mode packs indices two per byte (word-aligned)."""
+    from lakehouse_architecture_spark.operators.codecs import decode_bmp
+
+    pal = bytes([0, 0, 0, 0]) + bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])
+    # 4x2 bottom-up. Stored rows:
+    #  row0: run(4, 0x12)                  -> 1 2 1 2
+    #  row1: abs(3: nibbles 1,0,2), run(1, 0x22), EOB -> 1 0 2 2
+    rle = bytes(
+        [4, 0x12, 0, 0]
+        + [0, 3, 0x10, 0x20]
+        + [1, 0x22, 0, 1]
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 4, 2, len(rle), 0, 0, 3, 0)
+    off = 54 + len(pal)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off) + info
+        + pal + rle
+    )
+    px = decode_bmp(payload)
+    RED, GREEN, BLACK = (255, 0, 0), (0, 255, 0), (0, 0, 0)
+    assert [tuple(c) for c in px[0]] == [RED, BLACK, GREEN, GREEN]
+    assert [tuple(c) for c in px[1]] == [RED, GREEN, RED, GREEN]
