@@ -5,11 +5,10 @@ opaque bytes; this module does the actual pixel/waveform work with no
 codec library:
 
 - PNG: full decoder (zlib IDAT inflate + all 5 scanline filters,
-  8-bit depth, color types 0/2/3/4/6, Adam7 interlacing with per-pass
-  filter state) and a filter-0 encoder, so decode -> transform ->
-  re-encode round-trips without Pillow. 16-bit depth raises
-  ``NotImplementedError`` (rare in training corpora; the error is a
-  data-quality signal).
+  8- and 16-bit depth — 16-bit reduces to the high byte after the full
+  2-byte filter algebra — color types 0/2/3/4/6, Adam7 interlacing
+  with per-pass filter state) and a filter-0 encoder, so decode ->
+  transform -> re-encode round-trips without Pillow.
 - BMP: uncompressed 8/24/32-bit plus RLE8/RLE4 paletted streams.
 - GIF: first-frame decode (variable-width LZW, interlacing, local and
   global palettes).
@@ -59,13 +58,16 @@ DECODE_ERRORS = (
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG to a (height, width, channels) uint8 array —
-    sequential or Adam7-interlaced (each of the 7 sub-images is
+    """Decode a PNG to a (height, width, channels) uint8 array —
+    8- or 16-bit samples, sequential or Adam7-interlaced (each of the 7 sub-images is
     unfiltered independently and scattered into place, per spec).
 
     Palette images (color type 3) are expanded through their PLTE to
-    RGB. Raises ``ValueError`` for a non-PNG or corrupt stream and
-    ``NotImplementedError`` for 16-bit depth.
+    RGB. 16-bit samples decode through the full 2-byte-per-sample
+    filter algebra and are then reduced to their HIGH byte (the
+    standard 16->8 downconversion; documented precision loss — feature
+    extraction, not archival). Raises ``ValueError`` for a non-PNG or
+    corrupt stream.
     """
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
@@ -89,21 +91,26 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG 16-bit palette images are not legal")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _CHANNELS[color]
+    bps = depth // 8  # bytes per sample; filters offset by ch*bps
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
+        if len(raw) != h * (w * ch * bps + 1):
             raise ValueError("PNG IDAT length mismatch")
-        px = _png_unfilter(raw, 0, w, h, ch)[0].reshape(h, w, ch)
+        px = _png_unfilter(raw, 0, w, h, ch, bps)[0].reshape(
+            h, w, ch, bps
+        )[..., 0]
     else:  # Adam7: 7 independently-filtered sub-images, scattered
         expected = sum(
-            ph * (pw * ch + 1)
+            ph * (pw * ch * bps + 1)
             for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(w, h)
         )
         if len(raw) != expected:
@@ -111,8 +118,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         px = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            sub, pos = _png_unfilter(raw, pos, pw, ph, ch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, pos = _png_unfilter(raw, pos, pw, ph, ch, bps)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch, bps)[..., 0]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -134,12 +141,15 @@ def _adam7_passes(w: int, h: int):
             yield x0, y0, dx, dy, pw, ph
 
 
-def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int):
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int, bps: int = 1):
     """Reverse PNG scanline filtering for one (sub-)image of w x h
-    pixels starting at byte ``pos``; returns ((h, w*ch) uint8 array,
-    next position). Filter state (prev row) is local to the image, per
+    pixels starting at byte ``pos``; returns ((h, w*ch*bps) uint8
+    array, next position). PNG filters operate on BYTES with a
+    bpp = ch*bps left-neighbour offset, so 16-bit samples reuse the
+    same algebra. Filter state (prev row) is local to the image, per
     spec — each Adam7 pass filters independently."""
-    stride = w * ch
+    stride = w * ch * bps
+    ch = ch * bps  # the filters' byte offset (bpp)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):

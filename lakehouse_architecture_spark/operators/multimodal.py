@@ -125,7 +125,7 @@ def decode_image(payload: bytes) -> dict:
     JPEG (operators/codecs.py — mean_pixel is the real mean over all
     channels) and the deterministic FAKEIMG1 test format. Unknown
     magic raises — a data-quality signal, not silently-null metadata.
-    A variant the pure decoders don't cover (16-bit PNG,
+    A variant the pure decoders don't cover (sub-byte-depth PNG,
     arithmetic-coded JPEG, bitfield BMP) or corrupt pixel data
     degrades to header width/height with mean_pixel None."""
     if payload is None:
@@ -232,7 +232,7 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
                     try:
                         px = resize_nearest(decode_png(bytes(p)), max_dim)
                     except DECODE_ERRORS:
-                        continue  # 16-bit/interlaced/corrupt: untouched
+                        continue  # sub-byte-depth/corrupt: left untouched
                     payloads[j] = bytearray(encode_png(px))
                     heights[j], widths[j] = px.shape[0], px.shape[1]
                 else:

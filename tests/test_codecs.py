@@ -105,11 +105,11 @@ def test_png_palette_expansion():
 def test_png_rejects_unsupported_variants():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-    p16 = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    # sub-byte depths (1/2/4-bit) remain unsupported and raise loudly
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    p4 = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
-        decode_png(p16)
+        decode_png(p4)
 
 
 def test_resize_nearest_bounds_and_content():
@@ -947,3 +947,28 @@ def test_bmp_decode_rle4():
     RED, GREEN, BLACK = (255, 0, 0), (0, 255, 0), (0, 0, 0)
     assert [tuple(c) for c in px[0]] == [RED, BLACK, GREEN, GREEN]
     assert [tuple(c) for c in px[1]] == [RED, GREEN, RED, GREEN]
+
+
+def test_png_16bit_decodes_to_high_bytes():
+    """16-bit PNG: filters run over the full 2-byte-per-sample algebra
+    (bpp = channels*2), then samples reduce to their high byte. The
+    reference filter is applied to the raw BYTE matrix with the 16-bit
+    bpp, so a filter-offset bug cannot cancel out."""
+    from lakehouse_architecture_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(23)
+    for ch, color in ((1, 0), (3, 2)):
+        # big-endian sample bytes as an (h, w, ch*2) byte image
+        byte_img = rng.integers(0, 256, size=(5, 4, ch * 2), dtype=np.uint8)
+        for filt in (0, 1, 2, 4):
+            raw = _reference_filter(byte_img, filt)
+            ihdr = struct.pack(">IIBBBBB", 4, 5, 16, color, 0, 0, 0)
+            payload = (
+                _PNG_MAGIC
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+            px = decode_png(payload)
+            assert px.shape == (5, 4, ch)
+            assert np.array_equal(px, byte_img[:, :, 0::2]), (ch, filt)
