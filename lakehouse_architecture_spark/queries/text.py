@@ -572,3 +572,50 @@ def docs_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("df") <= RARE_DF_CAP).alias("n_rare_types"),
         )
     )
+
+
+# Decimal length buckets, pinned literally on both engines: exact
+# integer compares, no log() on any compared surface (float rule).
+_LEN_BUCKETS = [0, 100, 300, 1000, 3000, 10000]
+
+_BUCKET_CASE_SQL = " ".join(
+    f"WHEN n_chars < {hi} THEN {i}"
+    for i, hi in enumerate(_LEN_BUCKETS[1:])
+)
+
+LENGTH_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT CASE {_BUCKET_CASE_SQL} ELSE {len(_LEN_BUCKETS) - 1} END AS bucket,
+         n_chars, doc_id
+  FROM documents
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM b GROUP BY bucket
+"""
+
+
+@query("docs_length_histogram", oracle=LENGTH_HIST_ORACLE)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution over pinned decimal buckets
+    (<100 / <300 / <1k / <3k / <10k / rest) — the first profile every
+    corpus audit draws: where the mass sits, how much is trivially
+    short (length-gate fodder), whether a long tail exists. Buckets
+    are exact integer CASE compares mirrored literally in the oracle
+    (no log() on a compared surface). One partial-aggregated shuffle
+    over a key space the size of the bucket list."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.lit(len(_LEN_BUCKETS) - 1)
+    for i, hi in reversed(list(enumerate(_LEN_BUCKETS[1:]))):
+        bucket = F.when(F.col("n_chars") < hi, F.lit(i)).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
