@@ -306,3 +306,101 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT SUM(rev_cents) AS total, COUNT(*) AS n_customers FROM rev),
+c AS (
+  SELECT SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey) AS rnk
+  FROM rev
+)
+SELECT t.n_customers,
+       MIN(CASE WHEN cum * 100 >= total * 50 THEN rnk END) AS n_top_for_50pct,
+       MIN(CASE WHEN cum * 100 >= total * 80 THEN rnk END) AS n_top_for_80pct,
+       MIN(CASE WHEN cum * 100 >= total * 95 THEN rnk END) AS n_top_for_95pct,
+       CAST(t.total AS BIGINT) AS total_revenue_cents
+FROM c, t
+GROUP BY t.n_customers, t.total
+""",
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: how many top customers
+    account for 50 / 80 / 95 % of total order revenue — the curve
+    behind every "whales vs long tail" decision. Integer-cents compared
+    surface (float rule).
+
+    The oracle ranks with one GLOBAL cumulative window; this plan does
+    NOT (a global window collapses to a single task at scale). Instead,
+    the classic two-phase prefix sum: bucket customers by a coarse
+    revenue band (floor(rev * 1000 / max)), aggregate per-bucket count
+    + sum (one small relation), take the running totals ABOVE each
+    bucket with a window over ~1001 rows, then rank only WITHIN each
+    bucket (window partitioned by bucket). floor() is monotonic, so
+    bucket ranges never interleave the global (rev DESC, custkey)
+    order and per-customer cum/rank reproduce the oracle's global
+    window exactly — every window input here is either bucket-count
+    sized or one bucket's customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    b = rev.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("rev_cents") * 1000 / F.col("mx"))
+    )
+    bs = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev_cents").alias("brev")
+    )
+    above = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bs2 = bs.select(
+        "bucket",
+        F.coalesce(F.sum("brev").over(above), F.lit(0)).alias("cum_above"),
+        F.coalesce(F.sum("cnt").over(above), F.lit(0)).alias("cnt_above"),
+    )
+    win = Window.partitionBy("bucket").orderBy(
+        F.desc("rev_cents"), F.asc("o_custkey")
+    )
+    per = b.join(F.broadcast(bs2), "bucket").select(
+        (
+            F.col("cum_above")
+            + F.sum("rev_cents").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum"),
+        (F.col("cnt_above") + F.row_number().over(win)).alias("rnk"),
+    )
+    tot = rev.agg(
+        F.sum("rev_cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
+    )
+    need = lambda pct: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.col("total") * pct, F.col("rnk"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n_customers", "total")
+        .agg(
+            need(50).alias("n_top_for_50pct"),
+            need(80).alias("n_top_for_80pct"),
+            need(95).alias("n_top_for_95pct"),
+        )
+        .select(
+            "n_customers",
+            "n_top_for_50pct",
+            "n_top_for_80pct",
+            "n_top_for_95pct",
+            F.col("total").cast("long").alias("total_revenue_cents"),
+        )
+    )

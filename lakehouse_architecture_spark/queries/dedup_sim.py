@@ -1062,3 +1062,94 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(hit & F.col("found")).alias("n_lsh_found"),
         )
     )
+
+
+@query(
+    "docs_source_shingle_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, str_split({SQL_NORM}, ' ') AS t FROM documents
+),
+ss AS (
+  SELECT DISTINCT source, s AS shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(s)
+),
+sizes AS (
+  SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_shared_shingles
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared_shingles,
+       ROUND(CAST(i.n_shared_shingles AS DOUBLE)
+             / (sa.n + sb.n - i.n_shared_shingles), 6) AS shingle_jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+)
+def docs_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every (source_a, source_b)
+    pair, the number of distinct normalized 3-shingles present in BOTH
+    sources and the shingle-level Jaccard between their vocabularies.
+    This is the mixture-level contamination map — two sources with an
+    outlying Jaccard are scraping the same upstream content, which
+    silently double-weights it when sources are sampled independently
+    (the doc-level twin is docs_dup_profile_by_source; this one fires
+    even when leakage is near-duplicate rather than exact).
+
+    Scale shape: the corpus-sized work is one distinct on (source,
+    shingle) — everything after is bounded by |sources| * |shingle
+    vocabulary|. The pair unfold is NOT a shingle self-join (which a
+    stop-shingle shared by every source would turn into a C(n,2)
+    row-explosion *per occurrence*): shingles fold to a sorted source
+    SET first, so each shingle contributes its pair combinations
+    exactly once, capped at C(|sources|, 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = shingles(docs, "text", "source").distinct()
+    sizes = ss.groupBy(F.col("doc").alias("src")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sets = ss.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc")).alias("srcs")
+    )
+    inter = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_shingles",
+            F.round(
+                F.col("n_shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared_shingles")),
+                6,
+            ).alias("shingle_jaccard"),
+        )
+    )

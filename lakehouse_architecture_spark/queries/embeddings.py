@@ -628,3 +628,57 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(errsq).alias("quant_l2_err"),
         n_clipped.alias("n_clipped"),
     )
+
+
+@query(
+    "emb_dim_variance_topk",
+    oracle="""
+WITH d AS (
+  SELECT i AS dim,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sq
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY i
+)
+SELECT dim, n, ROUND((sq - s * s / n) / n, 6) AS dim_variance
+FROM d
+ORDER BY (sq - s * s / n) / n DESC, dim
+LIMIT 10
+""",
+)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 embedding dimensions by population variance — the
+    anisotropy probe a representation-quality audit starts with
+    (collapsed dims carry no signal; a few dominant dims mean the
+    space is effectively low-rank and cosine thresholds are fragile).
+
+    Determinism: per-dim sums go through decimal fixed point
+    (order-independent), variance is then a single IEEE expression on
+    bit-identical doubles in both engines, ranked UNROUNDED with a dim
+    tie-break before the LIMIT, rounded only in the projection — the
+    exact discipline of the KNN family. One shuffle keyed by the 64
+    dim indexes; partial aggregation makes the exploded stream
+    map-side-combined, so the plan is a fixed-size aggregate at any
+    corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    d = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(_DEC)).cast("double").alias("s"),
+            F.sum((x * x).cast(_DEC)).cast("double").alias("sq"),
+        )
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return (
+        d.orderBy(var.desc(), F.asc("i"))
+        .limit(10)
+        .select(
+            (F.col("i") + 1).alias("dim"),
+            "n",
+            F.round(var, 6).alias("dim_variance"),
+        )
+    )

@@ -619,3 +619,72 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "docs_vocab_growth_by_source",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT tok) AS distinct_tokens,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6)
+         AS type_token_ratio
+FROM toks
+GROUP BY source
+""",
+)
+def docs_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law input) per mixture source: token
+    volume vs distinct-type count and the type-token ratio. A falling
+    TTR at constant doc count is the classic symptom of templated /
+    near-duplicate content inside one source — the per-source twin of
+    the corpus novelty score. Spark plans both COUNT(DISTINCT)s as one
+    expand + two partial-aggregated shuffles keyed by (source, value);
+    nothing here is proportional to more than the exploded token
+    stream, so the plan carries to 100 TB unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.round(
+            F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "docs_token_freq_spectrum",
+    oracle=r"""
+WITH tf AS (
+  SELECT tok, COUNT(*) AS occurrences
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT occurrences, COUNT(*) AS n_tokens
+FROM tf
+GROUP BY occurrences
+""",
+)
+def docs_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (the Zipf-tail / Good-Turing
+    input): for each corpus occurrence count, how many distinct tokens
+    occur exactly that often. Hapax mass vs head mass is a one-glance
+    corpus health check — synthetic or boilerplate-heavy corpora have
+    no hapax tail. Integer-only compared surface. Two shuffles: the
+    token-frequency aggregate (exploded-stream sized, partial-agg
+    combined) and a vocabulary-sized regroup — the second input is
+    |vocab| rows, negligible at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return tf.groupBy("occurrences").agg(F.count(F.lit(1)).alias("n_tokens"))
