@@ -21,7 +21,14 @@ that need no codec library (operators/codecs.py, stdlib + numpy):
   per-frame JPEG decode, ``extract_video_frame_features``); other
   containers remain the native-codec swap-point;
 - WAV: FULL integer-PCM decode via the stdlib ``wave`` reader — real
-  RMS/peak loudness, not just header metadata.
+  RMS/peak loudness plus spectral features (zero-crossing rate,
+  rFFT spectral centroid, ``extract_audio_spectral_features``).
+
+On top of decode, ``image_dhash`` / ``image_near_dup_pairs`` give
+perceptual near-duplicate detection for image corpora: 64-bit
+difference hashes computed in the Arrow stage, then banded Hamming
+candidate generation + exact bit_count verify entirely JVM-side —
+the image twin of the text MinHash-LSH pipeline.
 
 A native codec library (Pillow) would still be the production swap-in
 for bulk throughput — the swap happens inside ``decode_image``, whose
@@ -47,6 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -431,4 +439,227 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         fn, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (dHash) + Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),  # None: undecodable payload
+    ]
+)
+
+
+def image_dhash(payload: bytes) -> int | None:
+    """64-bit difference hash of an image payload, or None when only
+    header metadata is available (no pure decoder for the variant).
+
+    The standard dHash recipe: decode -> grayscale (channel mean) ->
+    area-mean downsample to a 9x8 grid -> one bit per horizontal
+    neighbor pair (left > right). Deterministic block-mean sampling
+    (integer cell boundaries), so the same pixels always hash
+    identically. Returned as a SIGNED 64-bit int (Spark LongType).
+    """
+    import numpy as np
+
+    if payload is None:
+        return None
+    parsed = parse_image_header(bytes(payload))
+    if parsed is None:
+        raise NotImplementedError(
+            "unrecognized image format (supported headers: PNG/JPEG/GIF/BMP)"
+        )
+    from lakehouse_architecture_spark.operators import codecs
+
+    dec = {
+        "png": codecs.decode_png,
+        "bmp": codecs.decode_bmp,
+        "gif": codecs.decode_gif,
+        "jpeg": codecs.decode_jpeg,
+    }[parsed[0]]
+    try:
+        px = dec(bytes(payload))
+    except codecs.DECODE_ERRORS:
+        return None
+    gray = px.astype(np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        return None
+    # area-mean 9x8 grid: cell (y, x) averages rows [yb[y], yb[y+1]) x
+    # cols [xb[x], xb[x+1]) — boundaries from integer interpolation so
+    # every source pixel lands in exactly one cell
+    yb = (np.arange(9) * h) // 8
+    xb = (np.arange(10) * w) // 9
+    cells = np.empty((8, 9), dtype=np.float64)
+    for y in range(8):
+        rows = gray[yb[y] : max(yb[y + 1], yb[y] + 1)]
+        for x in range(9):
+            cells[y, x] = rows[:, xb[x] : max(xb[x + 1], xb[x] + 1)].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).flatten()
+    acc = np.uint64(0)
+    for b in bits:
+        acc = np.uint64(acc << np.uint64(1)) | np.uint64(bool(b))
+    return int(acc.astype(np.int64))
+
+
+def extract_image_dhash(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: image payloads -> (media_id, dhash)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(
+                        [image_dhash(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+_DHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-exact for hamming <= 7
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — the image
+    twin of the text MinHash-LSH pipeline (banded candidates, exact
+    verify on survivors only; never an all-pairs product).
+
+    Candidates: each 64-bit hash splits into 8 byte bands; two hashes
+    within Hamming distance h <= 7 must agree EXACTLY on at least one
+    band (pigeonhole: 8 errors are needed to damage all 8 bands), so
+    the band-key self-join has perfect recall for the supported
+    thresholds. Verify: ``bit_count(a XOR b) <= max_hamming`` on the
+    JVM, only over band-collided pairs, deduplicated BEFORE the verify
+    so a pair colliding in several bands is checked once.
+
+    At scale this is one shuffle on (band_idx, band_byte); a degenerate
+    byte shared by a huge candidate cluster is the same skew profile as
+    a hot LSH bucket and amortizes the same way (the 256-value band key
+    space is deliberately paired with the band index).
+    """
+    if not 0 <= max_hamming < _DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {_DHASH_BANDS - 1}] for the "
+            f"{_DHASH_BANDS}-band pigeonhole guarantee, got {max_hamming}"
+        )
+    hs = hashes.filter(F.col("dhash").isNotNull())
+    bands = hs.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"shiftrightunsigned(dhash, {8 * i}) & 255").alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_idx", "b.band_key")
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("dhash").alias("hash_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("dhash").alias("hash_b"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("hash_a ^ hash_b"))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral audio features (zero-crossing rate, spectral centroid)
+# ---------------------------------------------------------------------------
+
+AUDIO_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("zcr", DoubleType(), True),
+        StructField("spectral_centroid_hz", DoubleType(), True),
+    ]
+)
+
+
+def audio_spectral_features(payload: bytes) -> dict:
+    """Zero-crossing rate and spectral centroid of a PCM WAV payload.
+
+    ZCR: fraction of adjacent mono-sample pairs whose sign bit flips
+    (zero is non-negative) — the cheapest voiced/unvoiced + noisiness
+    discriminator.
+    Spectral centroid: magnitude-weighted mean frequency of the rFFT
+    over the mean-of-channels mono signal, in Hz — for a pure tone it
+    sits at the tone's frequency (a property the tests pin). Both are
+    None for non-PCM payloads (header metadata still stands upstream).
+    """
+    import numpy as np
+
+    if payload is None:
+        return {"zcr": None, "spectral_centroid_hz": None}
+    from lakehouse_architecture_spark.operators.codecs import decode_wav
+
+    try:
+        d = decode_wav(bytes(payload))
+    except ValueError:
+        return {"zcr": None, "spectral_centroid_hz": None}
+    mono = d["samples"].astype(np.float64).mean(axis=1)
+    if mono.size < 2:
+        return {"zcr": None, "spectral_centroid_hz": None}
+    # signbit-based (zero counts as non-negative): a quantized sine
+    # hits EXACT zeros at its crossings, so the naive x*y < 0 test
+    # misses every crossing that lands on a zero sample
+    zcr = float(np.mean(np.signbit(mono[:-1]) != np.signbit(mono[1:])))
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / d["sample_rate"])
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0 else None
+    return {"zcr": zcr, "spectral_centroid_hz": centroid}
+
+
+def extract_audio_spectral_features(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: audio payloads -> ZCR + spectral centroid."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [audio_spectral_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "zcr": [f["zcr"] for f in feats],
+                    "spectral_centroid_hz": [
+                        f["spectral_centroid_hz"] for f in feats
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, schema=AUDIO_SPECTRAL_SCHEMA
     )

@@ -189,3 +189,136 @@ def test_binary_file_ingest_roundtrip(spark, tmp_path):
 
     feats = extract_image_features(media).collect()
     assert sorted((f.decoded_width, f.decoded_height) for f in feats) == [(8, 6)] * 3
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual near-dup + spectral audio features
+# ---------------------------------------------------------------------------
+
+
+def _gradient_png(seed: int = 0, flip: int = 0) -> bytes:
+    """A 32x24 RGB gradient PNG; ``flip`` perturbs that many pixels by
+    a small amount (dHash must survive it), seed shifts the ramp."""
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import encode_png
+
+    h, w = 24, 32
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 8 + seed) % 256, (y * 10 + seed) % 256, (x * 3 + y * 5) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    rng = np.random.RandomState(42)
+    for _ in range(flip):
+        py, pxx = rng.randint(0, h), rng.randint(0, w)
+        px[py, pxx] = np.clip(px[py, pxx].astype(int) + 4, 0, 255)
+    return encode_png(px)
+
+
+def test_image_dhash_deterministic_and_discriminative():
+    from lakehouse_architecture_spark.operators.multimodal import image_dhash
+
+    a = image_dhash(_gradient_png())
+    assert a is not None and a == image_dhash(_gradient_png())
+    # a tiny perturbation keeps the hash within a small Hamming ball
+    b = image_dhash(_gradient_png(flip=5))
+    assert bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") <= 4
+    # an inverted image lands far away
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    inv = encode_png(255 - decode_png(_gradient_png()))
+    c = image_dhash(inv)
+    assert bin((a ^ c) & 0xFFFFFFFFFFFFFFFF).count("1") > 10
+
+
+def test_image_dhash_format_invariance():
+    """The same pixels hash identically regardless of container format."""
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+    from lakehouse_architecture_spark.operators.multimodal import image_dhash
+
+    px = decode_png(_gradient_png())
+    assert image_dhash(encode_png(px)) == image_dhash(
+        encode_png(px.copy())
+    )
+
+
+def test_image_near_dup_pairs(spark):
+    from lakehouse_architecture_spark.operators.multimodal import (
+        extract_image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rows = [
+        (1, _gradient_png()),
+        (2, _gradient_png(flip=5)),        # near-dup of 1
+        (3, _gradient_png(seed=97)),       # different ramp
+        (4, None),                          # null payload: dropped
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = extract_image_dhash(df)
+    pairs = image_near_dup_pairs(hashes, max_hamming=4).collect()
+    found = {(r.media_a, r.media_b) for r in pairs}
+    assert (1, 2) in found
+    for r in pairs:
+        assert r.hamming <= 4
+    # identical payloads are always found (hamming 0)
+    df2 = spark.createDataFrame(
+        [(10, _gradient_png()), (11, _gradient_png())],
+        "media_id long, payload binary",
+    )
+    exact = image_near_dup_pairs(extract_image_dhash(df2), max_hamming=0)
+    assert [(r.media_a, r.media_b, r.hamming) for r in exact.collect()] == [
+        (10, 11, 0)
+    ]
+
+
+def test_image_near_dup_threshold_guard(spark):
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "media_id long, dhash long")
+    with _pytest.raises(ValueError):
+        image_near_dup_pairs(df, max_hamming=8)
+
+
+def test_audio_spectral_features_pure_tone(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import encode_wav
+    from lakehouse_architecture_spark.operators.multimodal import (
+        audio_spectral_features,
+        extract_audio_spectral_features,
+    )
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    tone = (np.sin(2 * np.pi * 1000 * t / sr) * 20000).astype(np.int64)
+    feats = audio_spectral_features(encode_wav(tone, sr))
+    # a 1 kHz tone at 8 kHz: 2 crossings per cycle -> ZCR = 2*f/sr
+    assert abs(feats["zcr"] - 0.25) < 0.01
+    assert abs(feats["spectral_centroid_hz"] - 1000) < 25
+    # a higher tone moves the centroid up
+    hi = (np.sin(2 * np.pi * 3000 * t / sr) * 20000).astype(np.int64)
+    hi_feats = audio_spectral_features(encode_wav(hi, sr))
+    assert hi_feats["spectral_centroid_hz"] > feats["spectral_centroid_hz"]
+    # and through the mapInPandas stage
+    df = spark.createDataFrame(
+        [(1, encode_wav(tone, sr)), (2, None)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in extract_audio_spectral_features(df).collect()}
+    assert abs(rows[1].zcr - 0.25) < 0.01
+    assert rows[2].spectral_centroid_hz is None
