@@ -36,68 +36,22 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-6 priority: (a) every query whose code changed this round (the
-# r5 red row's TZ-free rewrite, the two invariant-oracle conversions,
-# the aggregate-then-rank p95, the session-keyed index cache user);
-# (b) then the STALEST standing rows — the r1 join/agg/window/setop/
-# scalar families and the r2 sql_* group that r5's window filled up
-# before reaching, so no green row stays more than two rounds old;
-# (c) then the r3-stale tail. Everything refreshed green in r5 rotates
-# to the second tier.
+# Round-7 priority: (a) the queries that have NEVER had a driver row
+# (the five new r7 analytics plus docs_length_histogram, which landed
+# after r6's driver run); (b) the 18 queries whose standing row is r3
+# (four rounds old — r6's window filled up before reaching them);
+# (c) the 39 r4-stale rows, oldest tier next — the first ~24 fit this
+# round's 50-slot window, the tail leads r8's rotation. Everything
+# green in r5/r6 with unchanged code rotates to the second tier.
 _PRIORITY = [
-    # round-6 fixes (changed code MUST re-check)
-    "events_trailing_24h_volume",   # r4/r5 red row: TZ-free hour index
-    "emb_knn_ivf",                  # invariant oracle (was rows-only err)
-    "events_hll_sketch_rollup",     # invariant oracle (was rows-only err)
-    "events_value_p95_by_type",     # aggregate-then-rank scale rewrite
-    "docs_incremental_near_dups_indexed",  # session-keyed index cache
-    # round-6 NEW queries (first driver check)
-    "docs_rare_token_ratio",
-    "docs_dup_cluster_size_histogram",
-    "events_signup_to_purchase_1h",
-    "events_daily_new_vs_returning",
-    # r1-stale rotation (last driver row is five rounds old)
-    "q22_dormant_customers",
-    "join_inner_orders_customer",
-    "join_left_outer_order_counts",
-    "join_left_semi_active_customers",
-    "join_left_anti_inactive_customers",
-    "join_full_outer_nation_presence",
-    "join_right_outer_part_lineitems",
-    "join_cross_region_pairs",
-    "agg_stats_by_status",
-    "agg_rollup_status_priority",
-    "agg_cube_flags",
-    "agg_grouping_sets",
-    "pivot_status_by_priority",
-    "case_when_conditional_agg",
-    "distinct_segments",
-    "dedup_latest_order_per_customer",
-    "topk_orders",
-    "window_rank_orders",
-    "window_lag_order_gaps",
-    "window_lead_ntile",
-    "window_moving_avg_frame",
-    "window_running_spend",
-    "setop_union_all_parties",
-    "setop_intersect_keys",
-    "setop_except_no_order_customers",
-    "setop_except_all_dup_aware",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_subquery_above_avg",
-    "correlated_min_per_group_join",
-    "quantiles_exact",
-    "range_join_price_bands",
-    "not_exists_insert_guard",
-    # r2-stale rotation
-    "sql_revenue_by_nation",
-    "sql_probe_orders",
-    "sql_catalog_roundtrip",
-    "sql_insert_not_exists",
-    # r3-stale tail (fills the remaining window slots)
-    "asof_join_purchase_click",
+    # never checked (r7 new + r6 late addition)
+    "docs_length_histogram",
+    "docs_vocab_growth_by_source",
+    "docs_token_freq_spectrum",
+    "docs_source_shingle_overlap",
+    "emb_dim_variance_topk",
+    "orders_pareto_concentration",
+    # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",
     "scd2_customer_history",
@@ -116,6 +70,46 @@ _PRIORITY = [
     "window_percent_rank_cume",
     "q2_min_cost_supplier",
     "ri_dangling_lineitems",
+    # r4-stale rotation (first ~24 fit the window; rest lead r8)
+    "validate_orders_invalid",
+    "validate_orders_rejection_summary",
+    "validate_orders_split_stats",
+    "validate_lineitem_fk_invalid",
+    "validate_lineitem_fk_summary",
+    "minhash_lsh_near_dups",
+    "minhash_signatures_sample",
+    "docs_ngram_jaccard_pairs",
+    "docs_exact_dup_groups",
+    "docs_exact_dedupe_count",
+    "docs_token_stats",
+    "docs_quality_score",
+    "docs_lang_id",
+    "docs_top_terms",
+    "docs_tfidf_top_terms",
+    "docs_fingerprint",
+    "docs_shingle_stats",
+    "docs_hash_split_counts",
+    "docs_stratified_sample",
+    "docs_mixture_resample",
+    "docs_chunk_manifest",
+    "docs_incremental_near_dups",
+    "emb_knn_lsh",
+    "emb_knn_bruteforce_decimal",
+    "emb_norms",
+    "emb_centroid_norm_by_label",
+    "emb_int8_quantization",
+    "events_hourly_by_type",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "events_type_value_stats",
+    "events_props_extract",
+    "events_tumbling_window",
+    "events_daily_active_users",
+    "events_hll_accuracy_qa",
+    "agg_argmax_by_status",
+    "approx_distinct_and_quantile",
+    "stats_corr_price_qty",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -130,67 +124,61 @@ _FAMILY_ORDER = [
     "advanced",
 ]
 # Queries pushed past the driver's check horizon this round: all have
-# FRESH green rows in CORRECTNESS_r4 or r5 and their code is unchanged
-# in r6, so the window is spent on the changed queries and the
-# r1/r2/r3-stale rotation above.
+# FRESH green rows in CORRECTNESS_r5 or r6 and their code is unchanged
+# in r7, so the window is spent on the never-checked queries and the
+# r3/r4-stale rotation above.
 _SECOND_TIER = {
-    "agg_argmax_by_status",
-    "approx_distinct_and_quantile",
+    "agg_cube_flags",
+    "agg_grouping_sets",
+    "agg_rollup_status_priority",
+    "agg_stats_by_status",
+    "asof_join_purchase_click",
     "basket_brand_pairs",
-    "docs_chunk_manifest",
+    "case_when_conditional_agg",
+    "correlated_min_per_group_join",
+    "dedup_latest_order_per_customer",
+    "distinct_segments",
     "docs_curation_funnel",
     "docs_dedup_keep_best",
     "docs_dedup_savings_report",
+    "docs_dup_cluster_size_histogram",
     "docs_dup_profile_by_source",
-    "docs_exact_dedupe_count",
-    "docs_exact_dup_groups",
-    "docs_fingerprint",
-    "docs_hash_split_counts",
-    "docs_incremental_near_dups",
-    "docs_lang_id",
-    "docs_mixture_resample",
-    "docs_ngram_jaccard_pairs",
-    "docs_quality_score",
-    "docs_shingle_stats",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_token_stats",
-    "docs_top_terms",
-    "emb_centroid_norm_by_label",
-    "emb_int8_quantization",
+    "docs_incremental_near_dups_indexed",
+    "docs_rare_token_ratio",
     "emb_ivf_probe_stats",
     "emb_kmeans_clusters",
     "emb_knn_bruteforce",
-    "emb_knn_bruteforce_decimal",
+    "emb_knn_ivf",
     "emb_knn_ivf_md5",
-    "emb_knn_lsh",
     "emb_lsh_candidate_stats",
     "emb_near_dup_lsh",
     "emb_near_dup_lsh_strict",
     "emb_near_dup_pairs",
-    "emb_norms",
     "events_anomaly_mad",
-    "events_anomaly_zscore",
-    "events_daily_active_users",
+    "events_daily_new_vs_returning",
     "events_dow_hour_heatmap",
-    "events_funnel",
-    "events_hll_accuracy_qa",
-    "events_hourly_by_type",
-    "events_props_extract",
-    "events_retention_cohorts",
-    "events_tumbling_window",
+    "events_hll_sketch_rollup",
+    "events_signup_to_purchase_1h",
+    "events_trailing_24h_volume",
     "events_type_transitions",
-    "events_type_value_stats",
     "events_user_lifetime",
+    "events_value_p95_by_type",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_presence",
+    "join_inner_orders_customer",
+    "join_left_anti_inactive_customers",
+    "join_left_outer_order_counts",
+    "join_left_semi_active_customers",
+    "join_right_outer_part_lineitems",
     "lineitem_discount_band_profile",
     "lineitem_unpivot_measure_stats",
     "minhash_estimate_qa",
-    "minhash_lsh_near_dups",
     "minhash_recall_curve",
-    "minhash_signatures_sample",
+    "not_exists_insert_guard",
     "orders_cohort_monthly_value",
     "orders_interarrival_stats",
     "orders_rfm_segments",
+    "pivot_status_by_priority",
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_priority_counts",
@@ -203,21 +191,36 @@ _SECOND_TIER = {
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_sole_late_supplier",
+    "q22_dormant_customers",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "stats_corr_price_qty",
+    "quantiles_exact",
+    "range_join_price_bands",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_above_avg",
+    "setop_except_all_dup_aware",
+    "setop_except_no_order_customers",
+    "setop_intersect_keys",
+    "setop_union_all_parties",
+    "sql_catalog_roundtrip",
+    "sql_insert_not_exists",
+    "sql_probe_orders",
+    "sql_revenue_by_nation",
     "stats_skew_kurtosis_qty",
     "supplier_fulfillment_latency",
-    "validate_lineitem_fk_invalid",
-    "validate_lineitem_fk_summary",
-    "validate_orders_invalid",
-    "validate_orders_rejection_summary",
-    "validate_orders_split_stats",
+    "topk_orders",
     "window_first_last_dense",
+    "window_lag_order_gaps",
+    "window_lead_ntile",
+    "window_moving_avg_frame",
+    "window_rank_orders",
+    "window_running_spend",
 }
 
 
