@@ -76,6 +76,12 @@ EXTRA = [
     # nothing about the IVF plan — emb_knn_ivf_md5 times the actual
     # probe-pruned search.
     "events_value_p95_by_type",
+    # round-7 additions: the corpus-profile analytics with real data
+    # volume under them (the source-overlap matrix shuffles the whole
+    # shingle stream; Pareto exercises the two-phase prefix sum)
+    "docs_source_shingle_overlap",
+    "docs_vocab_growth_by_source",
+    "orders_pareto_concentration",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
