@@ -802,11 +802,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, cost) equality — the standard decorrelation Catalyst itself
     would produce.
 
-    Plan at scale: the (part, supplier) cost aggregate is the only
-    fact-table shuffle and is REUSED for both the per-part min and the
-    equality join (same exchange feeds both sides); part / supplier /
-    nation / region all broadcast. LIMIT sits on a fully-ordered sort
-    with explicit tie-breaks, so top-100 is deterministic."""
+    Plan at scale: the part filter is pushed THROUGH the aggregates as
+    a broadcast semi-join on the fact scan — legal because both the
+    cost aggregate and the per-part min are keyed by l_partkey, so
+    dropping other parts' rows cannot change any surviving group
+    (Catalyst can't infer this across the two-aggregate + join
+    structure on its own; the selective filter prunes ~98% of the
+    aggregate input). The pruned (part, supplier) cost aggregate is
+    then the only fact-table shuffle and is REUSED for both the
+    per-part min and the equality join (same exchange feeds both
+    sides); part / supplier / nation / region all broadcast. LIMIT
+    sits on a fully-ordered sort with explicit tie-breaks, so top-100
+    is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     supp = load_table(spark, sf_dir, "supplier")
@@ -815,8 +822,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "ASIA"
     )
 
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sc")
+    pk = part.select(F.col("p_partkey").alias("fk_partkey"))
+    cost = (
+        li.join(
+            F.broadcast(pk), F.col("l_partkey") == F.col("fk_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sc"))
     )
     # explicit rename before the self-referencing join — cost and
     # min_cost share lineage, so bare column refs would be ambiguous
