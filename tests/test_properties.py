@@ -198,3 +198,84 @@ def test_wav_roundtrip_property(n, ch, width, seed):
     assert (d["sample_rate"], d["n_samples"], d["n_channels"]) == (16000, n, ch)
     expect = s - 128 if width == 1 else s
     assert np.array_equal(d["samples"], expect)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),       # custkey
+            st.floats(min_value=0.01, max_value=99999.99,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pareto_two_phase_matches_global_window(spark, rows):
+    """The bucketed two-phase prefix sum in orders_pareto_concentration
+    must reproduce the naive global-cumulative-window answer for any
+    revenue distribution (duplicates, single customer, uniform)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.queries.advanced import (
+        orders_pareto_concentration,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [
+                (i, ck, "O", float(p), None, "1-URGENT")
+                for i, (ck, p) in enumerate(rows)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        )
+        df.write.parquet(f"{d}/orders.parquet")
+        got = orders_pareto_concentration(spark, d).collect()[0].asDict()
+
+    # naive reference: global sort + running sum in Python
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for i, (ck, p) in enumerate(rows):
+        rev[ck] += int(round(p * 100))
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(v for _, v in ranked)
+    expect = {"n_customers": len(ranked), "total_revenue_cents": total}
+    cum, found = 0, {}
+    for rnk, (_, v) in enumerate(ranked, start=1):
+        cum += v
+        for pct in (50, 80, 95):
+            if pct not in found and cum * 100 >= total * pct:
+                found[pct] = rnk
+    expect.update(
+        {
+            "n_top_for_50pct": found[50],
+            "n_top_for_80pct": found[80],
+            "n_top_for_95pct": found[95],
+        }
+    )
+    assert got == expect
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.lists(st.integers(min_value=0, max_value=63), max_size=7),
+)
+@settings(max_examples=30, deadline=None)
+def test_dhash_band_pigeonhole_recall(base, flip_bits):
+    """Any pair within Hamming distance 7 must share at least one of
+    the 8 byte bands EXACTLY (the recall guarantee image_near_dup_pairs
+    relies on for candidate generation)."""
+    other = base
+    for b in set(flip_bits):
+        other ^= 1 << b
+    shares = any(
+        (base >> (8 * i)) & 255 == (other >> (8 * i)) & 255 for i in range(8)
+    )
+    assert shares
