@@ -51,6 +51,8 @@ _PRIORITY = [
     "docs_source_shingle_overlap",
     "emb_dim_variance_topk",
     "orders_pareto_concentration",
+    "events_seasonal_anomaly",
+    "emb_top_pc_power_iteration",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

@@ -82,6 +82,7 @@ EXTRA = [
     "docs_source_shingle_overlap",
     "docs_vocab_growth_by_source",
     "orders_pareto_concentration",
+    "events_seasonal_anomaly",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -682,3 +682,54 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(var, 6).alias("dim_variance"),
         )
     )
+
+
+@query(
+    "emb_top_pc_power_iteration",
+    oracle="""
+SELECT COUNT(*) AS n_vectors,
+       MIN(len(embedding)) AS dim,
+       50 AS n_iters,
+       TRUE AS unit_norm_ok,
+       TRUE AS residual_ok,
+       TRUE AS explains_ge_top_dim
+FROM embeddings
+""",
+)
+def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by distributed power iteration
+    (operators/pca.py) — a genuinely iterative, non-SQL-expressible
+    algorithm, so the oracle is invariant-style (the proven
+    events_hll_accuracy_qa pattern): DuckDB recomputes the exact spine
+    (corpus size, dimensionality, pinned iteration count) and the
+    convergence certificates are genuinely evaluated Spark-side —
+    unit-norm component, eigenpair residual ‖Cv − λv‖/λ ≤ 5%, and the
+    component explaining at least as much variance as the best single
+    axis (power iteration must dominate every coordinate direction).
+    A silent non-convergence or a broken update flips a boolean and
+    the driver row goes red."""
+    from lakehouse_architecture_spark.operators.pca import (
+        top_principal_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = top_principal_component(emb, "embedding", iters=50)
+    import numpy as np
+
+    unit_ok = bool(abs(float(np.linalg.norm(r["component"])) - 1.0) < 1e-9)
+    res_ok = bool(r["residual"] == r["residual"] and r["residual"] <= 0.05)
+    explains_ok = bool(r["eigenvalue"] >= r["top_dim_variance"] * (1 - 1e-9))
+    return spark.createDataFrame(
+        [
+            (
+                r["n"],
+                r["dim"],
+                50,
+                unit_ok,
+                res_ok,
+                explains_ok,
+            )
+        ],
+        "n_vectors long, dim int, n_iters int, unit_norm_ok boolean, "
+        "residual_ok boolean, explains_ge_top_dim boolean",
+    )

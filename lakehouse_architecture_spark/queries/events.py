@@ -960,3 +960,71 @@ def events_daily_new_vs_returning(
             ),
         )
     )
+
+
+SEASONAL_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, CAST(hour(h) AS INT) AS hour_of_day,
+         CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
+         SQRT(GREATEST(CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(n_events) AS DOUBLE) / COUNT(*)), 0)) AS std_n
+  FROM hourly GROUP BY 1, 2
+)
+SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       h.event_type, b.hour_of_day, h.n_events,
+       ROUND((h.n_events - b.mean_n) / b.std_n, 4) AS seasonal_z
+FROM hourly h
+JOIN base b ON b.event_type = h.event_type
+          AND b.hour_of_day = CAST(hour(h.h) AS INT)
+WHERE b.std_n > 0
+  AND ABS((h.n_events - b.mean_n) / b.std_n) >= 2.0
+"""
+
+
+@query("events_seasonal_anomaly", oracle=SEASONAL_ANOMALY_ORACLE)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: hours whose per-type volume
+    deviates >= 2σ from the baseline for THAT HOUR OF DAY — the
+    deseasonalized upgrade of events_anomaly_zscore (a quiet 3 AM spike
+    that a global z-score averages away fires here, and the daily rush
+    hour stops paging). The baseline key is (event_type, hour-of-day),
+    i.e. the classic seasonal-naive decomposition.
+
+    Determinism follows the anomaly family rules: σ from the explicit
+    E[x²]−E[x]² integer-sum formula with GREATEST(·, 0) on both
+    engines, timestamps rendered through the engine-neutral formatted
+    string, hour-of-day from the same truncated timestamp on both
+    sides. Plan: one shuffle for the hourly aggregate; the baseline is
+    a ≤ |types|·24-row aggregate broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    hod = F.hour("h").cast("int")
+    s = F.sum("n_events").cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+    c = F.count(F.lit(1))
+    base = hourly.groupBy("event_type", hod.alias("hour_of_day")).agg(
+        (s / c).alias("mean_n"),
+        F.sqrt(F.greatest(s2 / c - (s / c) * (s / c), F.lit(0.0))).alias(
+            "std_n"
+        ),
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.col("std_n")
+    return (
+        hourly.withColumn("hour_of_day", hod)
+        .join(F.broadcast(base), ["event_type", "hour_of_day"])
+        .filter((F.col("std_n") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            F.round(z, 4).alias("seasonal_z"),
+        )
+    )

@@ -430,3 +430,55 @@ def test_corpus_index_save_load_append(spark, tmp_path):
     assert {r.shingle: r.df for r in rows} == {
         s: 2 * d for s, d in orig.items()
     }
+
+
+def test_top_principal_component_matches_eigh(spark):
+    """Power iteration on a corpus with a planted dominant direction
+    must recover numpy's exact top eigenpair of the covariance."""
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.pca import (
+        top_principal_component,
+    )
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=8)
+    direction /= np.linalg.norm(direction)
+    # strong signal along `direction`, weak isotropic noise
+    data = (
+        rng.normal(scale=3.0, size=(200, 1)) * direction
+        + rng.normal(scale=0.3, size=(200, 8))
+        + rng.normal(size=8)  # nonzero mean: centering must happen
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    got = top_principal_component(df, "embedding", iters=30)
+
+    arr = np.array(
+        [np.array(r, dtype=np.float32) for r in data], dtype=np.float64
+    )
+    cov = np.cov(arr, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+
+    assert got["n"] == 200 and got["dim"] == 8
+    assert abs(np.linalg.norm(got["component"]) - 1.0) < 1e-9
+    assert abs(got["eigenvalue"] - top_val) / top_val < 1e-3
+    # eigenvectors match up to sign
+    assert abs(abs(float(got["component"] @ top_vec)) - 1.0) < 1e-4
+    assert got["residual"] < 1e-3
+    assert got["eigenvalue"] >= got["top_dim_variance"] * (1 - 1e-9)
+
+
+def test_top_principal_component_empty_raises(spark):
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.operators.pca import (
+        top_principal_component,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        top_principal_component(df, "embedding")
