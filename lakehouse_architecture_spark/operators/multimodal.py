@@ -663,3 +663,27 @@ def extract_audio_spectral_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         fn, schema=AUDIO_SPECTRAL_SCHEMA
     )
+
+
+def image_dedup_keep_one(
+    df: DataFrame, max_hamming: int = 4, id_col: str = "media_id"
+) -> DataFrame:
+    """End-to-end perceptual image dedup: dHash -> banded Hamming
+    near-dup pairs -> connected components -> keep the min-id
+    representative per component. The image mirror of the text
+    pipeline's MinHash-LSH -> components -> keep-one election, built
+    from the same component operators so the convergence guarantees
+    (and the loud non-convergence error) carry over.
+
+    Rows whose payload has no pure decoder (dhash null) are KEPT —
+    undecodable is a data-quality signal, not a duplicate."""
+    from lakehouse_architecture_spark.operators.components import (
+        connected_components,
+        dedup_keep_one_per_component,
+    )
+
+    hashes = extract_image_dhash(df.select(F.col(id_col).alias("media_id"),
+                                           "payload"))
+    pairs = image_near_dup_pairs(hashes, max_hamming=max_hamming)
+    labels = connected_components(pairs, "media_a", "media_b")
+    return dedup_keep_one_per_component(df, labels, id_col)

@@ -322,3 +322,22 @@ def test_audio_spectral_features_pure_tone(spark):
     rows = {r.media_id: r for r in extract_audio_spectral_features(df).collect()}
     assert abs(rows[1].zcr - 0.25) < 0.01
     assert rows[2].spectral_centroid_hz is None
+
+
+def test_image_dedup_keep_one(spark):
+    """dHash -> components -> keep-one: a 3-variant near-dup family
+    collapses to its min id; distinct and undecodable images survive."""
+    from lakehouse_architecture_spark.operators.multimodal import (
+        image_dedup_keep_one,
+    )
+
+    rows = [
+        (1, _gradient_png()),
+        (2, _gradient_png(flip=3)),       # near-dup of 1
+        (3, _gradient_png(flip=6)),       # near-dup of 1 (and of 2)
+        (10, _gradient_png(seed=97)),     # distinct ramp
+        (11, None),                        # undecodable: kept
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(r.media_id for r in image_dedup_keep_one(df).collect())
+    assert kept == [1, 10, 11]
