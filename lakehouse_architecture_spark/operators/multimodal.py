@@ -687,3 +687,50 @@ def image_dedup_keep_one(
     pairs = image_near_dup_pairs(hashes, max_hamming=max_hamming)
     labels = connected_components(pairs, "media_a", "media_b")
     return dedup_keep_one_per_component(df, labels, id_col)
+
+
+def image_near_dup_against(
+    batch_hashes: DataFrame, corpus_hashes: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Asymmetric near-dup check: batch media ids whose dHash sits
+    within ``max_hamming`` of ANY corpus hash — the incremental-ingest
+    shape (cost ∝ batch band rows, never corpus²), mirroring the text
+    pipeline's batch-vs-index band join. Returns distinct media_id."""
+    if not 0 <= max_hamming < _DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {_DHASH_BANDS - 1}] for the "
+            f"{_DHASH_BANDS}-band pigeonhole guarantee, got {max_hamming}"
+        )
+
+    def _bands(hs: DataFrame, prefix: str) -> DataFrame:
+        return hs.filter(F.col("dhash").isNotNull()).select(
+            F.col("media_id").alias(f"{prefix}_id"),
+            F.col("dhash").alias(f"{prefix}_hash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.expr(
+                                f"shiftrightunsigned(dhash, {8 * i}) & 255"
+                            ).alias("band_key"),
+                        )
+                        for i in range(_DHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select(f"{prefix}_id", f"{prefix}_hash", "b.band_idx", "b.band_key")
+
+    cand = (
+        _bands(batch_hashes, "batch")
+        .join(_bands(corpus_hashes, "corpus"), ["band_idx", "band_key"])
+        .select("batch_id", "batch_hash", "corpus_hash")
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.bit_count(F.expr("batch_hash ^ corpus_hash")) <= max_hamming
+        )
+        .select(F.col("batch_id").alias("media_id"))
+        .distinct()
+    )

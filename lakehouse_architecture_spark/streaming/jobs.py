@@ -442,3 +442,120 @@ def stream_sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def media_dhash_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 4,
+) -> None:
+    """One exactly-once micro-batch of :func:`stream_image_dhash_ingest`
+    — the text pipeline's stage-seal-publish-commit protocol verbatim,
+    with a one-relation index (media_id, dhash parquet): no mergeable
+    partial aggregates needed, appending survivor hashes IS the index
+    update."""
+    from lakehouse_architecture_spark.operators.multimodal import (
+        extract_image_dhash,
+        image_near_dup_against,
+        image_near_dup_pairs,
+    )
+
+    commit_dir = os.path.join(checkpoint_dir, "media_dhash_commits")
+    committed = os.path.join(commit_dir, f"batch-{batch_id}")
+    staging = os.path.join(checkpoint_dir, "media_dhash_staging", str(batch_id))
+    if os.path.exists(committed):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    sealed = os.path.join(staging, "_STAGED")
+
+    if not os.path.exists(sealed):
+        if batch_df.isEmpty():
+            os.makedirs(commit_dir, exist_ok=True)
+            open(committed, "w").close()
+            return
+        hashes = extract_image_dhash(batch_df).persist()
+        try:
+            index_has_data = os.path.isdir(index_path) and any(
+                f.endswith(".parquet") for f in os.listdir(index_path)
+            )
+            if index_has_data:
+                corpus = spark.read.parquet(index_path)
+                corpus_dups = image_near_dup_against(
+                    hashes, corpus, max_hamming=max_hamming
+                )
+                s1 = hashes.join(corpus_dups, "media_id", "left_anti")
+            else:
+                s1 = hashes
+            # batch-internal near-dups: drop the higher id of each pair
+            # (same convention as the text path's doc_b drop)
+            self_dups = (
+                image_near_dup_pairs(s1, max_hamming=max_hamming)
+                .select(F.col("media_b").alias("media_id"))
+                .distinct()
+            )
+            surv_ids = s1.join(self_dups, "media_id", "left_anti")
+            survivors = batch_df.join(
+                surv_ids.select("media_id"), "media_id", "left_semi"
+            )
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(staging, "target")
+            )
+            # undecodable images (null dhash) are curated but NOT
+            # indexed — a null can never match, indexing it is noise
+            surv_ids.filter(F.col("dhash").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staging, "hashes"))
+        finally:
+            hashes.unpersist()
+        open(sealed, "w").close()
+
+    _publish_staged(os.path.join(staging, "target"), target_path, batch_id)
+    _publish_staged(os.path.join(staging, "hashes"), index_path, batch_id)
+    os.makedirs(commit_dir, exist_ok=True)
+    open(committed, "w").close()
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_image_dhash_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 4,
+):
+    """Continuous perceptual-dedup ingest for an image corpus: each
+    micro-batch is dHashed in the Arrow stage, near-dup-checked against
+    the PERSISTED hash index (asymmetric band join — cost ∝ batch),
+    self-deduped, and the survivors land in the curated zone while
+    their hashes append to the index. Exactly-once via the same
+    stage-seal-publish-commit protocol as
+    :func:`stream_near_dup_ingest` (shared `_publish_staged`); images
+    without a pure decoder (null dhash) are curated but never indexed
+    — undecodable is a quality signal, not a duplicate."""
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media_dhash_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            target_path=target_path,
+            checkpoint_dir=checkpoint_dir,
+            max_hamming=max_hamming,
+        )
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

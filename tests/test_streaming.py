@@ -412,3 +412,59 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     got = {(r.imp_id, r.click_id)
            for r in spark.sql("select * from attrib_test").collect()}
     assert got == {(1, 10), (3, 12)}
+
+
+def test_stream_image_dhash_ingest(spark, tmp_path):
+    """Perceptual-dedup streaming ingest: batch 2's near-dup of a
+    batch-1 image is dropped by the persisted hash index; new and
+    undecodable images land; survivor hashes append to the index."""
+    from tests.test_multimodal import _gradient_png
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_image_dhash_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "media_id long, payload binary"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import shutil as _sh
+
+        for f in (tmp_path / "stage" / name).iterdir():
+            if f.suffix == ".parquet":
+                _sh.move(str(f), str(src / f"{name}.parquet"))
+
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        target_path=str(tmp_path / "curated"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def drain():
+        q = stream_image_dhash_ingest(
+            spark, str(src), schema, **paths
+        ).start()
+        q.awaitTermination(120)
+
+    write_batch([(1, _gradient_png()), (2, _gradient_png(seed=97))], "b1")
+    drain()
+    curated = spark.read.parquet(paths["target_path"])
+    assert sorted(r.media_id for r in curated.collect()) == [1, 2]
+    idx = spark.read.parquet(paths["index_path"])
+    assert sorted(r.media_id for r in idx.collect()) == [1, 2]
+
+    # batch 2: near-dup of image 1, a genuinely new image, a null payload
+    write_batch(
+        [(10, _gradient_png(flip=4)), (11, _gradient_png(seed=55)), (12, None)],
+        "b2",
+    )
+    drain()
+    curated = spark.read.parquet(paths["target_path"])
+    assert sorted(r.media_id for r in curated.collect()) == [1, 2, 11, 12]
+    idx = spark.read.parquet(paths["index_path"])
+    # null-hash image 12 is curated but not indexed
+    assert sorted(r.media_id for r in idx.collect()) == [1, 2, 11]
