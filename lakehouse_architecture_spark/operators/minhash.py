@@ -102,6 +102,26 @@ def gram_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     return base.select("doc", F.array_distinct(grams).alias("grams"))
 
 
+def explode_grams(g: DataFrame, *extra_cols: str) -> DataFrame:
+    """``(extra_cols..., shingle)`` from a (…, grams) relation via
+    ``explode_outer`` + a post-explode null filter — NOT ``explode``.
+
+    ``explode`` lets Catalyst infer a ``size(grams) > 0 AND
+    isnotnull(grams)`` filter from the Generate and push it below
+    :func:`spread_scan`'s repartition, inlining the ENTIRE
+    normalize/split/n-gram expression into the narrow pre-exchange scan
+    stage — the heavy shingle work then runs twice per row on however
+    few tasks the scan has (measured at sf0.1: a 1-file scan made
+    ``shingles(...).count()`` a 31 s single-task stage vs ~2 s spread).
+    ``explode_outer`` infers no filter; gram arrays are non-empty by
+    construction (``gram_arrays`` falls back to the full token string),
+    so dropping null shingles AFTER the explode is row-equivalent and
+    costs one cheap post-exchange predicate."""
+    return g.select(
+        *extra_cols, F.explode_outer("grams").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct n-gram word shingles.
 
@@ -109,9 +129,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     doc and ``doc`` is part of the output row, so (doc, shingle) pairs
     are globally unique — the extra full shuffle would be pure waste.
     """
-    return gram_arrays(df, text_col, id_col, n).select(
-        "doc", F.explode("grams").alias("shingle")
-    )
+    return explode_grams(gram_arrays(df, text_col, id_col, n), "doc")
 
 
 def minhash_signatures(
@@ -277,7 +295,7 @@ def stop_shingle_list(g: DataFrame, max_doc_freq: int) -> DataFrame:
     frequency in ``g`` exceeds the cap. SMALL by construction — bounded
     by total_shingle_occurrences / cap — so it broadcasts."""
     return (
-        g.select(F.explode("grams").alias("shingle"))
+        explode_grams(g)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_doc_freq)
@@ -412,8 +430,8 @@ def ngram_jaccard_pairs(
     # relation is CACHED: both self-join sides consume it, and uncached
     # each side would redo the normalize/shingle/cap work (measured 3x
     # slower at sf0.1).
-    sh = g.select(
-        "doc", F.size("grams").alias("n"), F.explode("grams").alias("shingle")
+    sh = explode_grams(
+        g.select("doc", F.size("grams").alias("n"), "grams"), "doc", "n"
     ).cache()
     sa = sh.select(
         F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
@@ -693,7 +711,7 @@ def build_minhash_corpus_index(
         minhash_signatures_from_grams(g, num_hashes), num_hashes, band_size
     )
     dfs = (
-        g.select(F.explode("grams").alias("shingle"))
+        explode_grams(g)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -749,7 +767,7 @@ def minhash_lsh_incremental_indexed(
     )
     if max_doc_freq is not None:
         batch_dfs = (
-            gn.select(F.explode("grams").alias("shingle"))
+            explode_grams(gn)
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
         )
