@@ -53,6 +53,7 @@ _PRIORITY = [
     "orders_pareto_concentration",
     "events_seasonal_anomaly",
     "emb_top_pc_power_iteration",
+    "lineitem_price_percentiles_by_flag",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

@@ -83,6 +83,7 @@ EXTRA = [
     "docs_vocab_growth_by_source",
     "orders_pareto_concentration",
     "events_seasonal_anomaly",
+    "lineitem_price_percentiles_by_flag",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -722,7 +722,7 @@ WITH ranked AS (
 SELECT event_type, n AS n_events,
        value AS p95_value
 FROM ranked
-WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+WHERE rn = CAST(CEIL(95 * n / 100.0) AS BIGINT)
 """,
 )
 def events_value_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,29 +741,18 @@ def events_value_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ranks only the DISTINCT-value relation, whose partitions are
     bounded by distinct values per type, not rows. The selected member
     (first value whose cumulative count reaches the target rank) is
-    identical to the row_number selection the oracle still uses."""
+    identical to the row_number selection the oracle still uses.
+    Factored (r7) through the reusable operator — any query needing
+    exact per-group percentiles gets this plan shape for free."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = counts.select(
+    return grouped_exact_percentiles(ev, ["event_type"], "value", [95]).select(
         "event_type",
-        "value",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    target = F.ceil(0.95 * F.col("n")).cast("long")
-    return ranked.filter(
-        (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
-    ).select(
-        "event_type", F.col("n").alias("n_events"), F.col("value").alias("p95_value")
+        F.col("n_rows").alias("n_events"),
+        F.col("pct_value").alias("p95_value"),
     )
 
 

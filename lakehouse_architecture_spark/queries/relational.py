@@ -1268,3 +1268,45 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+@query(
+    "lineitem_price_percentiles_by_flag",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_extendedprice AS value, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, value, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+),
+p AS (SELECT * FROM (VALUES (25), (50), (75), (95)) AS t(pct))
+SELECT l_returnflag, pct, CAST(n AS BIGINT) AS n_rows,
+       value AS pct_value
+FROM ranked, p
+WHERE cum >= CEIL(pct * n / 100.0)
+  AND cum - cnt < CEIL(pct * n / 100.0)
+""",
+)
+def lineitem_price_percentiles_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact p25/p50/p75/p95 of extended price per return flag in ONE
+    pass — the per-group percentile BANDS a pricing-distribution audit
+    reads, via the reusable aggregate-then-rank operator
+    (operators/quantiles.py): all four percentiles share one frequency
+    aggregate and one bounded window, so the marginal percentile is
+    free. The emitted value is a raw member of the column (discrete
+    percentile, no interpolation) — the engines cannot disagree."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [25, 50, 75, 95]
+    )

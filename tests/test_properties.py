@@ -279,3 +279,49 @@ def test_dhash_band_pigeonhole_recall(base, flip_bits):
         (base >> (8 * i)) & 255 == (other >> (8 * i)) & 255 for i in range(8)
     )
     assert shares
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.lists(st.integers(min_value=1, max_value=100), min_size=1,
+             max_size=4, unique=True),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_exact_percentiles_matches_sort(spark, rows, pcts):
+    """The aggregate-then-rank member equals the naive sorted-list
+    selection value[ceil(p*n/100)-1] for every group and percentile
+    (duplicates included — the frequency collapse must not shift
+    ranks)."""
+    import math
+
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "grp string, value double"
+    )
+    got = {
+        (r.grp, r.pct): (r.n_rows, r.pct_value)
+        for r in grouped_exact_percentiles(df, ["grp"], "value", pcts).collect()
+    }
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for g, v in rows:
+        by_grp[g].append(float(v))
+    expect = {}
+    for g, vals in by_grp.items():
+        vals.sort()
+        for p in set(pcts):
+            k = math.ceil(p * len(vals) / 100.0)
+            expect[(g, p)] = (len(vals), vals[k - 1])
+    assert got == expect
