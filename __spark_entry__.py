@@ -54,6 +54,7 @@ _PRIORITY = [
     "events_seasonal_anomaly",
     "emb_top_pc_power_iteration",
     "lineitem_price_percentiles_by_flag",
+    "events_session_length_percentiles",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

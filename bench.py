@@ -84,6 +84,7 @@ EXTRA = [
     "orders_pareto_concentration",
     "events_seasonal_anomaly",
     "lineitem_price_percentiles_by_flag",
+    "events_session_length_percentiles",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -1017,3 +1017,102 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("seasonal_z"),
         )
     )
+
+
+SESSION_PERCENTILES_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, ts_ms,
+         CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+keyed AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_no, COUNT(*) AS n_ev,
+         MAX(ts_ms) - MIN(ts_ms) AS dur_ms
+  FROM keyed GROUP BY 1, 2
+),
+tot AS (
+  SELECT COUNT(*) AS n_sessions,
+         CAST(SUM(dur_ms) AS BIGINT) AS total_duration_ms
+  FROM sess
+),
+counts AS (SELECT n_ev AS value, COUNT(*) AS cnt FROM sess GROUP BY 1),
+ranked AS (
+  SELECT value, cnt,
+         SUM(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM counts
+),
+p AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pct))
+SELECT p.pct, tot.n_sessions, tot.total_duration_ms,
+       CAST(ranked.value AS BIGINT) AS events_per_session
+FROM ranked, p, tot
+WHERE cum >= CEIL(pct * n / 100.0)
+  AND cum - cnt < CEIL(pct * n / 100.0)
+"""
+
+
+@query("events_session_length_percentiles", oracle=SESSION_PERCENTILES_ORACLE)
+def events_session_length_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-length distribution: p50/p90/p99 events-per-session plus
+    corpus totals — the engagement-depth profile behind "how long is a
+    typical session". Composes gap-based sessionization (the
+    events_sessionization cumsum, one shuffle on user_id) with the
+    reusable exact-percentile operator; events-per-session is a SMALL
+    INTEGER domain, so the percentile window ranks a relation bounded
+    by the distinct session lengths, never the session count (duration
+    percentiles would be near-unique values — that needs the Pareto
+    query's bucketed two-phase pattern instead, which is why the
+    compared percentile here is the count metric and duration is an
+    exact integer SUM). Integer-only compared surface."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis("ts")
+    keyed = ev.select(
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.sum(
+            F.when(
+                F.lag(ts_ms).over(w).isNull()
+                | ((ts_ms - F.lag(ts_ms).over(w)) > SESSION_GAP_MS),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    sess = keyed.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("dur_ms"),
+    )
+    tot = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_ms").cast("long").alias("total_duration_ms"),
+    )
+    pct = grouped_exact_percentiles(
+        sess.withColumn("scope", F.lit("all")), ["scope"], "n_ev", [50, 90, 99]
+    )
+    return pct.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        "n_sessions",
+        "total_duration_ms",
+        F.col("pct_value").cast("long").alias("events_per_session"),
+    )
