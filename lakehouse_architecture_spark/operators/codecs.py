@@ -1028,7 +1028,11 @@ def decode_wav(payload: bytes) -> dict:
             ch = f.getnchannels()
             width = f.getsampwidth()
             frames = f.readframes(n)
-    except wave.Error as exc:
+    except (wave.Error, EOFError) as exc:
+        # the stdlib reader raises EOFError (not wave.Error) when the
+        # stream truncates inside a chunk header — caught here so a
+        # clipped capture degrades like any other malformed WAV instead
+        # of crashing the Arrow batch (found by the fuzz test)
         raise ValueError(f"not a PCM WAV stream: {exc}") from exc
     if len(frames) != n * ch * width:
         # declared frame count exceeds the bytes present — a truncated

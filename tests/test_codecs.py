@@ -972,3 +972,92 @@ def test_png_16bit_decodes_to_high_bytes():
             px = decode_png(payload)
             assert px.shape == (5, 4, ch)
             assert np.array_equal(px, byte_img[:, :, 0::2]), (ch, filt)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz robustness: scraped-corpus garbage must fail CLEANLY
+# ---------------------------------------------------------------------------
+
+
+def test_decoders_survive_fuzzed_payloads():
+    """Random bytes, magic-prefixed random bytes, and truncations of
+    VALID streams must either decode or raise something inside
+    DECODE_ERRORS — never an unexpected exception type and never a
+    hang. This is the contract every Arrow batch stage relies on when
+    it catches DECODE_ERRORS over scraped data."""
+    import random
+
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators import codecs
+
+    rng = random.Random(1234)
+    decoders = {
+        "png": codecs.decode_png,
+        "bmp": codecs.decode_bmp,
+        "gif": codecs.decode_gif,
+        "jpeg": codecs.decode_jpeg,
+    }
+    magics = {
+        "png": b"\x89PNG\r\n\x1a\n",
+        "bmp": b"BM",
+        "gif": b"GIF89a",
+        "jpeg": b"\xff\xd8\xff\xe0",
+    }
+    px = np.arange(96, dtype=np.uint8).reshape(8, 4, 3)
+    valid = {
+        "png": codecs.encode_png(px),
+        "bmp": None,
+        "gif": None,
+        "jpeg": None,
+    }
+
+    def attempt(fmt, payload):
+        try:
+            out = decoders[fmt](payload)
+            assert out is not None
+        except codecs.DECODE_ERRORS:
+            pass  # the documented clean-failure contract
+
+    for fmt in decoders:
+        for trial in range(50):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 300)))
+            attempt(fmt, blob)                      # pure garbage
+            attempt(fmt, magics[fmt] + blob)        # right magic, junk body
+        if valid[fmt]:
+            full = valid[fmt]
+            for cut in range(0, len(full), max(1, len(full) // 40)):
+                attempt(fmt, full[:cut])            # every truncation point
+            # single-byte corruptions of a valid stream
+            for _ in range(60):
+                i = rng.randrange(len(full))
+                corrupted = full[:i] + bytes([rng.randrange(256)]) + full[i + 1:]
+                attempt(fmt, corrupted)
+
+
+def test_wav_decoder_survives_fuzz():
+    import random
+
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = random.Random(99)
+    valid = encode_wav(np.arange(-500, 500, dtype=np.int64), 8000)
+
+    def attempt(payload):
+        try:
+            decode_wav(payload)
+        except ValueError:
+            pass
+
+    for cut in range(0, len(valid), max(1, len(valid) // 40)):
+        attempt(valid[:cut])
+    for _ in range(80):
+        i = rng.randrange(len(valid))
+        attempt(valid[:i] + bytes([rng.randrange(256)]) + valid[i + 1:])
+    for _ in range(40):
+        attempt(b"RIFF" + bytes(rng.randrange(256) for _ in range(rng.randrange(4, 200))))
