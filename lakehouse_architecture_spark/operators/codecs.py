@@ -1028,11 +1028,13 @@ def decode_wav(payload: bytes) -> dict:
             ch = f.getnchannels()
             width = f.getsampwidth()
             frames = f.readframes(n)
-    except (wave.Error, EOFError) as exc:
-        # the stdlib reader raises EOFError (not wave.Error) when the
-        # stream truncates inside a chunk header — caught here so a
-        # clipped capture degrades like any other malformed WAV instead
-        # of crashing the Arrow batch (found by the fuzz test)
+    except (wave.Error, EOFError, RuntimeError) as exc:
+        # the stdlib reader escapes its own wave.Error on malformed
+        # streams: EOFError when a chunk header truncates, and a bare
+        # RuntimeError from _Chunk.seek when a garbage chunk size seeks
+        # past the stream — both found by the fuzz test; caught here so
+        # scraped junk degrades like any other malformed WAV instead of
+        # crashing the Arrow batch
         raise ValueError(f"not a PCM WAV stream: {exc}") from exc
     if len(frames) != n * ch * width:
         # declared frame count exceeds the bytes present — a truncated

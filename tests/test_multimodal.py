@@ -341,3 +341,44 @@ def test_image_dedup_keep_one(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     kept = sorted(r.media_id for r in image_dedup_keep_one(df).collect())
     assert kept == [1, 10, 11]
+
+
+def test_media_feature_extractors_survive_fuzz():
+    """Header parsers and the dHash/spectral feature functions must
+    handle garbage payloads without unexpected exception types — the
+    mapInPandas stages run them over scraped corpora."""
+    import random
+
+    from lakehouse_architecture_spark.operators.multimodal import (
+        audio_spectral_features,
+        decode_audio,
+        decode_image,
+        image_dhash,
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    rng = random.Random(7)
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a", b"BM",
+        b"RIFF", b"RIFFxxxxWAVE", b"",
+    ]
+    for _ in range(120):
+        blob = rng.choice(magics) + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 200))
+        )
+        parse_image_header(blob)
+        parse_wav_header(blob)
+        try:
+            decode_image(blob)
+        except NotImplementedError:
+            pass
+        try:
+            image_dhash(blob)
+        except NotImplementedError:
+            pass
+        try:
+            decode_audio(blob)
+        except NotImplementedError:
+            pass
+        audio_spectral_features(blob)
