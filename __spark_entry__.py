@@ -55,6 +55,7 @@ _PRIORITY = [
     "emb_top_pc_power_iteration",
     "lineitem_price_percentiles_by_flag",
     "events_session_length_percentiles",
+    "docs_bpe_merge_qa",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

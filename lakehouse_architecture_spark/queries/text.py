@@ -688,3 +688,62 @@ def docs_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
     return tf.groupBy("occurrences").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+@query(
+    "docs_bpe_merge_qa",
+    oracle=r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+v AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w)
+SELECT 10 AS n_merges_requested,
+       COUNT(*) AS n_distinct_words,
+       CAST(SUM(c) AS BIGINT) AS total_word_occurrences,
+       CAST(SUM(LENGTH(w)) AS BIGINT) AS vocab_symbols,
+       TRUE AS merges_match_reference
+FROM v
+""",
+)
+def docs_bpe_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training QA (operators/bpe.py): learn
+    10 merges on the corpus with Spark doing every corpus-sized step,
+    then verify the merge list MERGE-BY-MERGE against the pure-Python
+    reference implementation run on the same word frequencies. An
+    iterative algorithm has no SQL twin, so the oracle is
+    invariant-style (the emb_top_pc_power_iteration pattern): DuckDB
+    recomputes the exact vocabulary spine and the equality certificate
+    is genuinely evaluated Spark-side — any divergence in pair
+    counting, tie-breaking, or the greedy merge fold flips the boolean
+    and the driver row goes red.
+
+    The reference comparison collects the word-frequency vocabulary —
+    bounded by |distinct words|, fine for a QA query (the trainer
+    itself never collects more than the 1-row argmax per iteration; at
+    web scale this QA would run on a sampled vocabulary instead)."""
+    from lakehouse_architecture_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_reference,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, "text")
+    vocab_rows = wf.collect()
+    vocab = {r.word: r.cnt for r in vocab_rows}
+    got = train_bpe(docs, "text", 10)
+    ref = train_bpe_reference(None, 10, vocab=vocab)
+    return spark.createDataFrame(
+        [
+            (
+                10,
+                len(vocab),
+                int(sum(vocab.values())),
+                int(sum(len(w) for w in vocab)),
+                got == ref,
+            )
+        ],
+        "n_merges_requested int, n_distinct_words long, "
+        "total_word_occurrences long, vocab_symbols long, "
+        "merges_match_reference boolean",
+    )
