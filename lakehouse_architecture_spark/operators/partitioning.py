@@ -34,3 +34,52 @@ def spread_scan(df: DataFrame) -> DataFrame:
     except Exception:  # non-file-backed relation (e.g. createDataFrame)
         few_files = True
     return df.repartition(par) if few_files else df
+
+
+def zorder_key(df, cols: list[str], bits: int = 8):
+    """Morton (Z-order) clustering key over numeric columns — Delta
+    ``OPTIMIZE ZORDER BY`` re-expressed as a pure Column for plain
+    parquet: bucket each column into ``2^bits`` uniform cells between
+    its min and max (one tiny bounds aggregate, broadcast back), then
+    bit-interleave the cell ids so sorting by the key clusters rows
+    that are close in EVERY dimension into the same files. Per-file
+    min/max stats on all the z-ordered columns then become selective
+    at once — multi-column data skipping, where a plain lexicographic
+    sort only helps its leading column.
+
+    Returns (augmented_df, key_column): the DataFrame gains broadcast
+    ``__zmin_i``/``__zmax_i`` bounds columns the key expression needs;
+    sort on the key, then drop them at write time (compact_table does
+    both). Uniform buckets, not quantiles — good enough for layout
+    (skew degrades cell balance, not correctness) and keeps the bounds
+    pass a 1-row aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__zmin_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"__zmax_{i}") for i, c in enumerate(cols)],
+    )
+    aug = df.crossJoin(F.broadcast(bounds))
+    n_cells = (1 << bits) - 1
+    cells = []
+    for i, c in enumerate(cols):
+        lo, hi = F.col(f"__zmin_{i}"), F.col(f"__zmax_{i}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        cells.append(
+            F.least(
+                F.lit(n_cells),
+                F.greatest(F.lit(0), F.floor(frac * (n_cells + 1)).cast("long")),
+            )
+        )
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, cell in enumerate(cells):
+            key = key + (
+                F.shiftright(cell, bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << (bit * len(cells) + i)).cast("long")
+            )
+    return aug, key

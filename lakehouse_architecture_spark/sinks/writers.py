@@ -122,12 +122,25 @@ def _data_files(path: str) -> list[str]:
     return out
 
 
+def _zorder_aug(df, zorder_by):
+    from lakehouse_architecture_spark.operators.partitioning import zorder_key
+
+    return zorder_key(df, zorder_by)
+
+
+def _drop_zbounds(df):
+    return df.drop(
+        *[c for c in df.columns if c.startswith("__zmin_") or c.startswith("__zmax_")]
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     partition_by: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-files compaction — Delta ``OPTIMIZE`` re-expressed on plain
     parquet. Returns (files_before, files_after).
@@ -138,21 +151,47 @@ def compact_table(
     ``ceil(bytes / target_file_bytes)`` files (one shuffle hashing on
     the partition column, so each partition value lands in one task).
     ``sort_by`` applies ``sortWithinPartitions`` before the write so
-    per-file min/max statistics become selective — the poor man's
-    Z-order, and the real enabler of data skipping on the sorted key.
-    The staging-and-swap keeps concurrent readers consistent.
+    per-file min/max statistics become selective on the sorted key;
+    ``zorder_by`` instead sorts on a Morton bit-interleaved key
+    (operators/partitioning.zorder_key) so min/max stats on EVERY
+    listed column become selective at once — Delta ``OPTIMIZE ZORDER``
+    on plain parquet. The staging-and-swap keeps concurrent readers
+    consistent.
     """
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     files_before = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files_before)
     n_files = max(1, -(-total_bytes // target_file_bytes))
 
     df = spark.read.parquet(path)
     if partition_by:
+        # one task per partition value; sort keys cluster WITHIN the
+        # partition's files (file-level ranges are per partition value)
         out = df.repartition(F.col(partition_by))
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        elif zorder_by:
+            aug, key = _zorder_aug(out, zorder_by)
+            out = _drop_zbounds(aug.sortWithinPartitions(key))
+    elif sort_by:
+        # RANGE partition on the sort key, not round-robin: each output
+        # file then covers a narrow, disjoint key range, which is what
+        # makes file-level min/max stats selective. Round-robin +
+        # sortWithinPartitions only orders rows inside a file whose
+        # min/max still spans the whole table — no skipping at all.
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif zorder_by:
+        aug, key = _zorder_aug(df, zorder_by)
+        aug = aug.withColumn("__zkey", key)
+        out = _drop_zbounds(
+            aug.repartitionByRange(n_files, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+        ).drop("__zkey")
     else:
         out = df.repartition(n_files)
-    if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
 
     staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     write_partitioned(out, staging, partition_by)

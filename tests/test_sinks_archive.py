@@ -320,3 +320,72 @@ def test_merge_upsert_evolve_survives_mixed_schema_partitions(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert out == {1: ("a", None), 2: ("b3", "kept"), 3: ("c2", None)}
+
+
+def test_zorder_key_locality_and_bounds(spark):
+    """The Morton key interleaves bucket bits correctly (pinned against
+    a pure-Python reference) and clusters 2-D neighborhoods: sorting by
+    the key puts both dimensions' nearby values into the same half."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.partitioning import zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    aug, key = zorder_key(df, ["x", "y"], bits=4)
+    got = {
+        (r.x, r.y): r.k
+        for r in aug.select("x", "y", key.alias("k")).collect()
+    }
+
+    def ref(x, y):  # 4-bit cells over [0,15] -> cell == value
+        k = 0
+        for bit in range(4):
+            k |= ((x >> bit) & 1) << (2 * bit)
+            k |= ((y >> bit) & 1) << (2 * bit + 1)
+        return k
+
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+    # locality: the first quarter of the z-curve is exactly the
+    # low-left 8x8 quadrant
+    ordered = sorted(rows, key=lambda p: got[p])
+    assert set(ordered[:64]) == {(x, y) for x in range(8) for y in range(8)}
+
+
+def test_compact_table_zorder(spark, tmp_path):
+    """compact_table(zorder_by=...) rewrites with interleaved-key file
+    clustering: per-file min/max spans shrink on BOTH columns vs the
+    unsorted layout, and no helper columns leak into the output."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_architecture_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "t")
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    df.repartition(8).write.parquet(path)
+
+    def file_spans(p):
+        spans = []
+        import os
+
+        for f in sorted(os.listdir(p)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(p, f), columns=["x", "y"])
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            spans.append(((max(xs) - min(xs)) + (max(ys) - min(ys))) / 2)
+        return spans
+
+    before = sum(file_spans(path)) / 8
+    nb, na = compact_table(
+        spark, path, target_file_bytes=8 * 1024, zorder_by=["x", "y"]
+    )
+    out = spark.read.parquet(path)
+    assert sorted(out.columns) == ["id", "x", "y"]
+    assert out.count() == 4000
+    spans = file_spans(path)
+    assert len(spans) > 1
+    after = sum(spans) / len(spans)
+    # z-ordered files cover a fraction of the random layout's span
+    assert after < before * 0.7, (before, after)
