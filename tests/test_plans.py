@@ -322,3 +322,78 @@ def test_new_vs_returning_single_user_shuffle_family(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x2 stages
+
+
+def test_source_overlap_no_shingle_self_join(spark, sf_dir):
+    """The source-overlap matrix must unfold pairs from per-shingle
+    source SETS — a shingle-keyed self-join would explode C(n,2) rows
+    per OCCURRENCE of a stop-shingle. Asserted: no sort-merge join at
+    all, and the only joins are the broadcast size lookups."""
+    import re
+
+    plan = _plan(spark, sf_dir, "docs_source_shingle_overlap")
+    assert "SortMergeJoin" not in plan
+    # numbered detail nodes only (the tree section double-counts)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) <= 2
+
+
+def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
+    """The two-phase prefix sum must never run an unpartitioned window
+    over the per-customer relation: every Window node's spec either
+    partitions by the bucket column (the per-customer rank/cumsum) or
+    consumes the ~1001-row bucket aggregate (which sits strictly above
+    the bucket-collapsing HashAggregate in the plan)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "orders_pareto_concentration")
+    specs = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: .*", plan)
+    win_args = [
+        m for m in re.findall(r"\(\d+\) Window\s*\n[^(]*", plan)
+    ]
+    assert win_args, "expected Window nodes in the Pareto plan"
+    for block in win_args:
+        assert "bucket" in block, block
+
+
+def test_shingle_explode_not_inferred_below_exchange(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap (r7): the
+    heavy gram expression must never appear in a Filter BELOW the
+    spread_scan Exchange — explode_outer + post-explode null filter
+    keeps the inferred predicate out. Asserted on the raw shingle
+    relation: the scan-side Filter (if any) must not contain the
+    normalize/split expression."""
+    from lakehouse_architecture_spark.operators.minhash import shingles
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = shingles(docs, "text", "doc_id")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    import re
+
+    exchange_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert exchange_ids, "spread_scan repartition expected on 1-file scans"
+    # any Filter below the exchange (higher node id = deeper) must not
+    # inline the tokenization expression
+    for m in re.finditer(r"\((\d+)\) Filter\n(?:Input[^\n]*\n)?Condition : ([^\n]*)", plan):
+        node_id, cond = int(m.group(1)), m.group(2)
+        if node_id > min(exchange_ids):
+            assert "regexp_replace" not in cond, (
+                "gram expression leaked below the repartition:\n" + cond
+            )
+
+
+def test_session_percentiles_window_over_session_aggregate(spark, sf_dir):
+    """The percentile windows must rank the session-length frequency
+    aggregate, not raw sessions (bounded by distinct lengths)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "events_session_length_percentiles")
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids
+    # at least one aggregate sits below every percentile window; the
+    # sessionization window itself is user_id-partitioned
+    assert min(agg_ids) < min(win_ids)
