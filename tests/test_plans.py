@@ -393,7 +393,12 @@ def test_session_percentiles_window_over_session_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_session_length_percentiles")
     agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
     win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
-    assert agg_ids and win_ids
-    # at least one aggregate sits below every percentile window; the
-    # sessionization window itself is user_id-partitioned
-    assert min(agg_ids) < min(win_ids)
+    assert agg_ids and len(win_ids) >= 2
+    # topological ids (children first): the sessionization window is the
+    # deepest window, the percentile windows the shallowest — the
+    # session/frequency aggregates must sit BETWEEN them, i.e. the
+    # percentile window consumes an aggregate, never raw sessions
+    assert any(min(win_ids) < a < max(win_ids) for a in agg_ids), (
+        win_ids,
+        agg_ids,
+    )
