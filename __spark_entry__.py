@@ -56,6 +56,7 @@ _PRIORITY = [
     "lineitem_price_percentiles_by_flag",
     "events_session_length_percentiles",
     "docs_bpe_merge_qa",
+    "sql_recursive_cte_calendar",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

@@ -122,3 +122,55 @@ def sql_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_mktsegment, n_customers, total_acctbal "
         f"FROM {table} ORDER BY c_mktsegment",
     )
+
+
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): generate the month spine
+# of the order-date range by recursion, then profile coverage — the
+# SQL-standard recursion form (sequence()/explode covers the same need
+# natively, events_gapfilled_hourly). Engine dialects differ only in
+# the month increment (Spark add_months + MAX RECURSION LEVEL clause,
+# DuckDB interval arithmetic); everything else is shared ANSI.
+_RCTE_BODY = """
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT {next_month} FROM months, bounds WHERE m < hi
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT COUNT(*) AS n_months,
+       COUNT(monthly.cnt) AS n_months_with_orders,
+       COUNT(*) - COUNT(monthly.cnt) AS n_gap_months,
+       CAST(SUM(COALESCE(monthly.cnt, 0)) AS BIGINT) AS total_orders
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+_RCTE_PRELUDE = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+"""
+
+RCTE_SPARK_SQL = _RCTE_PRELUDE + _RCTE_BODY.format(
+    next_month="add_months(m, 1)"
+)
+RCTE_ORACLE_SQL = _RCTE_PRELUDE + _RCTE_BODY.format(
+    next_month="CAST(m + INTERVAL 1 MONTH AS DATE)"
+)
+
+
+@query("sql_recursive_cte_calendar", oracle=RCTE_ORACLE_SQL)
+def sql_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard WITH RECURSIVE over the registered views: build the
+    order-date month spine by recursion and profile its coverage
+    (months with orders, gap months, total orders — integer-only
+    compared surface). Recursion depth is the month-range length,
+    bounded and independent of row volume; each step is a tiny
+    relation, so the plan is driver-bounded iteration exactly like the
+    engine's other fixpoint operators (components, PCA, BPE)."""
+    return sql(spark, RCTE_SPARK_SQL, sf_dir=sf_dir)
