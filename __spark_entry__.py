@@ -57,6 +57,7 @@ _PRIORITY = [
     "events_session_length_percentiles",
     "docs_bpe_merge_qa",
     "sql_recursive_cte_calendar",
+    "events_user_volume_concentration",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

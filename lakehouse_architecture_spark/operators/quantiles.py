@@ -69,3 +69,72 @@ def grouped_exact_percentiles(
             F.col(value_col).alias("pct_value"),
         )
     )
+
+
+def global_desc_rank_cumsum(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """``(…original columns, cum, rnk)`` exactly as if
+
+        SUM(value) OVER (ORDER BY value DESC, tiebreak ROWS UNBOUNDED
+        PRECEDING)  /  ROW_NUMBER() OVER (same order)
+
+    but WITHOUT the global single-task window: the classic two-phase
+    prefix sum. Rows bucket into ``n_buckets`` coarse value bands (one
+    1-row bounds aggregate, broadcast back), a window over the
+    bucket-count relation takes running totals ABOVE each bucket, and
+    rank/cumsum windows partition BY bucket — so no window input
+    exceeds one bucket's rows, yet floor-bucketing's monotonicity makes
+    the result equal the naive global window row for row.
+
+    Works for any numeric sign (buckets come from the (min, max) span);
+    a zero span collapses to one bucket, where the per-bucket window IS
+    the global one — correct, and only as expensive as the degenerate
+    data forces.
+
+    Exactness: for integral/decimal value columns the result is
+    bit-identical to the global window (addition is associative). A
+    raw-double value column would see the usual order-of-addition
+    drift — cast through decimal first, like every compared aggregate
+    in this engine."""
+    bounds = df.agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+    )
+    span = F.col("__mx") - F.col("__mn")
+    bucket = F.when(span > 0,
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(value_col) - F.col("__mn")) * n_buckets / span
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    b = df.crossJoin(F.broadcast(bounds)).withColumn("__bucket", bucket)
+    bs = b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.sum(value_col).alias("__bsum")
+    )
+    above = Window.orderBy(F.desc("__bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bs2 = bs.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(above), F.lit(0)).alias("__cum_above"),
+        F.coalesce(F.sum("__cnt").over(above), F.lit(0)).alias("__cnt_above"),
+    )
+    win = Window.partitionBy("__bucket").orderBy(
+        F.desc(value_col), F.asc(tiebreak_col)
+    )
+    out = b.join(F.broadcast(bs2), "__bucket").select(
+        *df.columns,
+        (
+            F.col("__cum_above")
+            + F.sum(value_col).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum"),
+        (F.col("__cnt_above") + F.row_number().over(win)).alias("rnk"),
+    )
+    return out

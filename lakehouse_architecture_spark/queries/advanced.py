@@ -339,49 +339,25 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (float rule).
 
     The oracle ranks with one GLOBAL cumulative window; this plan does
-    NOT (a global window collapses to a single task at scale). Instead,
-    the classic two-phase prefix sum: bucket customers by a coarse
-    revenue band (floor(rev * 1000 / max)), aggregate per-bucket count
-    + sum (one small relation), take the running totals ABOVE each
-    bucket with a window over ~1001 rows, then rank only WITHIN each
-    bucket (window partitioned by bucket). floor() is monotonic, so
-    bucket ranges never interleave the global (rev DESC, custkey)
-    order and per-customer cum/rank reproduce the oracle's global
-    window exactly — every window input here is either bucket-count
-    sized or one bucket's customers."""
+    NOT (a global window collapses to a single task at scale) — it
+    goes through the reusable two-phase prefix-sum operator
+    (operators/quantiles.global_desc_rank_cumsum): coarse value-band
+    bucketing, cross-bucket running totals over the bucket aggregate,
+    rank/cumsum windows partitioned BY bucket. floor-bucketing is
+    monotonic, so the per-customer cum/rank reproduce the oracle's
+    global window exactly while every window input is either
+    bucket-count sized or one bucket's customers."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        global_desc_rank_cumsum,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "rev_cents"
         )
     )
-    mx = rev.agg(F.max("rev_cents").alias("mx"))
-    b = rev.crossJoin(F.broadcast(mx)).withColumn(
-        "bucket", F.floor(F.col("rev_cents") * 1000 / F.col("mx"))
-    )
-    bs = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("rev_cents").alias("brev")
-    )
-    above = Window.orderBy(F.desc("bucket")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bs2 = bs.select(
-        "bucket",
-        F.coalesce(F.sum("brev").over(above), F.lit(0)).alias("cum_above"),
-        F.coalesce(F.sum("cnt").over(above), F.lit(0)).alias("cnt_above"),
-    )
-    win = Window.partitionBy("bucket").orderBy(
-        F.desc("rev_cents"), F.asc("o_custkey")
-    )
-    per = b.join(F.broadcast(bs2), "bucket").select(
-        (
-            F.col("cum_above")
-            + F.sum("rev_cents").over(
-                win.rowsBetween(Window.unboundedPreceding, 0)
-            )
-        ).alias("cum"),
-        (F.col("cnt_above") + F.row_number().over(win)).alias("rnk"),
-    )
+    per = global_desc_rank_cumsum(rev, "rev_cents", "o_custkey")
     tot = rev.agg(
         F.sum("rev_cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
     )

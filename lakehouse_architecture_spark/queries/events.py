@@ -1116,3 +1116,65 @@ def events_session_length_percentiles(
         "total_duration_ms",
         F.col("pct_value").cast("long").alias("events_per_session"),
     )
+
+
+@query(
+    "events_user_volume_concentration",
+    oracle="""
+WITH vol AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n_events) AS total, COUNT(*) AS n_users FROM vol),
+c AS (
+  SELECT SUM(n_events) OVER (ORDER BY n_events DESC, user_id
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rnk
+  FROM vol
+)
+SELECT t.n_users,
+       MIN(CASE WHEN cum * 100 >= total * 50 THEN rnk END) AS n_top_for_50pct,
+       MIN(CASE WHEN cum * 100 >= total * 80 THEN rnk END) AS n_top_for_80pct,
+       MIN(CASE WHEN cum * 100 >= total * 95 THEN rnk END) AS n_top_for_95pct,
+       CAST(t.total AS BIGINT) AS total_events
+FROM c, t
+GROUP BY t.n_users, t.total
+""",
+)
+def events_user_volume_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-volume concentration: how many of the most active users
+    generate 50/80/95% of all events — the power-user/bot-detection
+    twin of the revenue Pareto, through the same reusable two-phase
+    prefix-sum operator (operators/quantiles.global_desc_rank_cumsum;
+    the oracle keeps the naive global window). Integer-only compared
+    surface; every window input is bucket-bounded."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        global_desc_rank_cumsum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    vol = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    per = global_desc_rank_cumsum(vol, "n_events", "user_id")
+    tot = vol.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    need = lambda pct: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.col("total") * pct, F.col("rnk"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "total")
+        .agg(
+            need(50).alias("n_top_for_50pct"),
+            need(80).alias("n_top_for_80pct"),
+            need(95).alias("n_top_for_95pct"),
+        )
+        .select(
+            "n_users",
+            "n_top_for_50pct",
+            "n_top_for_80pct",
+            "n_top_for_95pct",
+            F.col("total").cast("long").alias("total_events"),
+        )
+    )
