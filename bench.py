@@ -85,6 +85,7 @@ EXTRA = [
     "events_seasonal_anomaly",
     "lineitem_price_percentiles_by_flag",
     "events_session_length_percentiles",
+    "events_user_volume_concentration",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
@@ -100,6 +101,17 @@ NOTES: list[str] = [
     "unchanged (EXPLAIN.md). Verdict: measurement noise, no action. "
     "Raw interleaved medians in 'ab_check', stamped with the file "
     "mtime of the run that produced them.",
+    "r7: q2_min_cost_supplier part-filter pushdown through the "
+    "aggregates (broadcast semi-join on the fact scan): interleaved "
+    "A/B 7 reps one session, median 1.499 -> 0.874 s, byte-identical "
+    "rows. docs_source_shingle_overlap's first bench read 64 s: "
+    "InferFiltersFromGenerate had pushed the inferred size/isnotnull "
+    "filter (inlining the whole gram expression) below the "
+    "spread_scan repartition, single-tasking the shingle work; "
+    "explode_outer + post-explode null filter (explode_grams) fixed "
+    "it to 1.1-1.9 s and cut shingles().count() 31.9 -> 4.7 s. The "
+    "r7 bench's docs_ngram_jaccard_pairs 1.30 s reading re-measured "
+    "at median 1.11 s over 7 reps in one session — noise, no action.",
     "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
     "instead of reusing the MinHash corpus index: banded LSH candidates "
     "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
