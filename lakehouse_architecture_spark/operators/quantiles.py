@@ -6,9 +6,11 @@ task; with a handful of groups over 100 TB that is 1/|groups| of the
 corpus through one sorter (the r5 plan-audit finding on the original
 p95 query). This operator is the scale-safe equivalent: collapse to
 (group, value) frequency counts first (a partial-aggregated shuffle,
-the same cost class as any groupBy), then rank only the DISTINCT-value
-relation, whose window partitions are bounded by distinct values per
-group, not rows.
+the same cost class as any groupBy), coarse-bucket values per group,
+and run the running-count windows partitioned by (group, bucket) —
+bounded by distinct values PER BUCKET, which holds even for
+near-unique value columns (prices, durations) where a distinct-value
+window alone would re-create the trap one level down.
 
 The selected member — the first value whose cumulative count reaches
 ``ceil(p · n)`` — is the discrete percentile (no interpolation, so
@@ -29,31 +31,72 @@ def grouped_exact_percentiles(
     group_cols: Sequence[str],
     value_col: str,
     percentiles: Sequence[int],
+    n_buckets: int = 1000,
 ) -> DataFrame:
     """(group_cols..., pct, n_rows, pct_value): the exact discrete
     percentile member of ``value_col`` per group, for each integer
     percent in ``percentiles``. All percentiles share ONE counts
     relation and one window pass — the percentile list broadcasts as a
     tiny crossJoined relation, so asking for p25/p50/p75/p95 costs the
-    same shuffles as asking for one."""
+    same shuffles as asking for one.
+
+    Scale shape: values collapse to (group, value) frequencies, then
+    coarse-bucket per group (bounds from one small aggregate), so the
+    running-count windows partition by (group, bucket) — bounded by
+    distinct-values-per-bucket even when the value column is
+    NEAR-UNIQUE (prices, durations), where the plain distinct-value
+    window would degenerate right back into the low-cardinality trap
+    one level down. Cross-bucket running totals ride a window over the
+    (group, bucket) aggregate (≤ n_buckets rows per group). Ascending
+    floor-bucketing is monotonic, so per-value cum reproduces the
+    naive global-per-group window exactly."""
     if not percentiles:
         raise ValueError("percentiles must be non-empty")
     if not all(1 <= p <= 100 for p in percentiles):
         raise ValueError(f"percentiles must be in [1, 100]: {percentiles}")
     gcols = list(group_cols)
     counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = (
+    bounds = counts.groupBy(*gcols).agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.sum("cnt").alias("n"),
+    )
+    span = F.col("__mx") - F.col("__mn")
+    bucket = F.when(
+        span > 0,
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(value_col) - F.col("__mn")) * n_buckets / span
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    b = counts.join(F.broadcast(bounds), gcols).withColumn("__bucket", bucket)
+    bs = b.groupBy(*gcols, "__bucket").agg(F.sum("cnt").alias("__bcnt"))
+    above = (
         Window.partitionBy(*gcols)
-        .orderBy(value_col)
+        .orderBy(F.asc("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bs2 = bs.select(
+        *gcols,
+        "__bucket",
+        F.coalesce(F.sum("__bcnt").over(above), F.lit(0)).alias("__cum_above"),
+    )
+    win = (
+        Window.partitionBy(*gcols, "__bucket")
+        .orderBy(F.asc(value_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wn = Window.partitionBy(*gcols)
-    ranked = counts.select(
+    # no broadcast hint: bs2 is |groups| x n_buckets rows — small for
+    # typical group counts (AQE will broadcast it), but a high-
+    # cardinality group column should shuffle-join it, not OOM the hint
+    ranked = b.join(bs2, [*gcols, "__bucket"]).select(
         *gcols,
         value_col,
         "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
+        "n",
+        (F.col("__cum_above") + F.sum("cnt").over(win)).alias("cum"),
     )
     pcts = df.sparkSession.createDataFrame(
         [(int(p),) for p in sorted(set(percentiles))], "pct int"
