@@ -112,6 +112,14 @@ NOTES: list[str] = [
     "it to 1.1-1.9 s and cut shingles().count() 31.9 -> 4.7 s. The "
     "r7 bench's docs_ngram_jaccard_pairs 1.30 s reading re-measured "
     "at median 1.11 s over 7 reps in one session — noise, no action.",
+    "r7: the bucketed grouped-percentile rewrite costs ~0.5-0.9 s "
+    "more than the distinct-value-window version at sf0.1 "
+    "(lineitem_price_percentiles_by_flag 1.44 -> ~2.3 s, p95 0.38 -> "
+    "~0.87 s): one extra (group, bucket) join + window. Deliberate "
+    "trade — the old plan's partitions were bounded by distinct "
+    "values per group, which for near-unique columns (prices) meant "
+    "~200k rows in ONE task and would not survive 100x; the overhead "
+    "is a constant plan cost, not data-proportional.",
     "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
     "instead of reusing the MinHash corpus index: banded LSH candidates "
     "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
