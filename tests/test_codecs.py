@@ -1005,11 +1005,12 @@ def test_decoders_survive_fuzzed_payloads():
         "jpeg": b"\xff\xd8\xff\xe0",
     }
     px = np.arange(96, dtype=np.uint8).reshape(8, 4, 3)
+    idx = (np.arange(24, dtype=np.uint8) % 4).reshape(6, 4)
     valid = {
         "png": codecs.encode_png(px),
-        "bmp": None,
-        "gif": None,
-        "jpeg": None,
+        "bmp": _bmp_bytes(px),
+        "gif": _gif_bytes(idx, bytes(range(12))),
+        "jpeg": None,  # assembled per-test via _jpeg_bytes; header fuzz covers it
     }
 
     def attempt(fmt, payload):
