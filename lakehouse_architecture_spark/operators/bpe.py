@@ -68,15 +68,17 @@ def train_bpe(
     text_col: str,
     num_merges: int,
     min_pair_count: int = 2,
+    freqs: DataFrame | None = None,
 ) -> list[dict]:
     """Learn up to ``num_merges`` BPE merge rules from ``text_col``.
 
     Returns a list of {rank, left, right, merged, pair_count} in merge
     order; stops early when no pair reaches ``min_pair_count``. Driver
-    traffic per iteration is exactly one row (the argmax pair).
-    """
+    traffic per iteration is exactly one row (the argmax pair). Pass a
+    precomputed :func:`word_frequencies` result as ``freqs`` to share
+    the corpus pass with other consumers (the QA query does)."""
     vocab = (
-        word_frequencies(df, text_col)
+        (freqs if freqs is not None else word_frequencies(df, text_col))
         .select("cnt", F.split("word", "").alias("syms"))
         .localCheckpoint(eager=True)
     )

@@ -728,10 +728,10 @@ def docs_bpe_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    wf = word_frequencies(docs, "text")
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=True)
     vocab_rows = wf.collect()
     vocab = {r.word: r.cnt for r in vocab_rows}
-    got = train_bpe(docs, "text", 10)
+    got = train_bpe(docs, "text", 10, freqs=wf)
     ref = train_bpe_reference(None, 10, vocab=vocab)
     return spark.createDataFrame(
         [
