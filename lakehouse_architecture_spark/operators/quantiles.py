@@ -55,7 +55,14 @@ def grouped_exact_percentiles(
     if not all(1 <= p <= 100 for p in percentiles):
         raise ValueError(f"percentiles must be in [1, 100]: {percentiles}")
     gcols = list(group_cols)
-    counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # null measurements have no place in an order statistic (and the
+    # engines disagree on where ORDER BY puts them); a null GROUP key
+    # is a legitimate group — joins below are null-safe for it
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     bounds = counts.groupBy(*gcols).agg(
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
@@ -71,7 +78,29 @@ def grouped_exact_percentiles(
             ).cast("long"),
         ),
     ).otherwise(F.lit(0))
-    b = counts.join(F.broadcast(bounds), gcols).withColumn("__bucket", bucket)
+    def nullsafe(left, right, cols):
+        cond = None
+        for c in cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
+    b = (
+        counts.alias("c")
+        .join(
+            F.broadcast(bounds).alias("bd"),
+            nullsafe(counts.alias("c"), bounds.alias("bd"), gcols)
+            if gcols
+            else F.lit(True),
+        )
+        .select(
+            *[F.col(f"c.{c}").alias(c) for c in [*gcols, value_col, "cnt"]],
+            "__mn",
+            "__mx",
+            "n",
+        )
+        .withColumn("__bucket", bucket)
+    )
     bs = b.groupBy(*gcols, "__bucket").agg(F.sum("cnt").alias("__bcnt"))
     above = (
         Window.partitionBy(*gcols)
@@ -91,7 +120,15 @@ def grouped_exact_percentiles(
     # no broadcast hint: bs2 is |groups| x n_buckets rows — small for
     # typical group counts (AQE will broadcast it), but a high-
     # cardinality group column should shuffle-join it, not OOM the hint
-    ranked = b.join(bs2, [*gcols, "__bucket"]).select(
+    joined = (
+        b.alias("b")
+        .join(
+            bs2.alias("s"),
+            nullsafe(b.alias("b"), bs2.alias("s"), [*gcols, "__bucket"]),
+        )
+        .select("b.*", "s.__cum_above")
+    )
+    ranked = joined.select(
         *gcols,
         value_col,
         "cnt",

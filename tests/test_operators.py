@@ -249,3 +249,22 @@ def test_gen_testdata_deterministic(tmp_path):
         ha = hashlib.md5(open(os.path.join(a, f), "rb").read()).hexdigest()
         hb = hashlib.md5(open(os.path.join(b, f), "rb").read()).hexdigest()
         assert ha == hb, f
+
+
+def test_grouped_percentiles_null_groups_and_values(spark):
+    """A NULL group key is a real group (null-safe joins); NULL
+    measurement values are excluded from the order statistic."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+        (None, 10.0), (None, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {
+        (r.grp, r.pct): (r.n_rows, r.pct_value)
+        for r in grouped_exact_percentiles(df, ["grp"], "value", [50]).collect()
+    }
+    assert got == {("a", 50): (3, 2.0), (None, 50): (2, 10.0)}
