@@ -180,6 +180,9 @@ def global_desc_rank_cumsum(
     raw-double value column would see the usual order-of-addition
     drift — cast through decimal first, like every compared aggregate
     in this engine."""
+    # null values cannot participate in a cumulative order statistic
+    # (and their bucket would be dropped by the equality join below)
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.agg(
         F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
     )
