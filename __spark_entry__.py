@@ -58,6 +58,7 @@ _PRIORITY = [
     "docs_bpe_merge_qa",
     "sql_recursive_cte_calendar",
     "events_user_volume_concentration",
+    "orders_monthly_growth",
     # r3-stale rotation (standing row four rounds old)
     "snapshot_diff_counts",
     "profile_orders_columns",

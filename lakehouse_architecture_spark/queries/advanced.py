@@ -380,3 +380,51 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total_revenue_cents"),
         )
     )
+
+
+@query(
+    "orders_monthly_growth",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, rev_cents,
+       LAG(rev_cents) OVER (ORDER BY month) AS prev_rev_cents,
+       ROUND(
+         (CAST(rev_cents AS DOUBLE) - LAG(rev_cents) OVER (ORDER BY month))
+           / LAG(rev_cents) OVER (ORDER BY month), 6) AS growth_rate
+FROM m
+""",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: LAG over the MONTHLY aggregate
+    — the growth-rate reporting shape. The global window is safe here
+    by construction: its input is the month relation (range-length
+    rows, data-volume independent), the one case where an
+    unpartitioned window is the right plan. Revenue in exact integer
+    cents; the growth ratio divides exact ints (identical IEEE result
+    on both engines) and rounds only in the projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "rev_cents",
+        prev.alias("prev_rev_cents"),
+        F.round(
+            (F.col("rev_cents").cast("double") - prev) / prev, 6
+        ).alias("growth_rate"),
+    )
