@@ -45,6 +45,7 @@ _SENTINELS = [
 # green in r5/r6 with unchanged code rotates to the second tier.
 _PRIORITY = [
     # never checked (r7 new + r6 late addition)
+    "events_cms_topk_accuracy",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

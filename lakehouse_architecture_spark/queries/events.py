@@ -1178,3 +1178,100 @@ def events_user_volume_concentration(
             F.col("total").cast("long").alias("total_events"),
         )
     )
+
+
+# --- count-min sketch heavy hitters ------------------------------------
+# Same QA doctrine as the HLL pair above: the sketch estimate itself is
+# engine-specific (xxhash64 buckets), so the compared surface is the
+# EXACT top-k (both engines can compute it) plus invariant booleans the
+# oracle asserts as literal TRUE — any estimator regression flips a
+# boolean and fails the driver hash.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+@query(
+    "events_cms_topk_accuracy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT user_id, exact_cnt,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_band,
+       TRUE AS merged_matches_global
+FROM c ORDER BY exact_cnt DESC, user_id LIMIT 10
+""",
+)
+def events_cms_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch QA on the top-10 heaviest users: builds the
+    global sketch AND per-day sketches (operators/cms.py), then emits
+    per heavy hitter
+
+      est_ge_exact          -- CMS one-sided guarantee (est >= true);
+      est_within_band       -- est <= true + ceil(e/width * N), the
+                               Cormode-Muthukrishnan error bound;
+      merged_matches_global -- per-day sketches summed cell-wise equal
+                               the global sketch (exact mergeability,
+                               the property that makes date-range
+                               frequency queries a sketch merge at
+                               100 TB, never a raw re-scan).
+
+    The top-10 selection is a distributed TakeOrdered (orderBy+limit on
+    the aggregated relation, total order via the user_id tie-break) —
+    no global window. The exact-count cost lives HERE in the QA query;
+    the production sketch path stays counter-only."""
+    import math
+
+    from lakehouse_architecture_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
+
+    sk = cms_counters(ev, "user_id", CMS_DEPTH, CMS_WIDTH)
+    est = cms_estimate(
+        sk, top.select("user_id"), "user_id", CMS_DEPTH, CMS_WIDTH
+    ).withColumnRenamed("user_id", "est_user")
+
+    daily = cms_counters(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        "user_id",
+        CMS_DEPTH,
+        CMS_WIDTH,
+        group_cols=("day",),
+    )
+    merged = daily.groupBy("__cms_d", "__cms_bucket").agg(
+        F.sum("cnt").alias("mcnt")
+    )
+    merge_ok = (
+        merged.join(sk, ["__cms_d", "__cms_bucket"], "full_outer")
+        .agg(
+            F.min(
+                F.coalesce("mcnt", F.lit(-1)) == F.coalesce("cnt", F.lit(-2))
+            ).alias("merged_matches_global")
+        )
+    )
+    n_tot = ev.agg(F.count(F.lit(1)).alias("__n"))
+    band = F.ceil(F.lit(math.e / CMS_WIDTH) * F.col("__n"))
+    return (
+        top.join(est, top.user_id == est.est_user)
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(merge_ok))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (F.col("est_cnt") <= F.col("exact_cnt") + band).alias(
+                "est_within_band"
+            ),
+            "merged_matches_global",
+        )
+    )

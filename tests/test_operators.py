@@ -268,3 +268,67 @@ def test_grouped_percentiles_null_groups_and_values(spark):
         for r in grouped_exact_percentiles(df, ["grp"], "value", [50]).collect()
     }
     assert got == {("a", 50): (3, 2.0), (None, 50): (2, 10.0)}
+
+
+# --- count-min sketch ---------------------------------------------------
+
+
+def test_cms_estimate_ge_exact_and_tiny_width_collisions(spark):
+    from lakehouse_architecture_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + [None]],
+        "k string",
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    # width 1: every key shares the single cell per hash row, so every
+    # estimate is the total non-null count — the worst-case upper bound
+    sk1 = cms_counters(df, "k", depth=2, width=1)
+    est1 = {
+        r.k: r.est_cnt
+        for r in cms_estimate(sk1, keys, "k", depth=2, width=1).collect()
+    }
+    assert est1 == {"a": 10, "b": 10, "c": 10}
+    # generous width: overwhelmingly likely collision-free at 3 keys,
+    # but the guaranteed property is one-sided: est >= exact
+    sk = cms_counters(df, "k", depth=4, width=4096)
+    est = {
+        r.k: r.est_cnt
+        for r in cms_estimate(sk, keys, "k", depth=4, width=4096).collect()
+    }
+    exact = {"a": 5, "b": 3, "c": 2}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(r.cnt for r in sk.filter("__cms_d = 0").collect()) == 10
+
+
+def test_cms_counters_merge_equals_global(spark):
+    from lakehouse_architecture_spark.operators.cms import cms_counters
+
+    df = spark.createDataFrame(
+        [(g, k) for g in ("x", "y") for k in ["a", "a", "b", "c"]],
+        "g string, k string",
+    )
+    grouped = cms_counters(df, "k", depth=3, width=64, group_cols=("g",))
+    merged = grouped.groupBy("__cms_d", "__cms_bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = cms_counters(df, "k", depth=3, width=64)
+    diff = merged.join(
+        direct, ["__cms_d", "__cms_bucket"], "full_outer"
+    ).filter(
+        ~merged.cnt.eqNullSafe(direct.cnt)
+    )
+    assert diff.count() == 0
+
+
+def test_cms_validates_params(spark):
+    from lakehouse_architecture_spark.operators.cms import cms_counters
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(df, "k", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_counters(df, "k", width=0)
