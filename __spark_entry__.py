@@ -46,6 +46,7 @@ _SENTINELS = [
 _PRIORITY = [
     # never checked (r7 new + r6 late addition)
     "events_cms_topk_accuracy",
+    "sql_bucketed_colocated_join",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

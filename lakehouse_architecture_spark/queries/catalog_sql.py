@@ -174,3 +174,73 @@ def sql_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so the plan is driver-bounded iteration exactly like the
     engine's other fixpoint operators (components, PCA, BPE)."""
     return sql(spark, RCTE_SPARK_SQL, sf_dir=sf_dir)
+
+
+# Bucketed co-located join: the pre-shuffled layout save_as_table's
+# bucket_by documents. Both tables are bucketed (and sorted) on the
+# join key with the same bucket count, so the custkey equi-join reads
+# co-located buckets and Catalyst plans it WITHOUT an Exchange on
+# either side (tests/test_plans.py asserts this against a non-bucketed
+# control). At 100 TB this turns a recurring fact-dim-fact join from an
+# every-query shuffle of the big table into a per-bucket local merge —
+# the batch analogue of the reference's partitioned curated zone
+# (/root/reference/src/glue_etl.py:300-320), one axis finer.
+BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+N_BUCKETS = 8
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize orders + customer as catalog tables bucketed on the
+    custkey join key (eager, sf-tagged like sql_catalog_roundtrip) and
+    return the two table handles. repartition(n, key) before the write
+    aligns tasks with buckets (same Murmur3 hash), so each bucket is a
+    single file and the sortBy order survives for merge reads."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{tbl}_{tag}"
+        save_as_table(
+            load_table(spark, sf_dir, tbl).repartition(N_BUCKETS, key),
+            name,
+            path=f"/tmp/lakehouse_catalog/bkt_{tbl}_{tag}",
+            bucket_by=(N_BUCKETS, [key]),
+        )
+        names[tbl] = name
+    return spark.table(names["orders"]), spark.table(names["customer"])
+
+
+@query("sql_bucketed_colocated_join", oracle=BUCKETED_JOIN_ORACLE)
+def sql_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue per market segment answered from the BUCKETED
+    tables: under sort-merge the join is shuffle-free on BOTH sides
+    (pre-hashed on custkey at write time; tests/test_plans.py asserts
+    no Exchange), leaving the segment rollup as the plan's only
+    shuffle. At demo scale the planner may instead broadcast the small
+    dimension — equally shuffle-free for the fact side. Results are
+    identical to the plain parquet join; the oracle computes exactly
+    that."""
+    from lakehouse_architecture_spark.functions.numeric import dsum
+
+    orders, customer = bucketed_pair(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

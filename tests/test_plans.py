@@ -402,3 +402,36 @@ def test_session_percentiles_window_over_session_aggregate(spark, sf_dir):
         win_ids,
         agg_ids,
     )
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key => the custkey sort-merge
+    join plans WITHOUT any shuffle Exchange (the point of the bucketed
+    layout); the plain parquet control of the SAME join re-hashes both
+    sides. The merge hint pins the join strategy — at demo scale the
+    planner would otherwise broadcast the dimension, which hides the
+    layout property under test."""
+    from lakehouse_architecture_spark.queries.catalog_sql import (
+        bucketed_pair,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    orders, customer = bucketed_pair(spark, sf_dir)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    join = orders.hint("merge").join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    plan = join._jdf.queryExecution().explainString(simple)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in join._jdf.queryExecution().explainString(fmt)
+
+    po = load_table(spark, sf_dir, "orders")
+    pc = load_table(spark, sf_dir, "customer")
+    control = po.hint("merge").join(pc, po.o_custkey == pc.c_custkey)
+    cplan = control._jdf.queryExecution().explainString(simple)
+    assert "Exchange hashpartitioning" in cplan
