@@ -47,6 +47,7 @@ _PRIORITY = [
     # never checked (r7 new + r6 late addition)
     "events_cms_topk_accuracy",
     "sql_bucketed_colocated_join",
+    "docs_bpe_encode_stats",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

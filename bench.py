@@ -86,6 +86,12 @@ EXTRA = [
     "lineitem_price_percentiles_by_flag",
     "events_session_length_percentiles",
     "events_user_volume_concentration",
+    # round-7b additions. docs_bpe_encode_stats is deliberately NOT
+    # benched: its wall is dominated by the 10 driver-bounded training
+    # iterations (the same reason docs_bpe_merge_qa isn't benched), so
+    # it would time the fixpoint loop, not a data-sized plan.
+    "events_cms_topk_accuracy",
+    "sql_bucketed_colocated_join",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -747,3 +747,106 @@ def docs_bpe_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_word_occurrences long, vocab_symbols long, "
         "merges_match_reference boolean",
     )
+
+
+@query(
+    "docs_bpe_encode_stats",
+    oracle=r"""
+WITH w AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars,
+       TRUE AS tokens_within_bounds,
+       TRUE AS sample_matches_reference
+FROM w GROUP BY source ORDER BY source
+""",
+)
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer (operators/bpe.py apply_bpe —
+    a native per-word merge fold, no shuffle, no Python in the hot
+    path): learn 10 merges, tokenize every document, and roll up the
+    per-source token economics a training-data budget reads. The
+    compared surface is the exact word/char spine both engines compute
+    plus two QA booleans evaluated Spark-side:
+
+      tokens_within_bounds     -- every document's subword count lies
+                                  in [word count, non-space char
+                                  count] (merges only ever shrink the
+                                  char split, never below one token
+                                  per word);
+      sample_matches_reference -- the 5 lowest-doc_id documents encode
+                                  identically under the pure-Python
+                                  greedy reference.
+
+    The oracle asserts both as literal TRUE — a regression in the fold
+    (overlap handling, merge order) flips a boolean and fails the
+    driver hash."""
+    from lakehouse_architecture_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=True)
+    merges = train_bpe(docs, "text", 10, freqs=wf)
+
+    toks = apply_bpe(docs, "text", merges)
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    per = docs.select(
+        "source",
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", "text", toks.alias("toks"))
+        .collect()
+    )
+
+    def encode_reference(text: str) -> list[str]:
+        out: list[str] = []
+        for w in text.split():
+            syms = list(w)
+            for m in merges:
+                a, b = m["left"], m["right"]
+                new: list[str] = []
+                for s in syms:
+                    if new and new[-1] == a and s == b:
+                        new[-1] = a + b
+                    else:
+                        new.append(s)
+                syms = new
+            out.extend(syms)
+        return out
+
+    sample_ok = all(list(r.toks) == encode_reference(r.text) for r in sample)
+
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min(
+                (F.col("n_tokens") >= F.col("n_words"))
+                & (F.col("n_tokens") <= F.col("n_chars"))
+            ).alias("tokens_within_bounds"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "tokens_within_bounds",
+            F.lit(bool(sample_ok)).alias("sample_matches_reference"),
+        )
+        .orderBy("source")
+    )
