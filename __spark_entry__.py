@@ -48,6 +48,7 @@ _PRIORITY = [
     "events_cms_topk_accuracy",
     "sql_bucketed_colocated_join",
     "docs_bpe_encode_stats",
+    "docs_weighted_sample_topk",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

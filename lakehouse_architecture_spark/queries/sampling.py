@@ -180,3 +180,50 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis): each row
+# draws a deterministic uniform u from its md5 id-hash and competes with
+# key = -ln(u) / weight; the k smallest keys ARE a weighted sample
+# without replacement. Same never-moves property as the hash splits —
+# the draw is a pure function of doc_id — and the same scale shape: the
+# key is computed in the scan projection and selection is a distributed
+# TakeOrdered (orderBy+limit), no shuffle of the corpus, no global sort.
+WEIGHTED_SAMPLE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         GREATEST(LENGTH(text), 1) AS weight,
+         -LN((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 1) / 4294967297.0)
+           / GREATEST(LENGTH(text), 1) AS k
+  FROM documents
+)
+SELECT doc_id, weight FROM s ORDER BY k, doc_id LIMIT 25
+"""
+
+
+@query("docs_weighted_sample_topk", oracle=WEIGHTED_SAMPLE_ORACLE)
+def docs_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 documents drawn length-weighted without replacement — the
+    deterministic mixture-building primitive (upsample long documents,
+    or swap in any quality/domain weight column): selection probability
+    is proportional to weight, yet the draw never moves across re-runs
+    or engines because u comes from md5(doc_id), not a RNG. The
+    compared surface is integer-only (doc_id, weight); the ln/division
+    float key only ORDERS rows, and distinct ids give distinct md5
+    draws, so the cross-engine boundary is never within float error."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967297.0)
+    weight = F.greatest(F.length("text"), F.lit(1))
+    key = -F.ln(u) / weight
+    return (
+        docs.select("doc_id", weight.alias("weight"), key.alias("k"))
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(25)
+        .select("doc_id", "weight")
+    )
