@@ -95,3 +95,18 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt")
     )
+
+
+def load_cms_counters(spark, path: str) -> DataFrame:
+    """Re-aggregate a PERSISTED sketch directory into current counters.
+
+    The streaming ingest (streaming/jobs.stream_cms_ingest) appends each
+    micro-batch's cells as PARTIAL counts — correct because sketch merge
+    is plain cell summation — so reading the sketch is a groupBy-sum
+    over at most (batches x depth x width) tiny rows. Offline
+    compaction, when wanted, is just writing this result back out."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("__cms_d", "__cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -559,3 +559,86 @@ def stream_image_dhash_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def cms_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    sketch_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> None:
+    """One exactly-once micro-batch of :func:`stream_cms_ingest`: sketch
+    the batch's keys and append the cells as PARTIAL counts (sketch
+    merge is cell summation, so partial cells are correct the same way
+    the near-dup index's ``shingle_dfs`` partials are). Same
+    stage-seal-publish-commit protocol as ``near_dup_handle_batch`` —
+    an appended-twice batch would silently double every frequency
+    estimate, so replay safety is load-bearing here too."""
+    from lakehouse_architecture_spark.operators.cms import cms_counters
+
+    commit_dir = os.path.join(checkpoint_dir, "cms_commits")
+    committed = os.path.join(commit_dir, f"batch-{batch_id}")
+    staging = os.path.join(checkpoint_dir, "cms_staging", str(batch_id))
+    if os.path.exists(committed):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    sealed = os.path.join(staging, "_STAGED")
+
+    if not os.path.exists(sealed):
+        if batch_df.isEmpty():
+            os.makedirs(commit_dir, exist_ok=True)
+            open(committed, "w").close()
+            return
+        cms_counters(batch_df, key_col, depth, width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "cells"))
+        open(sealed, "w").close()
+
+    _publish_staged(os.path.join(staging, "cells"), sketch_path, batch_id)
+    os.makedirs(commit_dir, exist_ok=True)
+    open(committed, "w").close()
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_cms_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sketch_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 2048,
+):
+    """Continuous frequency sketching: every micro-batch folds into a
+    persisted count-min sketch, so at any moment
+    ``operators/cms.load_cms_counters`` answers "how often has this key
+    been seen so far" without any corpus-scale state — the sketch is
+    (depth x width) cells no matter how much history has streamed
+    through. The streaming twin of the batch mergeability property
+    ``events_cms_topk_accuracy`` pins."""
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            sketch_path=sketch_path,
+            checkpoint_dir=checkpoint_dir,
+            key_col=key_col,
+            depth=depth,
+            width=width,
+        )
+
+    stream = (
+        spark.readStream.format("json").schema(schema).load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

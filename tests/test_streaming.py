@@ -468,3 +468,70 @@ def test_stream_image_dhash_ingest(spark, tmp_path):
     idx = spark.read.parquet(paths["index_path"])
     # null-hash image 12 is curated but not indexed
     assert sorted(r.media_id for r in idx.collect()) == [1, 2, 11]
+
+
+def test_stream_cms_ingest_merges_to_batch_sketch(spark, tmp_path):
+    """Streamed partial cells re-aggregate to EXACTLY the sketch a
+    single batch build produces over the same rows, and a replayed
+    batch (fresh checkpoint, same source) never double-counts thanks
+    to the commit markers."""
+    import json
+
+    from lakehouse_architecture_spark.operators.cms import (
+        cms_counters,
+        load_cms_counters,
+    )
+    from lakehouse_architecture_spark.streaming.jobs import (
+        cms_handle_batch,
+        stream_cms_ingest,
+    )
+
+    src = tmp_path / "events_incoming"
+    src.mkdir()
+    sketch = str(tmp_path / "cms_sketch")
+    ckpt = str(tmp_path / "ckpt_cms")
+
+    rows1 = [{"user_id": u} for u in [1, 1, 2, 3]]
+    rows2 = [{"user_id": u} for u in [1, 4, 4, 5]]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    def run():
+        q = stream_cms_ingest(
+            spark, str(src), "user_id long", sketch, ckpt,
+            key_col="user_id", depth=3, width=32,
+        ).start()
+        q.awaitTermination(60)
+
+    run()
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    run()
+
+    all_rows = spark.createDataFrame(
+        [(r["user_id"],) for r in rows1 + rows2], "user_id long"
+    )
+    expect = {
+        (r["__cms_d"], r["__cms_bucket"]): r["cnt"]
+        for r in cms_counters(all_rows, "user_id", 3, 32).collect()
+    }
+    got = {
+        (r["__cms_d"], r["__cms_bucket"]): r["cnt"]
+        for r in load_cms_counters(spark, sketch).collect()
+    }
+    assert got == expect
+
+    # replaying batch 0 against the same checkpoint is a no-op
+    cms_handle_batch(
+        spark,
+        spark.createDataFrame([(9,)], "user_id long"),
+        0,
+        sketch_path=sketch,
+        checkpoint_dir=ckpt,
+        key_col="user_id",
+        depth=3,
+        width=32,
+    )
+    again = {
+        (r["__cms_d"], r["__cms_bucket"]): r["cnt"]
+        for r in load_cms_counters(spark, sketch).collect()
+    }
+    assert again == expect
