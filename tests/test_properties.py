@@ -325,3 +325,84 @@ def test_grouped_exact_percentiles_matches_sort(spark, rows, pcts):
             k = math.ceil(p * len(vals) / 100.0)
             expect[(g, p)] = (len(vals), vals[k - 1])
     assert got == expect
+
+
+_cms_keys = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=20
+)
+
+
+@_settings
+@given(_cms_keys, st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=16))
+def test_cms_estimate_upper_bounds_exact_counts(spark, keys, depth, width):
+    """For ANY multiset, depth and width: est(k) >= true(k) for every
+    key, and the global cell mass per hash row equals the row count."""
+    from collections import Counter
+
+    from lakehouse_architecture_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    uniq = spark.createDataFrame(
+        [(k,) for k in set(keys)], "k long"
+    )
+    sk = cms_counters(df, "k", depth=depth, width=width)
+    est = {
+        r.k: r.est_cnt
+        for r in cms_estimate(sk, uniq, "k", depth=depth, width=width).collect()
+    }
+    exact = Counter(keys)
+    assert all(est[k] >= exact[k] for k in exact)
+    mass = {
+        r["__cms_d"]: r["m"]
+        for r in sk.groupBy("__cms_d").agg(F.sum("cnt").alias("m")).collect()
+    }
+    assert mass == {d: len(keys) for d in range(depth)}
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_weighted_sample_matches_reference_selection(spark, rows, k):
+    """The Spark Efraimidis-Spirakis top-k equals the same formula
+    evaluated in plain Python over (id, weight) pairs — selection is a
+    pure function of the ids and weights."""
+    import math
+
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    u_col = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = -F.ln(u_col) / F.col("weight")
+    got = [
+        r.doc_id
+        for r in df.select("doc_id", key.alias("k"))
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    ]
+
+    def py_key(doc_id: int, w: int) -> float:
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
+        return -math.log(u) / w
+
+    expect = [
+        d for d, _w in sorted(rows, key=lambda t: (py_key(*t), t[0]))
+    ][:k]
+    assert got == expect
