@@ -49,6 +49,7 @@ _PRIORITY = [
     "sql_bucketed_colocated_join",
     "docs_bpe_encode_stats",
     "docs_weighted_sample_topk",
+    "parts_coorder_pagerank",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

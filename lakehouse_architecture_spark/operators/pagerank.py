@@ -1,0 +1,124 @@
+"""Distributed PageRank over an edge relation — graph centrality for
+the co-occurrence graphs a curation pipeline mines (products bought
+together, documents linked by near-dup bands, entities co-mentioned).
+
+Reference parity note: the reference engine has no graph operators;
+this extends the §2.11 LLM-pipeline surface (SURVEY.md) beyond the
+connected-components election (operators/components.py) to importance
+ranking on the same edge-relation representation.
+
+Per iteration (classic damped PageRank, Brin & Page 1998):
+
+    pr_{t+1}(v) = (1-d) + d * [ Σ_{(u,v) in E} pr_t(u)/deg(u)
+                                + dangling_mass_t / n ]
+
+expressed as ONE edge-keyed join + ONE dst-keyed aggregate — the same
+two-shuffle cost class as any relational iteration; the dangling mass
+(rank parked on nodes with no out-edges) is a 1-row aggregate
+broadcast back, never a per-node collect. Ranks localCheckpoint each
+round (the components/PCA/BPE lineage discipline), so plan depth stays
+flat across iterations. With sum(pr_0) = n the update conserves total
+mass at n exactly (modulo float addition), which the QA query pins as
+an oracle boolean alongside the convergence residual.
+
+At 100 TB each iteration shuffles |E| contribution rows with map-side
+partial aggregation on dst; iteration count is the convergence budget
+(10-20 dominates for web-like spectra), independent of corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> dict:
+    """Rank nodes of the directed graph ``edges`` (for an undirected
+    co-occurrence graph, pass both orientations of each pair).
+
+    Returns ``{"ranks": DataFrame(node, pr), "n_nodes": int,
+    "delta_max": float}`` — ``delta_max`` is the largest per-node
+    change of the final iteration, the convergence certificate a
+    caller turns into a loud check (QA queries pin it as a boolean).
+    Self-loops and duplicate edges are the caller's policy; this
+    operator takes the edge relation as given.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1): {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree rides with the rank relation so the per-iteration join
+    # is rank->edges only (nodes without out-edges carry deg 0 and
+    # contribute via the dangling term instead)
+    state = (
+        nodes.join(deg, nodes.node == deg.src, "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .withColumn("pr", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    delta_max = float("nan")
+    for _ in range(iters):
+        dangling = (
+            state.filter(F.col("deg") == 0)
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        )
+        contrib = (
+            e.join(
+                # deg > 0 before the division: ANSI mode makes /0 an
+                # error, and dangling nodes contribute via the
+                # teleport term, not the edge join
+                state.filter(F.col("deg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("pr") / F.col("deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new = (
+            state.join(contrib, state.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+                F.col("pr").alias("pr_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta_max = float(
+            new.agg(
+                F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
+            ).collect()[0].d
+        )
+        state = new.drop("pr_prev")
+    return {
+        "ranks": state.select("node", "pr"),
+        "n_nodes": n,
+        "delta_max": delta_max,
+    }

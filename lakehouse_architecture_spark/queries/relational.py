@@ -1310,3 +1310,87 @@ def lineitem_price_percentiles_by_flag(
     return grouped_exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [25, 50, 75, 95]
     )
+
+
+@query(
+    "parts_coorder_pagerank",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT MAX(d) FROM deg) AS max_out_degree,
+       12 AS n_iters,
+       TRUE AS mass_conserved,
+       TRUE AS converged
+""",
+)
+def parts_coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the part co-order graph (parts are linked
+    when one order contains both — the products-bought-together graph
+    recommendation and curation pipelines mine). The edge build is one
+    orderkey self-join (both orientations, distinct); the iteration is
+    operators/pagerank.py. An iterative fixpoint has no SQL twin, so
+    the oracle is invariant-style (the emb_top_pc_power_iteration
+    pattern): DuckDB recomputes the exact graph spine — node count,
+    directed edge count, max out-degree — and the two certificates are
+    genuinely evaluated Spark-side:
+
+      mass_conserved -- sum(pr) = n within 1e-6 relative (the damped
+                        update with dangling redistribution is
+                        measure-preserving from pr_0 = 1);
+      converged      -- the final iteration moved no node by more than
+                        1e-3 (12 rounds dominate on this graph's
+                        spectrum; a broken update or a degenerate
+                        spectrum flips the boolean).
+    """
+    from lakehouse_architecture_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    max_deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]
+        .m
+    )
+    r = pagerank(edges, iters=12)
+    total = r["ranks"].agg(F.sum("pr").alias("s")).collect()[0].s
+    mass_ok = bool(abs(total - r["n_nodes"]) <= 1e-6 * r["n_nodes"])
+    conv_ok = bool(
+        r["delta_max"] == r["delta_max"] and r["delta_max"] <= 1e-3
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["n_nodes"],
+                n_edges,
+                max_deg,
+                12,
+                mass_ok,
+                conv_ok,
+            )
+        ],
+        "n_nodes long, n_edges long, max_out_degree long, n_iters int, "
+        "mass_conserved boolean, converged boolean",
+    )

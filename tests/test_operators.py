@@ -332,3 +332,48 @@ def test_cms_validates_params(spark):
         cms_counters(df, "k", depth=0)
     with pytest.raises(ValueError, match="width"):
         cms_counters(df, "k", width=0)
+
+
+# --- pagerank -----------------------------------------------------------
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    from lakehouse_architecture_spark.operators.pagerank import pagerank
+
+    # a small directed graph with a dangling node (4) and a hub (1)
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 2), (2, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = pagerank(df, iters=12)
+    got = {row.node: row.pr for row in r["ranks"].collect()}
+
+    d = 0.85
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for u, _v in edges:
+        out[u] += 1
+    pr = {v: 1.0 for v in nodes}
+    for _ in range(12):
+        dang = sum(pr[v] for v in nodes if out[v] == 0)
+        inflow = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] / out[u]
+        pr = {v: (1 - d) + d * (inflow[v] + dang / n) for v in nodes}
+
+    assert r["n_nodes"] == n
+    assert set(got) == set(pr)
+    assert all(abs(got[v] - pr[v]) < 1e-9 for v in pr)
+    # total mass conserved at n (teleport + dangling redistribution)
+    assert abs(sum(got.values()) - n) < 1e-9
+    # the hub out-ranks the dangling leaf
+    assert got[1] > got[4]
+
+
+def test_pagerank_validates_params(spark):
+    from lakehouse_architecture_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
