@@ -50,6 +50,7 @@ _PRIORITY = [
     "docs_bpe_encode_stats",
     "docs_weighted_sample_topk",
     "parts_coorder_pagerank",
+    "docs_quality_classifier_qa",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

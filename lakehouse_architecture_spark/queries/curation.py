@@ -586,3 +586,75 @@ def docs_dup_cluster_size_histogram(
             .alias("n_docs"),
         )
     )
+
+
+@query(
+    "docs_quality_classifier_qa",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars > 290 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       40 AS n_iters,
+       TRUE AS loss_improved,
+       TRUE AS beats_majority
+FROM documents
+""",
+)
+def docs_quality_classifier_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned curation filter (operators/logreg.py): logistic
+    regression trained on-cluster — the fastText-classifier role in
+    CCNet/RefinedWeb-style pipelines, every corpus-sized step a single
+    Spark aggregate (matrix-free, like the PCA probe).
+
+    Target choice is deliberate: the synthetic corpus's ``lang`` label
+    is RANDOM with respect to the text (measured — every language's
+    marker statistics are identical), so no classifier can learn it;
+    this QA instead trains against a separable held-out rule
+    (``n_chars > 290``) with the signal reachable only through
+    correlated features (log length, word count) next to two noise
+    features (marker density, CJK count). What the certificates pin is
+    the OPTIMIZER, end to end:
+
+      loss_improved  -- final mean log-loss <= 0.9 * ln 2 (the w = 0
+                        starting loss; a frozen or diverged fit fails);
+      beats_majority -- training accuracy strictly above the majority-
+                        class share (the fit must actually find the
+                        rule, not predict the biggest class).
+
+    An iterative fit has no SQL twin, so the oracle is invariant-style:
+    DuckDB recomputes the exact label spine (corpus size, positive
+    count, iteration budget) and asserts the booleans as literal TRUE.
+    """
+    from lakehouse_architecture_spark.operators.logreg import train_logistic
+    from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+    en_hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_LANG_MARKERS["en"]), 0)
+    )
+    zh_hits = F.size(
+        F.regexp_extract_all(text, F.lit(_LANG_MARKERS["zh"]), 0)
+    )
+    feats = docs.select(
+        (F.col("n_chars") > 290).cast("int").alias("y"),
+        F.log1p(F.col("n_chars")).alias("f_log_len"),
+        n_words.cast("double").alias("f_n_words"),
+        (en_hits.cast("double") / (n_words + F.lit(1))).alias("f_en_density"),
+        zh_hits.cast("double").alias("f_zh_chars"),
+    )
+    r = train_logistic(
+        feats,
+        ["f_log_len", "f_n_words", "f_en_density", "f_zh_chars"],
+        "y",
+        lr=2.0,
+        iters=40,
+    )
+    loss_ok = bool(r["final_loss"] <= 0.9 * r["initial_loss"])
+    acc_ok = bool(r["accuracy"] > r["majority_share"])
+    return spark.createDataFrame(
+        [(r["n"], r["n_pos"], 40, loss_ok, acc_ok)],
+        "n_docs long, n_pos long, n_iters int, loss_improved boolean, "
+        "beats_majority boolean",
+    )

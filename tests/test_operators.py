@@ -377,3 +377,33 @@ def test_pagerank_validates_params(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="iters"):
         pagerank(df, iters=0)
+
+
+# --- logistic regression ------------------------------------------------
+
+
+def test_train_logistic_separable(spark):
+    from lakehouse_architecture_spark.operators.logreg import train_logistic
+
+    rows = [(float(i), 1.0, 1) for i in range(5, 15)] + [
+        (float(-i), 1.0, 0) for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y int")
+    r = train_logistic(df, ["f1", "f2"], "y", lr=1.0, iters=40)
+    assert r["n"] == 20 and r["n_pos"] == 10
+    assert r["accuracy"] == 1.0
+    assert r["final_loss"] < r["initial_loss"]
+    assert r["final_loss"] < 0.2
+    # f2 is constant: standardized to zero, weight must stay ~0 (no NaN)
+    assert abs(r["weights"][1]) < 1e-12
+    assert all(w == w for w in r["weights"])  # no NaN anywhere
+
+
+def test_train_logistic_validates_params(spark):
+    from lakehouse_architecture_spark.operators.logreg import train_logistic
+
+    df = spark.createDataFrame([(1.0, 1)], "f double, y int")
+    with pytest.raises(ValueError, match="feature_cols"):
+        train_logistic(df, [], "y")
+    with pytest.raises(ValueError, match="iters"):
+        train_logistic(df, ["f"], "y", iters=0)
