@@ -125,3 +125,26 @@ def train_logistic(
         "accuracy": acc,
         "majority_share": max(n_pos, n - n_pos) / n,
     }
+
+
+def score_logistic(
+    df: DataFrame, feature_cols: list[str], model: dict
+) -> DataFrame:
+    """``df`` + a ``p_keep`` probability column from a fitted model —
+    the APPLY side of the learned filter: callers threshold it
+    (``.filter("p_keep >= 0.8")``) or keep it as a sampling weight for
+    the weighted sampler. Pure narrow projection (the standardization
+    constants and weights fold into one expression), so scoring 100 TB
+    is exactly one scan with no shuffle."""
+    if len(feature_cols) != len(model["weights"]):
+        raise ValueError(
+            f"{len(feature_cols)} features vs "
+            f"{len(model['weights'])} model weights"
+        )
+    z = F.lit(float(model["bias"]))
+    for j, c in enumerate(feature_cols):
+        standardized = (F.col(c) - F.lit(model["means"][j])) / F.lit(
+            model["stds"][j]
+        )
+        z = z + F.lit(model["weights"][j]) * standardized
+    return df.withColumn("p_keep", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

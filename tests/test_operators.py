@@ -407,3 +407,21 @@ def test_train_logistic_validates_params(spark):
         train_logistic(df, [], "y")
     with pytest.raises(ValueError, match="iters"):
         train_logistic(df, ["f"], "y", iters=0)
+
+
+def test_score_logistic_applies_trained_model(spark):
+    from lakehouse_architecture_spark.operators.logreg import (
+        score_logistic,
+        train_logistic,
+    )
+
+    rows = [(float(i), 1) for i in range(5, 15)] + [
+        (float(-i), 0) for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "f double, y int")
+    model = train_logistic(df, ["f"], "y", iters=40)
+    scored = score_logistic(df, ["f"], model).collect()
+    assert all((r.p_keep > 0.5) == (r.y == 1) for r in scored)
+    assert all(0.0 <= r.p_keep <= 1.0 for r in scored)
+    with pytest.raises(ValueError, match="features vs"):
+        score_logistic(df, ["f", "f"], model)
