@@ -51,6 +51,8 @@ _PRIORITY = [
     "docs_weighted_sample_topk",
     "parts_coorder_pagerank",
     "docs_quality_classifier_qa",
+    "docs_learned_filter_apply",
+    "emb_semantic_dedup",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

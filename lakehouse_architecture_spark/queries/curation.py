@@ -588,6 +588,32 @@ def docs_dup_cluster_size_histogram(
     )
 
 
+def _classifier_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Shared feature spine of the learned quality filter: label
+    (the separable held-out rule ``n_chars > 290``), two correlated
+    signal features (log length, word count) and two noise features
+    (English-marker density, CJK char count). One narrow projection —
+    at 100 TB this is a single scan, no shuffle."""
+    from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
+
+    text = F.col("text")
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+    en_hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_LANG_MARKERS["en"]), 0)
+    )
+    zh_hits = F.size(
+        F.regexp_extract_all(text, F.lit(_LANG_MARKERS["zh"]), 0)
+    )
+    feats = docs.select(
+        (F.col("n_chars") > 290).cast("int").alias("y"),
+        F.log1p(F.col("n_chars")).alias("f_log_len"),
+        n_words.cast("double").alias("f_n_words"),
+        (en_hits.cast("double") / (n_words + F.lit(1))).alias("f_en_density"),
+        zh_hits.cast("double").alias("f_zh_chars"),
+    )
+    return feats, ["f_log_len", "f_n_words", "f_en_density", "f_zh_chars"]
+
+
 @query(
     "docs_quality_classifier_qa",
     oracle="""
@@ -626,35 +652,81 @@ def docs_quality_classifier_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, iteration budget) and asserts the booleans as literal TRUE.
     """
     from lakehouse_architecture_spark.operators.logreg import train_logistic
-    from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
 
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_words = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
-    en_hits = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(_LANG_MARKERS["en"]), 0)
-    )
-    zh_hits = F.size(
-        F.regexp_extract_all(text, F.lit(_LANG_MARKERS["zh"]), 0)
-    )
-    feats = docs.select(
-        (F.col("n_chars") > 290).cast("int").alias("y"),
-        F.log1p(F.col("n_chars")).alias("f_log_len"),
-        n_words.cast("double").alias("f_n_words"),
-        (en_hits.cast("double") / (n_words + F.lit(1))).alias("f_en_density"),
-        zh_hits.cast("double").alias("f_zh_chars"),
-    )
-    r = train_logistic(
-        feats,
-        ["f_log_len", "f_n_words", "f_en_density", "f_zh_chars"],
-        "y",
-        lr=2.0,
-        iters=40,
-    )
+    feats, cols = _classifier_features(docs)
+    r = train_logistic(feats, cols, "y", lr=2.0, iters=40)
     loss_ok = bool(r["final_loss"] <= 0.9 * r["initial_loss"])
     acc_ok = bool(r["accuracy"] > r["majority_share"])
     return spark.createDataFrame(
         [(r["n"], r["n_pos"], 40, loss_ok, acc_ok)],
         "n_docs long, n_pos long, n_iters int, loss_improved boolean, "
         "beats_majority boolean",
+    )
+
+
+@query(
+    "docs_learned_filter_apply",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars > 290 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_pos,
+       TRUE AS probs_in_range,
+       TRUE AS separates_classes,
+       TRUE AS agrees_above_majority
+FROM documents
+""",
+)
+def docs_learned_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the learned curation filter: train on the
+    corpus (docs_quality_classifier_qa's spine), then SCORE every
+    document with operators/logreg.score_logistic — the model folds
+    into one narrow projection, so the 100 TB filtering pass is a
+    single scan with no shuffle (the CCNet/RefinedWeb deployment
+    shape: classify once, thenceforth filter or weight by ``p_keep``).
+
+    Iterative training has no SQL twin, so the oracle pins the exact
+    label spine (corpus size, positive count) and certifies the scorer
+    through invariants asserted as literal TRUE:
+
+      probs_in_range        -- every p_keep lands in [0, 1] (a broken
+                               sigmoid or un-standardized feature
+                               escapes the range or goes NaN, which
+                               also fails: NaN min/max compare false);
+      separates_classes     -- mean p_keep over true positives
+                               strictly exceeds mean over negatives
+                               (scoring must carry the learned
+                               signal, not collapse to a constant);
+      agrees_above_majority -- thresholding p_keep at 0.5 agrees with
+                               the label more often than the majority
+                               class predicts (the filter decision
+                               itself beats the trivial baseline).
+    """
+    from lakehouse_architecture_spark.operators.logreg import (
+        score_logistic,
+        train_logistic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats, cols = _classifier_features(docs)
+    model = train_logistic(feats, cols, "y", lr=2.0, iters=40)
+    scored = score_logistic(feats, cols, model)
+    y, p = F.col("y"), F.col("p_keep")
+    s = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.min(p).alias("pmin"),
+        F.max(p).alias("pmax"),
+        F.avg(F.when(y == 1, p)).alias("p_pos"),
+        F.avg(F.when(y == 0, p)).alias("p_neg"),
+        F.avg(((p >= 0.5) == (y == 1)).cast("double")).alias("agree"),
+    ).first()
+    in_range = bool(s.pmin >= 0.0 and s.pmax <= 1.0)
+    separates = bool(s.p_pos > s.p_neg)
+    majority = max(s.n_pos, s.n - s.n_pos) / s.n
+    agrees = bool(s.agree > majority)
+    return spark.createDataFrame(
+        [(s.n, int(s.n_pos), in_range, separates, agrees)],
+        "n_docs long, n_label_pos long, probs_in_range boolean, "
+        "separates_classes boolean, agrees_above_majority boolean",
     )

@@ -733,3 +733,154 @@ def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors long, dim int, n_iters int, unit_norm_ok boolean, "
         "residual_ok boolean, explains_ge_top_dim boolean",
     )
+
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the corpus, then search for near-duplicates ONLY within each
+# cluster — the O(n^2) pair scan becomes sum(|c|^2), bounded by cluster
+# size. The oracle replicates the whole algorithm: the k-means oracle's
+# md5 seeding + decimal-exact assignment, then within-cluster decimal
+# cosines and the same keep-min-id election, so every count on the
+# compared surface is exact cross-engine.
+SEMANTIC_DEDUP_ORACLE = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM (SELECT *, hv % 8 AS bucket FROM h)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hv, vec_id) = 1
+),
+dots AS (
+  SELECT e.vec_id, s.centroid_id,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvc,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dvv,
+    CAST(SUM(CAST(CAST(s.centroid_vec[i] AS DOUBLE) * CAST(s.centroid_vec[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dcc
+  FROM embeddings e, seeds s,
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, s.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dvc / SQRT(dvv * dcc) DESC, centroid_id
+  ) = 1
+),
+norms AS (
+  SELECT vec_id,
+    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS nsq
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT a1.centroid_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
+         e1.embedding AS va, e2.embedding AS vb
+  FROM assign a1
+  JOIN assign a2 ON a1.centroid_id = a2.centroid_id
+                AND a1.vec_id < a2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+),
+pairdot AS (
+  SELECT centroid_id, id_a, id_b,
+    CAST(SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dab
+  FROM cand, UNNEST(generate_series(1, len(va))) AS t(i)
+  GROUP BY 1, 2, 3
+),
+dups AS (
+  SELECT p.centroid_id, p.id_a, p.id_b
+  FROM pairdot p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE p.dab / SQRT(na.nsq * nb.nsq) >= 0.45
+),
+sizes AS (SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY 1),
+agg AS (
+  SELECT centroid_id, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT id_b) AS n_dropped
+  FROM dups GROUP BY 1
+)
+SELECT s.centroid_id, s.n_vectors,
+       COALESCE(a.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(a.n_dropped, 0) AS n_dropped,
+       s.n_vectors - COALESCE(a.n_dropped, 0) AS n_kept
+FROM sizes s LEFT JOIN agg a USING (centroid_id)
+"""
+
+
+@query("emb_semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): nearest-centroid clustering over the md5-seeded
+    centroids, then cosine near-dup pairs searched ONLY within each
+    cluster, with a deterministic keep-min-id election (any vector
+    that is the larger id of a >=0.45 pair is dropped). Per-cluster
+    report: members, qualifying pairs, dropped, kept — an integer-only
+    compared surface over decimal-exact cosines, so both engines agree
+    bit-for-bit.
+
+    The scale contract is the whole point (and the paper's): the pair
+    stage costs sum(|c|^2) instead of n^2. Here k=8 (the shared
+    oracle-checkable seeding); at 100 TB k grows with the corpus
+    (SemDeDup uses ~50k) so |c| stays bounded, the self-join shuffles
+    on centroid_id (high-cardinality at production k — no
+    low-cardinality key trap), and assignment is a broadcast of k
+    centroids, never a corpus shuffle. Global cross-cluster recall is
+    measured separately by emb_lsh_candidate_stats' exact twin
+    (emb_near_dup_pairs), which this cluster-bucketed plan replaces on
+    the 100 TB path."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
+
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        _md5_seeded_scores(emb)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        dec_dot("embedding", "embedding").alias("na"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("centroid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        dec_dot("embedding", "embedding").alias("nb"),
+    )
+    cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
+    dups = (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("centroid_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= 0.45)
+        .select("centroid_id", "id_a", "id_b")
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    agg = dups.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    return sizes.join(agg, "centroid_id", "left").select(
+        "centroid_id",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+            "n_kept"
+        ),
+    )
