@@ -840,11 +840,15 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("centroid_id")
     )
+    # Three consumers (both pair sides + the size census) read the
+    # assignment; cached so it's computed once, not three corpus scans
+    # (at 100 TB the assignment is materialized as a table anyway).
     assigned = (
         _md5_seeded_scores(emb)
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
+        .cache()
     )
     a = assigned.select(
         "centroid_id",
