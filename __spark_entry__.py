@@ -53,6 +53,7 @@ _PRIORITY = [
     "docs_quality_classifier_qa",
     "docs_learned_filter_apply",
     "emb_semantic_dedup",
+    "parts_coorder_triangles",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -1394,3 +1394,114 @@ def parts_coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes long, n_edges long, max_out_degree long, n_iters int, "
         "mass_conserved boolean, converged boolean",
     )
+
+
+@query(
+    "parts_coorder_triangles",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT src AS node FROM und UNION ALL SELECT dst AS node FROM und
+  ) GROUP BY node
+),
+fwd AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u.src < u.dst)
+              THEN u.src ELSE u.dst END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u.src < u.dst)
+              THEN u.dst ELSE u.src END AS b
+  FROM und u
+  JOIN deg du ON du.node = u.src
+  JOIN deg dv ON dv.node = u.dst
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM fwd e1 JOIN fwd e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM fwd e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       (SELECT n_wedges FROM w) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       ROUND(3.0 * (SELECT t FROM tri) / (SELECT n_wedges FROM w), 6)
+         AS transitivity
+""",
+)
+def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT triangle count + global clustering (transitivity) of the
+    part co-order graph, by degree-ordered compact-forward counting
+    (Suri & Vassilvitskii, WWW'11 "the curse of the last reducer"):
+    every undirected edge is directed from its lower-(degree, id)
+    endpoint, so each triangle a<b<c survives as exactly one wedge
+    a->b->c closed by a->c, and max out-degree is O(sqrt(|E|)) — the
+    wedge-join intermediate is O(|E|^1.5) instead of sum(deg^2), which
+    is what keeps the hub nodes of a 100 TB co-occurrence graph from
+    concentrating in one reducer. All joins shuffle on node keys; the
+    final three 1-row aggregates meet in a free cross join. The whole
+    algorithm (including the degree tie-break) is replicated in SQL,
+    so the count is exact cross-engine, not an invariant.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst")
+    )
+    src_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = j.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    ).cache()
+    e1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = fwd.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "z")
+    closed = wedges.join(
+        fwd,
+        (wedges.x == fwd.a) & (wedges.z == fwd.b),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nw = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nw.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
