@@ -54,6 +54,7 @@ _PRIORITY = [
     "docs_learned_filter_apply",
     "emb_semantic_dedup",
     "parts_coorder_triangles",
+    "orders_bloom_prune_stats",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -1505,3 +1505,120 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+@query(
+    "orders_bloom_prune_stats",
+    oracle="""
+WITH dk AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+dpr AS (
+  SELECT key, (h1 + i * h2) % 65536 AS pos
+  FROM (
+    SELECT key,
+      CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 65536 AS h1,
+      CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':b'), 1, 15)) AS BIGINT)
+        % 65536 AS h2
+    FROM dk
+  ), generate_series(0, 2) AS t(i)
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+  FROM dpr GROUP BY 1
+),
+fk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+fpr AS (
+  SELECT key, (h1 + i * h2) % 65536 AS pos
+  FROM (
+    SELECT key,
+      CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 65536 AS h1,
+      CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':b'), 1, 15)) AS BIGINT)
+        % 65536 AS h2
+    FROM fk
+  ), generate_series(0, 2) AS t(i)
+),
+hits AS (
+  SELECT f.key, COUNT(*) AS n_hits
+  FROM fpr f JOIN words w ON w.word_idx = f.pos // 32
+  WHERE (w.word & (1::BIGINT << CAST(f.pos % 32 AS INT))) <> 0
+  GROUP BY 1
+),
+pass AS (SELECT key FROM hits WHERE n_hits = 3),
+truek AS (SELECT key FROM fk WHERE key IN (SELECT key FROM dk))
+SELECT (SELECT COUNT(*) FROM dk) AS n_dim_keys,
+       (SELECT COUNT(*) FROM fk) AS n_fact_keys,
+       (SELECT COUNT(*) FROM pass) AS n_pass_keys,
+       (SELECT COUNT(*) FROM truek) AS n_true_keys,
+       (SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truek)
+         AS n_false_pos_keys,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT key FROM pass)) AS n_fact_rows_pass
+""",
+)
+def orders_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, MEASURED (operators/bloom.py):
+    build a 64 Kbit / k=3 filter over the URGENT orders' keys,
+    probe every distinct lineitem orderkey through it, and compare
+    against the exact semi-join — dimension keys, fact keys, passing
+    keys, true matches, FALSE POSITIVES, and the fact rows the pruned
+    scan would still read, all exact integers. The oracle rebuilds the
+    identical filter (same md5 double-hashing, same 32-bit words), so
+    both engines agree on every bit and therefore on every false
+    positive — the pruning claim is cross-checked, not asserted.
+
+    Scale shape: the filter is m/32 = 2048 longs (16 KB) built with one
+    word-keyed shuffle of the 20%-selectivity dimension; the probe is a
+    broadcast lookup, no fact shuffle; downstream joins then move only
+    ~n_pass/n_fact of the fact table. This is the explicit form of
+    Spark's runtime bloom-join rewrite, usable where the optimizer
+    can't see the predicate (e.g. a key list from another engine)."""
+    from lakehouse_architecture_spark.operators.bloom import (
+        bloom_build,
+        bloom_pass_keys,
+    )
+
+    M, K = 65536, 3
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dimk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .cache()
+    )
+    factk = li.select(F.col("l_orderkey").alias("key")).distinct().cache()
+    words = bloom_build(dimk, "key", M, K)
+    passk = bloom_pass_keys(factk, "key", words, M, K).cache()
+    truek = factk.join(dimk, "key", "left_semi")
+    s_dim = dimk.agg(F.count(F.lit(1)).alias("n_dim_keys"))
+    s_fact = factk.agg(F.count(F.lit(1)).alias("n_fact_keys"))
+    s_pass = passk.agg(F.count(F.lit(1)).alias("n_pass_keys"))
+    s_true = truek.agg(F.count(F.lit(1)).alias("n_true_keys"))
+    s_rows = (
+        li.join(
+            passk.withColumnRenamed("key", "l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_fact_rows_pass"))
+    )
+    return (
+        s_dim.crossJoin(s_fact)
+        .crossJoin(s_pass)
+        .crossJoin(s_true)
+        .crossJoin(s_rows)
+        .select(
+            "n_dim_keys",
+            "n_fact_keys",
+            "n_pass_keys",
+            "n_true_keys",
+            (F.col("n_pass_keys") - F.col("n_true_keys")).alias(
+                "n_false_pos_keys"
+            ),
+            "n_fact_rows_pass",
+        )
+    )

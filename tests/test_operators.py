@@ -425,3 +425,49 @@ def test_score_logistic_applies_trained_model(spark):
     assert all(0.0 <= r.p_keep <= 1.0 for r in scored)
     with pytest.raises(ValueError, match="features vs"):
         score_logistic(df, ["f", "f"], model)
+
+
+def test_bloom_prefilter_no_false_negatives_and_superset(spark):
+    from lakehouse_architecture_spark.operators.bloom import (
+        bloom_build,
+        bloom_pass_keys,
+        bloom_prefilter,
+    )
+
+    dim = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k long")
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k long, v long"
+    )
+    pruned = bloom_prefilter(fact, "k", dim, "k", m_bits=1024, k=3)
+    got = {r.k for r in pruned.collect()}
+    true = set(range(0, 200, 2))
+    # no false negatives: every true match survives the prefilter
+    assert true <= got
+    # prefilter + exact join == exact join (false positives eliminated)
+    exact = fact.join(dim.withColumnRenamed("k", "k"), "k", "left_semi")
+    after = pruned.join(dim, "k", "left_semi")
+    assert sorted(r.k for r in after.collect()) == sorted(
+        r.k for r in exact.collect()
+    )
+    # the filter relation is word-indexed and tiny
+    words = bloom_build(dim, "k", 1024, 3)
+    assert words.count() <= 1024 // 32
+    # determinism: same inputs -> same passing set
+    again = bloom_pass_keys(
+        fact.select("k").distinct(), "k", words, 1024, 3
+    )
+    got2 = {r.k for r in again.collect()}
+    passk = bloom_pass_keys(
+        fact.select("k").distinct(), "k", words, 1024, 3
+    )
+    assert got2 == {r.k for r in passk.collect()}
+
+
+def test_bloom_build_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.operators.bloom import bloom_build
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="multiple"):
+        bloom_build(df, "k", 1000, 3)
