@@ -55,6 +55,7 @@ _PRIORITY = [
     "emb_semantic_dedup",
     "parts_coorder_triangles",
     "orders_bloom_prune_stats",
+    "lineitem_salted_agg_by_flag",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -1622,3 +1622,31 @@ def orders_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fact_rows_pass",
         )
     )
+
+
+@query(
+    "lineitem_salted_agg_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def lineitem_salted_agg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py) on the
+    3-value l_returnflag key — the textbook low-cardinality hot-key
+    aggregation, which AQE canNOT split (it splits join partitions,
+    not aggregation groups). Phase 1 spreads each key over 16
+    deterministic row-hash salts, phase 2 folds the partials; the
+    decimal sums make the re-fold exact, so the ORACLE IS THE PLAIN
+    GROUP BY — the driver proves the salted plan is semantics-
+    preserving cross-engine, every round. At 100 TB: the hot key's
+    rows land on 16 reducers instead of one, at the cost of a
+    16-rows-per-key second aggregate (free)."""
+    from lakehouse_architecture_spark.operators.skew import (
+        salted_agg_count_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg_count_sum(li, "l_returnflag", "l_quantity", n_salts=16)
