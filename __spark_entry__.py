@@ -56,6 +56,7 @@ _PRIORITY = [
     "parts_coorder_triangles",
     "orders_bloom_prune_stats",
     "lineitem_salted_agg_by_flag",
+    "customers_fuzzy_name_stats",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

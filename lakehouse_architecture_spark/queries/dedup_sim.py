@@ -1153,3 +1153,81 @@ def docs_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle_jaccard"),
         )
     )
+
+
+@query(
+    "customers_fuzzy_name_stats",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS name,
+         CASE WHEN i = 0 THEN c_name
+              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+         END AS var
+  FROM customer, UNNEST(generate_series(0, len(c_name))) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.name AS na, b.name AS nb
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+),
+matched AS (SELECT * FROM cand WHERE levenshtein(na, nb) <= 1)
+SELECT (SELECT COUNT(*) FROM customer) AS n_entities,
+       (SELECT COUNT(*) FROM v) AS n_variants,
+       (SELECT COUNT(DISTINCT var) FROM v) AS n_variant_keys,
+       (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+       (SELECT COUNT(*) FROM matched) AS n_matched_pairs
+""",
+)
+def customers_fuzzy_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching (operators/fuzzy.py): every
+    customer-name pair within Levenshtein distance 1, found by
+    SymSpell-style deletion-neighborhood blocking — candidates are
+    exact matches on a (L+1)-variant explode, verified by the JVM
+    ``levenshtein``; COMPLETE for d=1 by the deletion theorem, never
+    an all-pairs scan. The oracle rebuilds the identical neighborhood
+    and DuckDB's levenshtein agrees with Spark's, so entity counts,
+    variant-key cardinality, CANDIDATE volume (the blocking-efficiency
+    measure) and verified matches are all exact cross-engine.
+
+    Scale: |variants| = (L+1)·n shuffled once on the variant key;
+    Σ|bucket|² bounds the candidate join, with the max_bucket stop-key
+    cap available for boilerplate-heavy corpora (MinHash stop-shingle
+    doctrine). This is the missing fuzzy-join member of the dedup
+    family: exact (md5) < fuzzy-d1 (this) < token-set (Jaccard) <
+    semantic (MinHash / SimHash / embedding LSH)."""
+    from lakehouse_architecture_spark.operators.fuzzy import (
+        deletion_variants,
+        fuzzy_pairs_d1,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    v = deletion_variants(cust, "c_name", "c_custkey").cache()
+    a = v.select("var", F.col("id").alias("id_a"), F.col("name").alias("na"))
+    b = v.select("var", F.col("id").alias("id_b"), F.col("name").alias("nb"))
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+        .cache()
+    )
+    matched = cand.filter(F.levenshtein("na", "nb") <= 1)
+    s_ent = cust.agg(F.count(F.lit(1)).alias("n_entities"))
+    s_var = v.agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("var").alias("n_variant_keys"),
+    )
+    s_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    s_match = matched.agg(F.count(F.lit(1)).alias("n_matched_pairs"))
+    return (
+        s_ent.crossJoin(s_var)
+        .crossJoin(s_cand)
+        .crossJoin(s_match)
+        .select(
+            "n_entities",
+            "n_variants",
+            "n_variant_keys",
+            "n_candidate_pairs",
+            "n_matched_pairs",
+        )
+    )

@@ -471,3 +471,26 @@ def test_bloom_build_rejects_bad_width(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="multiple"):
         bloom_build(df, "k", 1000, 3)
+
+
+def test_fuzzy_pairs_d1_complete_and_verified(spark):
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d1
+
+    rows = [
+        (1, "cat"),    # sub: cut, ins: cats
+        (2, "cut"),
+        (3, "cats"),
+        (4, "dog"),    # no neighbor
+        (5, "dig"),    # sub of dog
+        (6, "chart"),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs_d1(df, "name", "id").collect()
+    }
+    # exactly the true d<=1 pairs, each verified distance correct
+    assert got == {(1, 2): 1, (1, 3): 1, (4, 5): 1}
+    # max_bucket drops an oversized variant bucket (recall trade)
+    capped = fuzzy_pairs_d1(df, "name", "id", max_bucket=1)
+    assert capped.count() == 0
