@@ -57,6 +57,7 @@ _PRIORITY = [
     "orders_bloom_prune_stats",
     "lineitem_salted_agg_by_flag",
     "customers_fuzzy_name_stats",
+    "lineitem_ols_price_on_qty",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

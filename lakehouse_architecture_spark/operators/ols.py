@@ -1,0 +1,53 @@
+"""Closed-form simple linear regression as ONE corpus aggregate.
+
+Where `operators/logreg.py` is the iterative (GD) member of the
+on-cluster learning family, OLS with one regressor needs no iteration
+at all: slope and intercept are rational functions of five moment sums
+(n, Σx, Σy, Σx², Σy², Σxy), so the whole fit is a single scan with a
+map-side-combinable aggregate — at 100 TB, one pass, no shuffle beyond
+the 1-row combine, no driver math that isn't O(1).
+
+Determinism doctrine: each product is rounded once to DECIMAL(30,18)
+and summed with exact decimal addition (order-independent), so any SQL
+engine computing SUM(CAST(x*y AS DECIMAL(30,18))) gets bit-identical
+moments — slope/intercept/R² then agree bit-for-bit cross-engine, and
+the oracle can be the EXACT closed form, not an invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,18)"
+
+
+def _m(e: Column) -> Column:
+    return F.sum(e.cast("double").cast(_DEC)).cast("double")
+
+
+def simple_ols(df: DataFrame, x: str, y: str) -> DataFrame:
+    """One-row DataFrame (n, slope, intercept, r2) of the least-squares
+    fit y ~ slope*x + intercept, all moments decimal-exact. Declarative
+    (no collect): compose it into larger plans or let the caller
+    collect the 4 scalars."""
+    xc, yc = F.col(x), F.col(y)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(xc).alias("sx"),
+        _m(yc).alias("sy"),
+        _m(xc * xc).alias("sxx"),
+        _m(yc * yc).alias("syy"),
+        _m(xc * yc).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return agg.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+    )

@@ -1650,3 +1650,45 @@ def lineitem_salted_agg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return salted_agg_count_sum(li, "l_returnflag", "l_quantity", n_salts=16)
+
+
+@query(
+    "lineitem_ols_price_on_qty",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of extended price on quantity
+    (operators/ols.py): the closed-form member of the on-cluster
+    learning family — the ENTIRE regression is one map-side-combinable
+    aggregate over five decimal-exact moment sums, so fitting 100 TB
+    is a single scan. Unlike the iterative fits (logreg, PageRank,
+    k-means) this needs no invariant oracle: both engines compute the
+    same exact decimal moments, hence bit-identical slope, intercept,
+    and R², compared directly after round(6)."""
+    from lakehouse_architecture_spark.operators.ols import simple_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = simple_ols(li, "l_quantity", "l_extendedprice")
+    return fit.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

@@ -494,3 +494,21 @@ def test_fuzzy_pairs_d1_complete_and_verified(spark):
     # max_bucket drops an oversized variant bucket (recall trade)
     capped = fuzzy_pairs_d1(df, "name", "id", max_bucket=1)
     assert capped.count() == 0
+
+
+def test_simple_ols_matches_numpy(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.ols import simple_ols
+
+    rng = [(float(i), 3.5 * i - 7.0 + ((i * 37) % 11 - 5) * 0.25)
+           for i in range(50)]
+    df = spark.createDataFrame(rng, "x double, y double")
+    r = simple_ols(df, "x", "y").collect()[0]
+    xs = np.array([a for a, _ in rng]); ys = np.array([b for _, b in rng])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r.n == 50
+    assert abs(r.slope - slope) < 1e-9
+    assert abs(r.intercept - intercept) < 1e-9
+    cc = np.corrcoef(xs, ys)[0, 1] ** 2
+    assert abs(r.r2 - cc) < 1e-9
