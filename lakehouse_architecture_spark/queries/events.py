@@ -1275,3 +1275,99 @@ def events_cms_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_matches_global",
         )
     )
+
+
+@query(
+    "events_hll_intersection_qa",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d-%H') AS c,
+         event_type, day(ts) AS d
+  FROM events
+),
+a20 AS (SELECT DISTINCT c FROM cells WHERE d <= 20),
+b11 AS (SELECT DISTINCT c FROM cells WHERE d >= 11),
+clk AS (SELECT DISTINCT c FROM cells WHERE event_type = 'click'),
+pur AS (SELECT DISTINCT c FROM cells WHERE event_type = 'purchase')
+SELECT 'type_cooccurrence' AS regime,
+       (SELECT COUNT(*) FROM clk) AS exact_a,
+       (SELECT COUNT(*) FROM pur) AS exact_b,
+       (SELECT COUNT(*) FROM clk WHERE c IN (SELECT c FROM pur))
+         AS exact_inter,
+       TRUE AS bound_holds
+UNION ALL
+SELECT 'window_overlap' AS regime,
+       (SELECT COUNT(*) FROM a20) AS exact_a,
+       (SELECT COUNT(*) FROM b11) AS exact_b,
+       (SELECT COUNT(*) FROM a20 WHERE c IN (SELECT c FROM b11))
+         AS exact_inter,
+       TRUE AS bound_holds
+""",
+)
+def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA and its honest limits: intersection
+    cardinality from persisted HLL sketches via inclusion-exclusion
+    (|A∩B| = est(A) + est(B) - est(A∪B)) — the operation audience-
+    overlap analytics want from stored daily sketches without
+    rescanning raw events. Two regimes over user-hour activity cells,
+    each with its exact twin recomputed by DuckDB:
+
+      window_overlap    -- days <=20 vs days >=11: the intersection is
+                           ~half of either side, and the composed
+                           estimate lands within a 10% RELATIVE band
+                           (measured 3.4% at sf0.01) — the good case;
+      type_cooccurrence -- click vs purchase user-hours: the true
+                           intersection (~39) is far below the sketch
+                           resolution of the ~2k-cardinality inputs,
+                           so only the ADDITIVE bound holds — 3 sigma
+                           of the lgK=12 RSE (1.04/2^6) composed over
+                           the three estimates, i.e. |err| <= 0.05 *
+                           (est_a + est_b + est_union). Measured: the
+                           estimate can even go NEGATIVE (-7 at
+                           sf0.01). Inclusion-exclusion error is
+                           absolute in the INPUT sizes, never relative
+                           to a small intersection — the documented
+                           reason sketch intersections need
+                           theta/KMV-style sketches when the overlap
+                           is small.
+
+    Both certificates are genuinely evaluated Spark-side and asserted
+    literal-TRUE by the oracle; the compared exact counts keep the day
+    spine and both set cardinalities bit-checked cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd-HH"),
+    )
+    day = F.dayofmonth("ts")
+
+    def stats(a, b):
+        est = lambda d: d.agg(  # noqa: E731
+            F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")
+        ).first().e
+        ea, eb, eu = est(a), est(b), est(a.union(b))
+        da, db = a.distinct(), b.distinct()
+        xa, xb = da.count(), db.count()
+        xi = da.join(db, "c", "left_semi").count()
+        return ea, eb, eu, xa, xb, xi
+
+    ca, cb, cu, cxa, cxb, cxi = stats(
+        ev.filter(F.col("event_type") == "click").select(cell.alias("c")),
+        ev.filter(F.col("event_type") == "purchase").select(cell.alias("c")),
+    )
+    co_err = abs((ca + cb - cu) - cxi)
+    co_ok = bool(co_err <= 0.05 * (ca + cb + cu))
+    wa, wb, wu, wxa, wxb, wxi = stats(
+        ev.filter(day <= 20).select(cell.alias("c")),
+        ev.filter(day >= 11).select(cell.alias("c")),
+    )
+    w_ok = bool(abs((wa + wb - wu) - wxi) <= 0.10 * wxi)
+    return spark.createDataFrame(
+        [
+            ("type_cooccurrence", cxa, cxb, cxi, co_ok),
+            ("window_overlap", wxa, wxb, wxi, w_ok),
+        ],
+        "regime string, exact_a long, exact_b long, exact_inter long, "
+        "bound_holds boolean",
+    )
