@@ -96,6 +96,40 @@ def bloom_pass_keys(
     return hits
 
 
+def bloom_words_literal(words: DataFrame, m_bits: int) -> list[int]:
+    """The filter as a dense word list (m_bits/32 Python ints): a
+    BOUNDED driver collect — 2048 longs (16 KB) at the default m, the
+    centroid-collect doctrine. This is what makes the probe a pure
+    expression instead of a join."""
+    dense = [0] * (m_bits // WORD_BITS)
+    for r in words.collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return dense
+
+
+def bloom_member_expr(
+    key: Column | str, dense_words: list[int], m_bits: int, k: int
+) -> Column:
+    """A boolean Column testing ``key`` against a collected filter —
+    all k probes are ``element_at`` lookups into a LITERAL array, so
+    membership evaluates inside whole-stage codegen at scan time:
+    no explode, no join, NO SHUFFLE anywhere."""
+    key = F.col(key) if isinstance(key, str) else key
+    lit_words = F.array(*[F.lit(w).cast("long") for w in dense_words])
+    h1, h2 = _h(key, "", m_bits), _h(key, ":b", m_bits)
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(
+            lit_words, (pos / WORD_BITS).cast("int") + F.lit(1)
+        )
+        # 2^bit is exact in double for bit <= 31 (32-bit words), so the
+        # mask needs no shift-by-column support
+        mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(WORD_BITS))).cast("long")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
 def bloom_prefilter(
     fact: DataFrame,
     fact_key: str,
@@ -107,21 +141,21 @@ def bloom_prefilter(
     """Fact rows whose key passes a Bloom filter of ``dim_keys`` — the
     scan-side prune to run BEFORE an exact join. Superset of the true
     semi-join (never drops a match); follow with the exact join to
-    eliminate the false positives. At 100 TB: the filter build reads
-    only the (already filtered) dimension keys, the probe is
-    broadcast-only, and the fact shuffle downstream moves ~selectivity
-    of the data instead of all of it."""
+    eliminate the false positives.
+
+    At 100 TB: the filter build reads only the (already filtered)
+    dimension keys; the filter itself is 16 KB, collected once
+    (bounded) and inlined as a literal array, so the probe is a pure
+    scan-time filter expression — the fact side is NEVER shuffled,
+    exploded, or joined to pass the filter, and downstream joins move
+    ~selectivity of the data instead of all of it. (The relation-join
+    probe, ``bloom_pass_keys``, remains for filters too large to
+    collect.)"""
     words = bloom_build(
         dim_keys.select(F.col(dim_key).alias("__bk")).distinct(),
         "__bk",
         m_bits,
         k,
     )
-    passing = bloom_pass_keys(
-        fact.select(F.col(fact_key).alias("__bk")).distinct(),
-        "__bk",
-        words,
-        m_bits,
-        k,
-    ).select(F.col("__bk").alias(fact_key))
-    return fact.join(passing, fact_key, "left_semi")
+    dense = bloom_words_literal(words, m_bits)
+    return fact.filter(bloom_member_expr(fact_key, dense, m_bits, k))

@@ -435,3 +435,27 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
     control = po.hint("merge").join(pc, po.o_custkey == pc.c_custkey)
     cplan = control._jdf.queryExecution().explainString(simple)
     assert "Exchange hashpartitioning" in cplan
+
+
+def test_bloom_prefilter_fact_side_is_shuffle_free(spark, sf_dir):
+    """The literal-array Bloom probe must evaluate at scan time: the
+    pruned fact relation's plan is scan + filter only — no Exchange,
+    no join, no explode anywhere on the fact side."""
+    from lakehouse_architecture_spark.operators.bloom import bloom_prefilter
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    pruned = bloom_prefilter(li, "l_orderkey", dim, "o_orderkey")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode on the probed side
+    assert "Filter" in plan
