@@ -92,6 +92,17 @@ EXTRA = [
     # it would time the fixpoint loop, not a data-sized plan.
     "events_cms_topk_accuracy",
     "sql_bucketed_colocated_join",
+    # round-7c additions: the new data-sized plans. The learned-filter
+    # and HLL-intersection QAs are deliberately NOT benched (driver-
+    # bounded iteration / multi-action certificate queries — the BPE
+    # doctrine); scoring itself is a pure projection folded into
+    # docs_learned_filter_apply's one training pass.
+    "emb_semantic_dedup",
+    "parts_coorder_triangles",
+    "orders_bloom_prune_stats",
+    "customers_fuzzy_name_stats",
+    "lineitem_salted_agg_by_flag",
+    "lineitem_ols_price_on_qty",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
