@@ -59,6 +59,7 @@ _PRIORITY = [
     "customers_fuzzy_name_stats",
     "lineitem_ols_price_on_qty",
     "events_hll_intersection_qa",
+    "emb_pq_quantization_qa",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

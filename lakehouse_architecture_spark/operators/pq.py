@@ -1,0 +1,126 @@
+"""Product quantization (PQ): the ANN memory-compression layer.
+
+Jégou et al. 2011 ("Product quantization for nearest neighbor
+search"), the FAISS-style scale path: split each d-dim vector into
+``n_sub`` subvectors, learn a small L2 codebook per block, and store
+each vector as ``n_sub`` byte codes — 256 bytes of float32 become 8
+bytes (32x), which is what lets a 100 TB embedding corpus hold its
+index in cluster memory. Complements the symmetric int8 quantization
+already in `queries/embeddings.py` (4x): PQ trades more error for 8x
+more compression.
+
+Scale/portability doctrine shared with the rest of the repo:
+
+- TRAINING (per-block Lloyd) is the only iterative part; each
+  iteration is one aggregate per block, codebooks live on the driver
+  (k * sub_dim floats — bounded, the centroid-collect doctrine).
+- ENCODING is a PURE PROJECTION: the codebooks inline as literal
+  arrays and the argmin over k block-distances is a static expression
+  (the score_logistic / bloom-literal pattern) — encoding 100 TB is a
+  single scan, no shuffle, no join, no Python.
+- Seeds are md5-ranked rows (deterministic, engine-portable), ties in
+  the argmin break to the LOWEST code id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _block(vec_col: str, j: int, sub_dim: int) -> Column:
+    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+
+
+def _dists_expr(sub: Column, codebook: list[list[float]]) -> Column:
+    """Array of squared L2 distances from ``sub`` to each centroid —
+    unrolled per element so the whole thing codegens; sub_dim * k
+    static terms."""
+    dists = []
+    for cent in codebook:
+        d = F.lit(0.0)
+        for t, c in enumerate(cent):
+            diff = F.element_at(sub, t + 1).cast("double") - F.lit(float(c))
+            d = d + diff * diff
+        dists.append(d)
+    return F.array(*dists)
+
+
+def pq_train(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-block L2 codebooks, ``codebooks[j][c][t]``. Seeds are the k
+    md5-first rows' subvectors; each Lloyd iteration is one
+    assign-and-average aggregate per block (blocks are independent —
+    at scale they train concurrently). Empty clusters keep their
+    previous centroid, so k never shrinks."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    h = F.md5(F.col(id_col).cast("string"))
+    seed_rows = (
+        emb.select(F.col(vec_col).alias("v"), h.alias("h"))
+        .orderBy("h", "v")
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codes")
+    codebooks = [
+        [
+            [float(x) for x in r["v"][j * sub_dim : (j + 1) * sub_dim]]
+            for r in seed_rows
+        ]
+        for j in range(n_sub)
+    ]
+    for _ in range(iters):
+        for j in range(n_sub):
+            sub = emb.select(_block(vec_col, j, sub_dim).alias("s"))
+            darr = _dists_expr(F.col("s"), codebooks[j])
+            assigned = sub.select(
+                "s",
+                (F.array_position(darr, F.array_min(darr)) - 1).alias(
+                    "code"
+                ),
+            )
+            means = (
+                assigned.select("code", F.posexplode("s").alias("pos", "x"))
+                .groupBy("code", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect()
+            )
+            new_cb = [list(c) for c in codebooks[j]]
+            for r in means:
+                new_cb[int(r["code"])][int(r["pos"])] = float(r["m"])
+            codebooks[j] = new_cb
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """``emb`` + ``pq_codes`` (array<int>, one code per block) +
+    ``pq_sq_err`` (the exact squared reconstruction error, free from
+    the same argmin). Pure narrow projection — no shuffle at any
+    corpus size."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    codes, errs = [], []
+    for j in range(n_sub):
+        darr = _dists_expr(_block(vec_col, j, sub_dim), codebooks[j])
+        codes.append(F.array_position(darr, F.array_min(darr)) - 1)
+        errs.append(F.array_min(darr))
+    total_err = errs[0]
+    for e in errs[1:]:
+        total_err = total_err + e
+    return emb.withColumn(
+        "pq_codes", F.array(*[c.cast("int") for c in codes])
+    ).withColumn("pq_sq_err", total_err)

@@ -888,3 +888,76 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept"
         ),
     )
+
+
+@query(
+    "emb_pq_quantization_qa",
+    oracle="""
+SELECT COUNT(*) AS n_vectors,
+       MAX(len(embedding)) AS dim,
+       8 AS n_sub, 16 AS k_per_block,
+       MAX(len(embedding)) * 4 AS bytes_raw,
+       8 AS bytes_pq,
+       TRUE AS mse_below_variance,
+       TRUE AS training_improved
+FROM embeddings
+""",
+)
+def emb_pq_quantization_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/pq.py, Jégou et al. 2011): 8
+    blocks x 16-code L2 codebooks compress 256-byte float32 vectors to
+    8 one-byte codes (32x) — the compression tier beyond int8 (4x)
+    that lets a 100 TB ANN index live in memory. Training is two Lloyd
+    iterations per block (driver-bounded codebooks); ENCODING is a
+    pure literal-array projection — one scan, no shuffle.
+
+    The iterative fit has no SQL twin, so the oracle pins the exact
+    spine (corpus size, dim, the block/code/byte geometry) and two
+    genuinely-evaluated certificates as literal TRUE:
+
+      mse_below_variance -- mean squared reconstruction error under
+                            the trained codebooks is strictly below
+                            the corpus' summed per-dim variance (the
+                            error of the best 1-code quantizer, k=1 at
+                            its optimum — PQ with 16 codes/block must
+                            beat predicting the mean);
+      training_improved  -- total squared error after 2 Lloyd
+                            iterations <= the seed codebooks' error (a
+                            frozen or diverging refine flips it).
+    """
+    from lakehouse_architecture_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds_only = pq_train(emb, "embedding", "vec_id", iters=0)
+    trained = pq_train(emb, "embedding", "vec_id", iters=2)
+    err0 = (
+        pq_encode(emb, "embedding", seeds_only)
+        .agg(F.sum("pq_sq_err").alias("e"))
+        .first()
+        .e
+    )
+    s = (
+        pq_encode(emb, "embedding", trained)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pq_sq_err").alias("e"),
+            F.max(F.size("embedding")).alias("dim"),
+        )
+        .first()
+    )
+    var_sum = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("tv"))
+        .first()
+        .tv
+    )
+    mse_ok = bool(s.e / s.n < var_sum)
+    improved = bool(s.e <= err0)
+    return spark.createDataFrame(
+        [(s.n, s.dim, 8, 16, s.dim * 4, 8, mse_ok, improved)],
+        "n_vectors long, dim int, n_sub int, k_per_block int, "
+        "bytes_raw int, bytes_pq int, mse_below_variance boolean, "
+        "training_improved boolean",
+    )

@@ -512,3 +512,47 @@ def test_simple_ols_matches_numpy(spark):
     assert abs(r.intercept - intercept) < 1e-9
     cc = np.corrcoef(xs, ys)[0, 1] ** 2
     assert abs(r.r2 - cc) < 1e-9
+
+
+def test_pq_train_encode_roundtrip(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.pq import pq_encode, pq_train
+
+    # two tight clusters per block -> a 2-code codebook should nearly
+    # zero the reconstruction error after Lloyd refinement
+    rng = np.random.RandomState(7)
+    base = np.array([[0.0] * 8, [10.0] * 8])
+    rows = []
+    for i in range(40):
+        v = base[i % 2] + rng.uniform(-0.1, 0.1, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(df, "embedding", "vec_id", n_sub=2, k=2, iters=3)
+    assert len(cbs) == 2 and all(len(cb) == 2 for cb in cbs)
+    out = pq_encode(df, "embedding", cbs).collect()
+    for r in out:
+        assert len(r.pq_codes) == 2
+        assert all(0 <= c < 2 for c in r.pq_codes)
+        assert r.pq_sq_err < 8 * 2 * 0.1**2 * 4  # near-cluster-center error
+    # codes separate the two clusters
+    codes0 = {tuple(r.pq_codes) for r in out if r.vec_id % 2 == 0}
+    codes1 = {tuple(r.pq_codes) for r in out if r.vec_id % 2 == 1}
+    assert codes0.isdisjoint(codes1)
+
+
+def test_pq_train_validates(spark):
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.operators.pq import pq_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(df, "embedding", "vec_id", n_sub=2, k=1)
+    df4 = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="seed"):
+        pq_train(df4, "embedding", "vec_id", n_sub=2, k=5)
