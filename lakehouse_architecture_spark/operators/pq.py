@@ -124,3 +124,53 @@ def pq_encode(
     return emb.withColumn(
         "pq_codes", F.array(*[c.cast("int") for c in codes])
     ).withColumn("pq_sq_err", total_err)
+
+
+def pq_adc_expr(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> Column:
+    """Asymmetric-distance (ADC) expression over a ``pq_codes`` column:
+    the per-query lookup tables lut[j][c] = ||q_sub_j - codebook[j][c]||²
+    are computed driver-side (n_sub * k floats — bounded) and inlined,
+    so scoring a row is n_sub literal-array lookups + adds. Scanning
+    100 TB of 8-byte codes with this expression is the FAISS query
+    shape: no decode, no shuffle, no Python."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if len(query_vec) != n_sub * sub_dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} vs codebook dim {n_sub * sub_dim}"
+        )
+    total = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[j * sub_dim : (j + 1) * sub_dim]]
+        lut = F.array(
+            *[
+                F.lit(sum((q - c[t]) ** 2 for t, q in enumerate(qs)))
+                for c in cb
+            ]
+        )
+        total = total + F.element_at(
+            lut, F.element_at("pq_codes", j + 1) + F.lit(1)
+        )
+    return total
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance over an encoded corpus (ascending, id
+    tie-break). This is the SHORTLIST stage — PQ distances are
+    quantized, so production reranks the shortlist exactly against the
+    raw vectors of just those k rows (shortlist >> final k); the
+    operator returns (id, adc_dist) for the caller to rerank/join."""
+    d = pq_adc_expr(codebooks, query_vec)
+    return (
+        encoded.select(F.col(id_col), d.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -556,3 +556,32 @@ def test_pq_train_validates(spark):
     )
     with _pytest.raises(ValueError, match="seed"):
         pq_train(df4, "embedding", "vec_id", n_sub=2, k=5)
+
+
+def test_pq_adc_shortlist_recalls_planted_neighbors(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # clusterable corpus: 4 centers, the query's true neighbors are its
+    # own cluster — ADC over trained codebooks must surface them
+    rng = np.random.RandomState(11)
+    centers = rng.uniform(-5, 5, (4, 16))
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + rng.uniform(-0.2, 0.2, 16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(df, "embedding", "vec_id", n_sub=4, k=8, iters=3)
+    enc = pq_encode(df, "embedding", cbs)
+    q = rows[0][1]
+    top = pq_adc_topk(enc.filter("vec_id <> 0"), cbs, q, k=19)
+    got = {r.vec_id for r in top.collect()}
+    same_cluster = {i for i in range(4, 80, 4)}
+    assert got == same_cluster  # all 19 true neighbors, nothing else
+    with __import__("pytest").raises(ValueError, match="query dim"):
+        pq_adc_topk(enc, cbs, q[:8], k=3)
