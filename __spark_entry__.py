@@ -60,6 +60,7 @@ _PRIORITY = [
     "lineitem_ols_price_on_qty",
     "events_hll_intersection_qa",
     "emb_pq_quantization_qa",
+    "events_ab_test_value_ztest",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -103,6 +103,7 @@ EXTRA = [
     "customers_fuzzy_name_stats",
     "lineitem_salted_agg_by_flag",
     "lineitem_ols_price_on_qty",
+    "events_ab_test_value_ztest",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -1371,3 +1371,85 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "regime string, exact_a long, exact_b long, exact_inter long, "
         "bound_holds boolean",
     )
+
+
+@query(
+    "events_ab_test_value_ztest",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(30,18))), 0) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(30,18)) END) AS DOUBLE) AS sa,
+    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(30,18)) END) AS DOUBLE) AS sb,
+    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(30,18)) END) AS DOUBLE) AS qa,
+    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v * v AS DECIMAL(30,18)) END) AS DOUBLE) AS qb
+  FROM per_user
+)
+SELECT n_a, n_b,
+       ROUND(sa / n_a, 6) AS mean_a,
+       ROUND(sb / n_b, 6) AS mean_b,
+       ROUND((sa / n_a - sb / n_b)
+             / SQRT((qa / n_a - (sa / n_a) * (sa / n_a)) / n_a
+                    + (qb / n_b - (sb / n_b) * (sb / n_b)) / n_b), 6)
+         AS z_stat
+FROM m
+""",
+)
+def events_ab_test_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-sample z-test of per-USER total
+    event value between deterministically hash-split arms — the
+    decide-the-experiment query, computed at the statistically correct
+    unit (users, not events: value is aggregated per user FIRST, so
+    within-user correlation can't shrink the variance). The md5 arm
+    split, the decimal-exact moment sums, and the closed-form Welch z
+    are all replicated in SQL, so arm sizes, means, and the z statistic
+    itself match bit-for-bit after round(6) — no invariant needed.
+
+    Scale shape: one shuffle to the user grain, then ONE conditional
+    aggregate over users produces every moment of both arms (no
+    per-arm re-scan); everything downstream is O(1) driver-free
+    column math."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    dec = "decimal(30,18)"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.col("value").cast(dec)), F.lit(0).cast(dec))
+        .cast("double")
+        .alias("v")
+    ).select(arm.alias("arm"), "v")
+    v = F.col("v")
+    is_a, is_b = F.col("arm") == 0, F.col("arm") == 1
+    m = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, v.cast(dec))).cast("double").alias("sa"),
+        F.sum(F.when(is_b, v.cast(dec))).cast("double").alias("sb"),
+        F.sum(F.when(is_a, (v * v).cast(dec))).cast("double").alias("qa"),
+        F.sum(F.when(is_b, (v * v).cast(dec))).cast("double").alias("qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    var_a = F.col("qa") / na - ma * ma
+    var_b = F.col("qb") / nb - mb * mb
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(var_a / na + var_b / nb), 6).alias(
+            "z_stat"
+        ),
+    )
