@@ -61,6 +61,8 @@ _PRIORITY = [
     "events_hll_intersection_qa",
     "emb_pq_quantization_qa",
     "events_ab_test_value_ztest",
+    "events_chi2_type_dow",
+    "events_cusum_daily_drift",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -104,6 +104,8 @@ EXTRA = [
     "lineitem_salted_agg_by_flag",
     "lineitem_ols_price_on_qty",
     "events_ab_test_value_ztest",
+    "events_chi2_type_dow",
+    "events_cusum_daily_drift",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -1453,3 +1453,145 @@ def events_ab_test_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+@query(
+    "events_chi2_type_dow",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n FROM events),
+rows_ AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+cols_ AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+cells AS (
+  SELECT obs.o,
+         CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM obs JOIN rows_ USING (event_type) JOIN cols_ USING (dow), tot
+)
+SELECT (SELECT n FROM tot) AS n_events,
+       (SELECT COUNT(*) FROM rows_) AS n_types,
+       (SELECT COUNT(*) FROM cols_) AS n_dows,
+       ((SELECT COUNT(*) FROM rows_) - 1) * ((SELECT COUNT(*) FROM cols_) - 1)
+         AS dof,
+       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+FROM cells
+""",
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event type and
+    day-of-week — the categorical-association screen (is traffic mix
+    stable across the week?). Observed counts are exact integers on
+    both engines, expected counts and the statistic are closed-form
+    double math over them, so chi2 itself is compared cross-engine
+    after round(6) — like the z-test, an EXACT oracle.
+
+    Scale: one (type, dow) aggregate (35 cells here; bounded by the
+    category product in general), then everything is arithmetic on the
+    tiny contingency relation. dayofweek() runs under the loader's
+    pinned UTC session, so the bucketing is environment-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("r").cast("double")
+                * F.col("c").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    o, e = F.col("o"), F.col("e")
+    chi2 = cells.agg(F.round(F.sum((o - e) * (o - e) / e), 6).alias("chi2"))
+    spine = (
+        tot.crossJoin(rows.agg(F.count(F.lit(1)).alias("n_types")))
+        .crossJoin(cols.agg(F.count(F.lit(1)).alias("n_dows")))
+    )
+    return spine.crossJoin(chi2).select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_dows",
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("dof"),
+        "chi2",
+    )
+
+
+@query(
+    "events_cusum_daily_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,18))) AS DOUBLE) / COUNT(value)
+           AS m
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(CAST(m AS DECIMAL(30,18))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(m * m AS DECIMAL(30,18))) AS DOUBLE) / COUNT(*) AS q
+  FROM daily
+)
+SELECT day,
+       ROUND(m, 6) AS daily_mean,
+       ROUND(SUM((m - mu) / SQRT(q - mu * mu)) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) + 0.0 AS cusum
+FROM daily, g
+""",
+)
+def events_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor over the daily mean event value — the
+    change-point screen a production data pipeline runs on every
+    metric (a sustained shift accumulates linearly in the CUSUM while
+    noise mean-reverts). Daily means and the standardization moments
+    are decimal-exact, and the running sum visits days in the same
+    order on both engines, so the whole standardized CUSUM series is
+    compared cross-engine after round(6) — exact oracle, no invariant.
+
+    Scale: one day-grain aggregate (map-side partial), a broadcast of
+    the two global moments, and a window over |days| rows — the window
+    input is the DAILY relation, never raw events, so the single-
+    partition global window is bounded by the calendar, not the data
+    (the aggregate-then-window doctrine from the percentile rework)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(30,18)"
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast(dec)).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
+    m = F.col("m")
+    g = daily.agg(
+        (F.sum(m.cast(dec)).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum((m * m).cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+            "q"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = (m - F.col("mu")) / F.sqrt(F.col("q") - F.col("mu") * F.col("mu"))
+    return (
+        daily.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            F.round(m, 6).alias("daily_mean"),
+            # + 0.0 normalizes IEEE negative zero: the full-series CUSUM
+            # sums to ~-1e-15, which rounds to -0.0 on one engine and
+            # 0.0 on the other (observed driver-style mismatch)
+            (F.round(F.sum(z).over(w), 6) + F.lit(0.0)).alias("cusum"),
+        )
+    )
