@@ -247,18 +247,44 @@ def merge_upsert(
         _delta_merge(spark, updates, path, keys)
         return
 
+    _parquet_rewrite_core(
+        spark,
+        path,
+        remove_keys=updates.select(*keys).distinct(),
+        inserts=updates,
+        keys=keys,
+        prune_source=updates,
+        partition_by=partition_by,
+        evolve_schema=evolve_schema,
+    )
+
+
+def _parquet_rewrite_core(
+    spark: SparkSession,
+    path: str,
+    remove_keys: DataFrame,
+    inserts: DataFrame,
+    keys: list[str],
+    prune_source: DataFrame,
+    partition_by: str | None,
+    evolve_schema: bool,
+) -> None:
+    """Shared rewrite engine under MERGE and CDC apply: drop
+    ``remove_keys`` from the target, add ``inserts``, rewriting only
+    the partitions ``prune_source`` touches, then staging-swap."""
     # mergeSchema: the table may hold mixed footers after a pruned
-    # evolve-merge (see docstring) — a plain read could sample an old
-    # footer and silently drop the evolved column from the rewrite.
+    # evolve-merge (see merge_upsert docstring) — a plain read could
+    # sample an old footer and silently drop the evolved column.
     target = spark.read.option("mergeSchema", "true").parquet(path)
 
     if partition_by:
-        # Partition pruning: only partitions present in the update set are
-        # read, anti-joined, and rewritten. Collecting DISTINCT partition
-        # VALUES is a driver-side list of partitions (dates), not keys —
-        # bounded and cheap at any scale.
+        # Partition pruning: only partitions present in the change set
+        # are read, anti-joined, and rewritten. Collecting DISTINCT
+        # partition VALUES is a driver-side list of partitions (dates),
+        # not keys — bounded and cheap at any scale.
         parts = [
-            r[0] for r in updates.select(partition_by).distinct().collect()
+            r[0]
+            for r in prune_source.select(partition_by).distinct().collect()
         ]
         affected = target.filter(F.col(partition_by).isin(parts))
         untouched_path_ok = True
@@ -266,10 +292,8 @@ def merge_upsert(
         affected = target
         untouched_path_ok = False
 
-    survivors = affected.join(
-        updates.select(*keys).distinct(), on=keys, how="left_anti"
-    )
-    extra = [c for c in updates.columns if c not in affected.columns]
+    survivors = affected.join(remove_keys, on=keys, how="left_anti")
+    extra = [c for c in inserts.columns if c not in affected.columns]
     if extra and not evolve_schema:
         raise ValueError(
             f"merge_upsert: update columns {extra} are absent from the "
@@ -281,15 +305,15 @@ def merge_upsert(
     # the target's old value on matched rows, so backfill them from the
     # matched target row (update-sized join); unmatched inserts get
     # null, like Delta INSERT * with an absent source column.
-    missing = [c for c in affected.columns if c not in updates.columns]
+    missing = [c for c in affected.columns if c not in inserts.columns]
     if missing:
-        updates = updates.join(
+        inserts = inserts.join(
             affected.select(*keys, *missing), on=keys, how="left"
         )
     if extra:
-        merged = survivors.unionByName(updates, allowMissingColumns=True)
+        merged = survivors.unionByName(inserts, allowMissingColumns=True)
     else:
-        merged = survivors.unionByName(updates.select(*affected.columns))
+        merged = survivors.unionByName(inserts.select(*affected.columns))
 
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     write_partitioned(merged, staging, partition_by)
@@ -324,6 +348,58 @@ def _refresh_swapped_path(spark: SparkSession, path: str) -> None:
         spark.catalog.refreshByPath(path)
     except Exception:
         pass  # cache invalidation must never fail the committed write
+
+
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str = "op",
+    partition_by: str | None = None,
+    evolve_schema: bool = False,
+) -> None:
+    """Apply a CDC changefeed — rows tagged ``upsert`` or ``delete`` in
+    ``op_col`` — to a parquet-backed table in ONE partition-pruned
+    rewrite (the Delta Change-Data-Feed / APPLY CHANGES INTO pattern,
+    composed from the same staging-swap core as :func:`merge_upsert`).
+
+    Semantics: the batch is a snapshot of net changes — every change
+    key's old row is removed, then upsert rows are inserted, so a key
+    appearing as BOTH delete and upsert ends present with the upsert's
+    values (last-write-wins at batch grain; feed compaction upstream
+    decides intra-batch ordering). Unknown op values raise before
+    anything is written. With ``partition_by`` set, every change row
+    (including deletes) must carry the partition column so pruning sees
+    the partitions deletes touch.
+
+    At 100 TB this is the nightly-CDC shape: one bounded
+    partition-value collect, one anti-join keyed on the change keys,
+    and a rewrite of only the touched partitions."""
+    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+    bad = ops - {"upsert", "delete"}
+    if bad:
+        raise ValueError(
+            f"apply_changes: unknown op values {sorted(bad)}; expected "
+            "'upsert' or 'delete'"
+        )
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    exists = os.path.exists(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    )
+    if not exists:
+        write_partitioned(upserts, path, partition_by)
+        return
+    _parquet_rewrite_core(
+        spark,
+        path,
+        remove_keys=changes.select(*keys).distinct(),
+        inserts=upserts,
+        keys=keys,
+        prune_source=changes,
+        partition_by=partition_by,
+        evolve_schema=evolve_schema,
+    )
 
 
 def delete_where(

@@ -389,3 +389,68 @@ def test_compact_table_zorder(spark, tmp_path):
     after = sum(spans) / len(spans)
     # z-ordered files cover a fraction of the random layout's span
     assert after < before * 0.7, (before, after)
+
+
+def test_apply_changes_upsert_delete_batch(spark, tmp_path):
+    from lakehouse_architecture_spark.sinks import writers
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")],
+        "k long, v string, p string",
+    )
+    writers.write_partitioned(base, path, "p")
+    changes = spark.createDataFrame(
+        [
+            (2, "B2", "p1", "upsert"),   # update existing
+            (5, "e", "p1", "upsert"),    # insert new
+            (3, None, "p2", "delete"),   # delete existing
+            (6, "f", "p2", "upsert"),    # both ops on one key:
+            (6, None, "p2", "delete"),   # upsert wins at batch grain
+        ],
+        "k long, v string, p string, op string",
+    )
+    writers.apply_changes(spark, changes, path, ["k"], partition_by="p")
+    got = {
+        (r.k, r.v, r.p)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a", "p1"),
+        (2, "B2", "p1"),
+        (5, "e", "p1"),
+        (4, "d", "p2"),
+        (6, "f", "p2"),
+    }
+    # idempotent: re-applying the same batch changes nothing
+    writers.apply_changes(spark, changes, path, ["k"], partition_by="p")
+    again = {
+        (r.k, r.v, r.p)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+
+def test_apply_changes_rejects_unknown_op_and_bootstraps(spark, tmp_path):
+    import pytest as _pytest
+
+    from lakehouse_architecture_spark.sinks import writers
+
+    path = str(tmp_path / "cdc2")
+    bad = spark.createDataFrame(
+        [(1, "a", "merge!")], "k long, v string, op string"
+    )
+    with _pytest.raises(ValueError, match="unknown op"):
+        writers.apply_changes(spark, bad, path, ["k"])
+    # nothing written by the failed batch
+    import os as _os
+
+    assert not _os.path.exists(path)
+    # first batch against an empty path bootstraps from the upserts
+    first = spark.createDataFrame(
+        [(1, "a", "upsert"), (9, "x", "delete")], "k long, v string, op string"
+    )
+    writers.apply_changes(spark, first, path, ["k"])
+    assert [(r.k, r.v) for r in spark.read.parquet(path).collect()] == [
+        (1, "a")
+    ]
