@@ -642,3 +642,54 @@ def stream_cms_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_path: str,
+    keys: list[str],
+    op_col: str = "op",
+    partition_by: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Changefeed stream -> ``apply_changes`` per micro-batch: the
+    continuous form of CDC table maintenance (Delta's APPLY CHANGES
+    INTO). Each micro-batch is a net-change set — upserts replace,
+    deletes remove, a key in both ends with the upsert's values — and
+    because apply_changes re-applies idempotently, checkpoint replay
+    after a crash converges to the same table (the exactly-once
+    protocol of the other ingest jobs, without a staging ledger:
+    the batch rewrite itself is the commit).
+
+    Scale contract is apply_changes': per micro-batch, one bounded
+    partition-value collect and a rewrite of only the partitions the
+    batch touches — a trickle of deletes never rewrites the table.
+    """
+    from lakehouse_architecture_spark.sinks.writers import apply_changes
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            spark,
+            batch_df,
+            target_path,
+            keys,
+            op_col=op_col,
+            partition_by=partition_by,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -535,3 +535,51 @@ def test_stream_cms_ingest_merges_to_batch_sketch(spark, tmp_path):
         for r in load_cms_counters(spark, sketch).collect()
     }
     assert again == expect
+
+
+def test_stream_cdc_apply_converges(spark, tmp_path):
+    import json as _json
+
+    from lakehouse_architecture_spark.streaming.jobs import stream_cdc_apply
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "op": "upsert"},
+                {"k": 2, "v": "b", "op": "upsert"},
+            ]
+        )
+    )
+    schema = "k long, v string, op string"
+    q = stream_cdc_apply(
+        spark, str(src), schema, target, ["k"], checkpoint_dir=ckpt
+    ).start()
+    q.awaitTermination(120)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # second batch: delete k=1, update k=2, insert k=3
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "v": None, "op": "delete"},
+                {"k": 2, "v": "B", "op": "upsert"},
+                {"k": 3, "v": "c", "op": "upsert"},
+            ]
+        )
+    )
+    q2 = stream_cdc_apply(
+        spark, str(src), schema, target, ["k"], checkpoint_dir=ckpt
+    ).start()
+    q2.awaitTermination(120)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (2, "B"),
+        (3, "c"),
+    }
