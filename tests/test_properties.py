@@ -406,3 +406,94 @@ def test_weighted_sample_matches_reference_selection(spark, rows, k):
         d for d, _w in sorted(rows, key=lambda t: (py_key(*t), t[0]))
     ][:k]
     assert got == expect
+
+
+_bloom_keys = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=20),
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=20),
+)
+
+
+@_settings
+@given(_bloom_keys)
+def test_bloom_never_drops_a_true_match(spark, keysets):
+    from lakehouse_architecture_spark.operators.bloom import bloom_prefilter
+
+    dim_keys, fact_keys = keysets
+    dim = spark.createDataFrame([(k,) for k in sorted(dim_keys)], "k long")
+    fact = spark.createDataFrame([(k,) for k in sorted(fact_keys)], "k long")
+    passed = {
+        r.k for r in bloom_prefilter(fact, "k", dim, "k", 1024, 3).collect()
+    }
+    # completeness: every true member passes; soundness is probabilistic
+    assert (fact_keys & dim_keys) <= passed
+    assert passed <= fact_keys
+
+
+_names = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=4),
+    min_size=2,
+    max_size=6,
+    unique=True,
+)
+
+
+@_settings
+@given(_names)
+def test_fuzzy_d1_matches_brute_force(spark, names):
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs_d1(df, "name", "id").collect()
+    }
+    want = {
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want  # deletion-neighborhood blocking is COMPLETE at d=1
+
+
+_xy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@_settings
+@given(_xy)
+def test_ols_matches_numpy_closed_form(spark, pts):
+    import numpy as np
+    from hypothesis import assume
+
+    from lakehouse_architecture_spark.operators.ols import simple_ols
+
+    xs = np.array([p[0] for p in pts], dtype=float)
+    ys = np.array([p[1] for p in pts], dtype=float)
+    assume(len(set(xs)) > 1)  # slope defined only with x-variance
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pts], "x double, y double"
+    )
+    r = simple_ols(df, "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r.slope - slope) < 1e-8
+    assert abs(r.intercept - intercept) < 1e-8
