@@ -1492,9 +1492,14 @@ def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny contingency relation. dayofweek() runs under the loader's
     pinned UTC session, so the bucketing is environment-independent."""
     ev = load_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.dayofweek("ts").alias("dow")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # cached: five consumers (row/col/total margins, cells, the spine)
+    # read the 35-row contingency relation — uncached, each one would
+    # rescan raw events (measured 6 scans in the static plan)
+    obs = (
+        ev.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
     rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols = obs.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
