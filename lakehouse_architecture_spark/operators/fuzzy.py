@@ -49,18 +49,19 @@ def deletion_variants(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def fuzzy_pairs_d1(
+def fuzzy_candidates_d1(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Verified pairs (id_a, id_b, name_a, name_b, dist) with
-    Levenshtein distance <= 1, id_a < id_b. COMPLETE for d=1 by the
-    deletion-neighborhood theorem; candidates are bucket-mates on the
-    variant key only. ``max_bucket`` drops variant keys shared by more
-    than that many rows (documented recall trade for adversarial
-    boilerplate); None keeps exactness."""
+    """UNVERIFIED candidate pairs (id_a, id_b, name_a, name_b), id_a <
+    id_b: every pair sharing a deletion-1 variant — a superset of the
+    true d<=1 pairs (bucket collisions included), which is what the
+    blocking-efficiency measurement queries count before the verify.
+    ``max_bucket`` drops variant keys shared by more than that many
+    rows (documented recall trade for adversarial boilerplate); None
+    keeps exactness."""
     v = deletion_variants(df, text_col, id_col)
     if max_bucket is not None:
         keep = (
@@ -80,12 +81,25 @@ def fuzzy_pairs_d1(
         F.col("id").alias("id_b"),
         F.col("name").alias("name_b"),
     )
-    cand = (
+    return (
         a.join(b, "var")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()
     )
+
+
+def fuzzy_pairs_d1(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Verified pairs (id_a, id_b, name_a, name_b, dist) with
+    Levenshtein distance <= 1, id_a < id_b. COMPLETE for d=1 by the
+    deletion-neighborhood theorem; candidates are bucket-mates on the
+    variant key only (see :func:`fuzzy_candidates_d1`)."""
+    cand = fuzzy_candidates_d1(df, text_col, id_col, max_bucket)
     return cand.select(
         "id_a",
         "id_b",

@@ -23,15 +23,21 @@ _DEC = "decimal(30,18)"
 
 
 def _m(e: Column) -> Column:
-    return F.sum(e.cast("double").cast(_DEC)).cast("double")
+    return F.sum(e.cast(_DEC)).cast("double")
 
 
 def simple_ols(df: DataFrame, x: str, y: str) -> DataFrame:
     """One-row DataFrame (n, slope, intercept, r2) of the least-squares
     fit y ~ slope*x + intercept, all moments decimal-exact. Declarative
     (no collect): compose it into larger plans or let the caller
-    collect the 4 scalars."""
-    xc, yc = F.col(x), F.col(y)
+    collect the 4 scalars.
+
+    Operands are cast to double BEFORE multiplying (not after): the
+    oracle form SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS
+    DECIMAL)) multiplies doubles, and a DecimalType input column
+    multiplied natively first would produce a (more exact!) different
+    product — bit-parity requires mirroring the arithmetic order."""
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
         _m(xc).alias("sx"),

@@ -34,6 +34,7 @@ def salted_agg_count_sum(
     key: str,
     value: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: count + decimal sum per key.
 
@@ -42,12 +43,21 @@ def salted_agg_count_sum(
     now-tiny (key) relation. Identical result to a direct groupBy(key):
     counts add, and the decimal sums are exact so re-summing partials is
     associative.
+
+    Salt entropy vs scan width: by default the deterministic salt
+    hashes the WHOLE row, which is guaranteed entropy but reads every
+    table column (defeating scan pruning — measured 11 cols read for a
+    2-col aggregate). Pass ``salt_cols`` naming a few high-entropy
+    columns (a row id) to keep the scan narrow. Do NOT rely on
+    (key, value) alone: a hot key whose measure is constant would hash
+    to ONE salt and re-create the very skew this operator removes.
     """
-    # Project FIRST: salting over the whole row would read every table
-    # column (xxhash64 of all columns defeats scan pruning — measured
-    # 11 cols read instead of 2); the (key, value) pair is enough
-    # deterministic entropy to spread a hot key.
-    df = df.select(key, value)
+    cols = (
+        list(dict.fromkeys([key, value] + salt_cols))
+        if salt_cols is not None
+        else df.columns
+    )
+    df = df.select(*cols)
     partial = (
         df.withColumn("_salt", _salt(df, n_salts))
         .groupBy(key, "_salt")

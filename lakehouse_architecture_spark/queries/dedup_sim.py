@@ -1197,21 +1197,15 @@ def customers_fuzzy_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic (MinHash / SimHash / embedding LSH)."""
     from lakehouse_architecture_spark.operators.fuzzy import (
         deletion_variants,
-        fuzzy_pairs_d1,
+        fuzzy_candidates_d1,
     )
 
     cust = load_table(spark, sf_dir, "customer")
     v = deletion_variants(cust, "c_name", "c_custkey").cache()
-    a = v.select("var", F.col("id").alias("id_a"), F.col("name").alias("na"))
-    b = v.select("var", F.col("id").alias("id_b"), F.col("name").alias("nb"))
-    cand = (
-        a.join(b, "var")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "na", "nb")
-        .distinct()
-        .cache()
-    )
-    matched = cand.filter(F.levenshtein("na", "nb") <= 1)
+    # the operator's own candidate generation (shared with
+    # fuzzy_pairs_d1), cached for the two counting consumers
+    cand = fuzzy_candidates_d1(cust, "c_name", "c_custkey").cache()
+    matched = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
     s_ent = cust.agg(F.count(F.lit(1)).alias("n_entities"))
     s_var = v.agg(
         F.count(F.lit(1)).alias("n_variants"),

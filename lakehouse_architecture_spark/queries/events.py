@@ -1343,6 +1343,10 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.dayofmonth("ts")
 
     def stats(a, b):
+        # cached: each side feeds ~4 actions (own sketch, union sketch,
+        # distinct count, semi-join) — uncached, every action rescans
+        # raw events (the chi2 contingency lesson)
+        a, b = a.cache(), b.cache()
         est = lambda d: d.agg(  # noqa: E731
             F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")
         ).first().e
@@ -1350,6 +1354,8 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         da, db = a.distinct(), b.distinct()
         xa, xb = da.count(), db.count()
         xi = da.join(db, "c", "left_semi").count()
+        a.unpersist()
+        b.unpersist()
         return ea, eb, eu, xa, xb, xi
 
     ca, cb, cu, cxa, cxb, cxi = stats(

@@ -1649,7 +1649,17 @@ def lineitem_salted_agg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    return salted_agg_count_sum(li, "l_returnflag", "l_quantity", n_salts=16)
+    # salt on the line identity (orderkey, linenumber): full per-row
+    # entropy from a 4-column scan instead of the 11-column whole-row
+    # hash — and never (key, value) alone, which collapses to one salt
+    # when the hot key's measure is constant
+    return salted_agg_count_sum(
+        li,
+        "l_returnflag",
+        "l_quantity",
+        n_salts=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
 
 
 @query(

@@ -319,14 +319,23 @@ def _parquet_rewrite_core(
     write_partitioned(merged, staging, partition_by)
 
     if untouched_path_ok and partition_by:
-        # Swap only the affected partition directories.
-        for entry in os.listdir(staging):
-            if entry.startswith(("_", ".")):
-                continue
+        # Swap every PRUNED partition, not just those present in
+        # staging: a CDC delete that empties a whole partition writes
+        # no staging directory for it, and iterating staging alone
+        # would leave the old directory — and its deleted rows — in
+        # place (the delete_where swap pattern).
+        staged = {
+            e for e in os.listdir(staging) if not e.startswith(("_", "."))
+        }
+        for value in parts:
+            entry = f"{partition_by}={value}"
             dst = os.path.join(path, entry)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
-            shutil.move(os.path.join(staging, entry), dst)
+            if entry in staged:
+                shutil.move(os.path.join(staging, entry), dst)
+            # else: every row of that partition was removed — the
+            # directory stays deleted.
         shutil.rmtree(staging)
     else:
         backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -379,9 +388,11 @@ def apply_changes(
     ops = {r[0] for r in changes.select(op_col).distinct().collect()}
     bad = ops - {"upsert", "delete"}
     if bad:
+        # sort by repr: a batch can mix NULL and misspelled ops, and
+        # str/None don't order
         raise ValueError(
-            f"apply_changes: unknown op values {sorted(bad)}; expected "
-            "'upsert' or 'delete'"
+            f"apply_changes: unknown op values {sorted(bad, key=repr)}; "
+            "expected 'upsert' or 'delete'"
         )
     upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     exists = os.path.exists(path) and any(

@@ -454,3 +454,24 @@ def test_apply_changes_rejects_unknown_op_and_bootstraps(spark, tmp_path):
     assert [(r.k, r.v) for r in spark.read.parquet(path).collect()] == [
         (1, "a")
     ]
+
+
+def test_apply_changes_delete_empties_whole_partition(spark, tmp_path):
+    from lakehouse_architecture_spark.sinks import writers
+
+    path = str(tmp_path / "cdc3")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (3, "c", "p2")], "k long, v string, p string"
+    )
+    writers.write_partitioned(base, path, "p")
+    # p2's only row is deleted: the partition directory must disappear,
+    # not silently keep serving the deleted row
+    changes = spark.createDataFrame(
+        [(3, None, "p2", "delete")], "k long, v string, p string, op string"
+    )
+    writers.apply_changes(spark, changes, path, ["k"], partition_by="p")
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", "p1")}
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(path, "p=p2"))
