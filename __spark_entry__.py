@@ -36,13 +36,16 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-7 priority: (a) the queries that have NEVER had a driver row
-# (the five new r7 analytics plus docs_length_histogram, which landed
-# after r6's driver run); (b) the 18 queries whose standing row is r3
-# (four rounds old — r6's window filled up before reaching them);
-# (c) the 39 r4-stale rows, oldest tier next — the first ~24 fit this
-# round's 50-slot window, the tail leads r8's rotation. Everything
-# green in r5/r6 with unchanged code rotates to the second tier.
+# Round-7 priority: (a) the ~29 queries that have NEVER had a driver
+# row (the r7 waves: CMS/bucketed/BPE-encode/weighted/PageRank/logreg,
+# then the r7c analytics — learned-filter apply, semantic dedup,
+# triangles, bloom pruning, salted agg, fuzzy linkage, OLS, HLL
+# intersection, PQ, z-test, chi2, CUSUM — plus docs_length_histogram
+# and the r7a profile/percentile/seasonal family); (b) the 18 queries
+# whose standing row is r3 (the first ~19 slots of the remaining
+# window); (c) the r4-stale rows lead r8's rotation (see the memory
+# note). Everything green in r5/r6 with unchanged code rotates to the
+# second tier.
 _PRIORITY = [
     # never checked (r7 new + r6 late addition)
     "events_cms_topk_accuracy",
