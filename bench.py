@@ -140,6 +140,18 @@ NOTES: list[str] = [
     "values per group, which for near-unique columns (prices) meant "
     "~200k rows in ONE task and would not survive 100x; the overhead "
     "is a constant plan cost, not data-proportional.",
+    "r7c: lineitem_ols_price_on_qty reads ~2.0 s at sf0.1 for a "
+    "single aggregate — the wall is the six decimal(30,18) moment "
+    "sums (BigDecimal accumulation outside codegen's primitive fast "
+    "path), the deliberate price of bit-reproducible cross-engine "
+    "moments; the plan is one scan + one 1-row combine, linear and "
+    "map-side at any scale. A production fit that tolerates "
+    "float-order variance can swap the casts for plain double sums. "
+    "Also r7c: lineitem_salted_agg_by_flag's first plan hashed the "
+    "whole row for the salt and read 11 columns for a 2-column "
+    "aggregate; salts now hash explicit salt_cols (line identity) — "
+    "cols read 11 -> 4, and NEVER (key, value) alone, which would "
+    "collapse to one salt on a constant-measure hot key.",
     "r6: docs_curation_funnel keeps exact n-gram Jaccard for stage 5 "
     "instead of reusing the MinHash corpus index: banded LSH candidates "
     "are ~95% recall at J=0.3 (1-(1-J^2)^32 band math), which would "
