@@ -66,6 +66,7 @@ _PRIORITY = [
     "events_ab_test_value_ztest",
     "events_chi2_type_dow",
     "events_cusum_daily_drift",
+    "orders_expectation_report",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -210,3 +210,63 @@ def ri_dangling_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+@query(
+    "orders_expectation_report",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS s_notnull,
+         COUNT(DISTINCT o_orderkey) AS s_unique,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS s_inset,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice >= 500.0
+                        AND o_totalprice <= 600000.0 THEN 1 ELSE 0 END) AS BIGINT) AS s_between
+  FROM orders
+)
+SELECT 'not_null(o_custkey)' AS expectation, n AS n_rows,
+       s_notnull AS n_satisfied, CAST(1.0 AS DOUBLE) AS min_ratio,
+       s_notnull >= CAST(CEIL(1.0 * n) AS BIGINT) AS passed FROM m
+UNION ALL
+SELECT 'unique(o_orderkey)', n, s_unique, CAST(1.0 AS DOUBLE),
+       s_unique >= CAST(CEIL(1.0 * n) AS BIGINT) FROM m
+UNION ALL
+SELECT 'in_set(o_orderstatus)', n, s_inset, CAST(1.0 AS DOUBLE),
+       s_inset >= CAST(CEIL(1.0 * n) AS BIGINT) FROM m
+UNION ALL
+SELECT 'between(o_totalprice,500.0,600000.0)', n, s_between, CAST(0.95 AS DOUBLE),
+       s_between >= CAST(CEIL(0.95 * n) AS BIGINT) FROM m
+""",
+)
+def orders_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the orders table
+    (operators/expectations.py): non-null custkey, unique orderkey,
+    status within its enum, and 95% of totals inside the plausible
+    band — the Great-Expectations checkpoint the reference's
+    validation pipeline implies, generalized to TABLE-level contracts.
+    ALL expectations fold into ONE aggregate (a 100 TB audit is one
+    scan regardless of how many contracts are attached); the report is
+    exact integers plus an integer-safe pass verdict
+    (n_satisfied >= ceil(min_ratio * n)), every row replicated by the
+    oracle."""
+    from lakehouse_architecture_spark.operators.expectations import (
+        ExpectBetween,
+        ExpectInSet,
+        ExpectNotNull,
+        ExpectUnique,
+        evaluate_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluate_expectations(
+        orders,
+        [
+            ExpectNotNull("o_custkey"),
+            ExpectUnique("o_orderkey"),
+            ExpectInSet("o_orderstatus", allowed=("O", "F", "P")),
+            ExpectBetween(
+                "o_totalprice", min_ratio=0.95, lo=500.0, hi=600000.0
+            ),
+        ],
+    )

@@ -190,3 +190,43 @@ def test_enum_and_regex_rules(spark):
     errs = {r.id: r.validation_errors for r in invalid.collect()}
     assert errs[2] == "Invalid status value"
     assert errs[3] == "Malformed email"
+
+
+def test_expectations_single_aggregate_report(spark):
+    from lakehouse_architecture_spark.operators.expectations import (
+        ExpectBetween,
+        ExpectInSet,
+        ExpectNotNull,
+        ExpectUnique,
+        evaluate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "A", 20.0),
+            (2, "B", None),     # duplicate id, null price
+            (4, "Z", 999.0),    # out-of-set status, out-of-range price
+        ],
+        "id long, status string, price double",
+    )
+    rep = {
+        r.expectation: (r.n_rows, r.n_satisfied, r.passed)
+        for r in evaluate_expectations(
+            df,
+            [
+                ExpectNotNull("price", min_ratio=0.75),
+                ExpectUnique("id"),
+                ExpectInSet("status", allowed=("A", "B")),
+                ExpectBetween("price", min_ratio=0.5, lo=0.0, hi=100.0),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(price)"] == (4, 3, True)       # 3/4 >= .75
+    assert rep["unique(id)"] == (4, 3, False)           # 3 distinct of 4
+    assert rep["in_set(status)"] == (4, 3, False)       # Z fails, ratio 1.0
+    assert rep["between(price,0.0,100.0)"] == (4, 2, True)  # 2/4 >= .5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no expectations"):
+        evaluate_expectations(df, [])
