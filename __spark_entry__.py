@@ -67,6 +67,8 @@ _PRIORITY = [
     "events_chi2_type_dow",
     "events_cusum_daily_drift",
     "orders_expectation_report",
+    "scalar_array_funcs",
+    "scalar_null_semantics",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

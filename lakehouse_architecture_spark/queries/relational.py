@@ -1702,3 +1702,86 @@ def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+         AS n_positive,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0
+         AS any_gt_09,
+       ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+           + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+           + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+           + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 6)
+         AS head_sum,
+       ROUND(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1]
+                  AS DOUBLE), 6) AS first_doubled
+FROM embeddings
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — the §2.6 family over typed
+    arrays: size, lambda filter, exists, a sequential aggregate fold,
+    and transform, each against DuckDB's list_* twins. The fold adds
+    the first 8 elements in EXPLICIT order on both engines (the oracle
+    spells out e[1]+…+e[8]) so the double sum is order-pinned, the
+    same doctrine as the moving-average frame. All per-row, no
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    x_pos = lambda x: x.cast("double") > 0.0  # noqa: E731
+    head = F.slice(e, 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.size(F.filter(e, x_pos)).alias("n_positive"),
+        F.exists(e, lambda x: x.cast("double") > 0.9).alias("any_gt_09"),
+        F.round(
+            F.aggregate(
+                head, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(
+            F.element_at(
+                F.transform(e, lambda x: x.cast("double") * 2.0), 1
+            ),
+            6,
+        ).alias("first_doubled"),
+    )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+SELECT event_id,
+       COALESCE(value, -1.0) AS value_or_default,
+       value IS NULL AS value_missing,
+       (value IS NOT DISTINCT FROM CAST(NULL AS DOUBLE)) AS nullsafe_eq_null,
+       NULLIF(event_type, 'click') AS type_unless_click,
+       CASE WHEN value IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_tag
+FROM events
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: COALESCE, IS NULL, Spark's
+    null-safe equality ``<=>`` against DuckDB's IS NOT DISTINCT FROM,
+    NULLIF, and NVL2 — the null-handling semantics every engine
+    migration trips over, pinned row-by-row over the nullable
+    events.value column. Pure projections."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.coalesce(v, F.lit(-1.0)).alias("value_or_default"),
+        v.isNull().alias("value_missing"),
+        F.expr("value <=> CAST(NULL AS DOUBLE)").alias("nullsafe_eq_null"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias(
+            "type_unless_click"
+        ),
+        F.expr("nvl2(value, 'has', 'none')").alias("nvl2_tag"),
+    )
