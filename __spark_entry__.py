@@ -69,6 +69,8 @@ _PRIORITY = [
     "orders_expectation_report",
     "scalar_array_funcs",
     "scalar_null_semantics",
+    "orders_incremental_rollup_state",
+    "scalar_bitwise_funcs",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

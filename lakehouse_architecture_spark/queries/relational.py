@@ -1785,3 +1785,77 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("nvl2(value, 'has', 'none')").alias("nvl2_tag"),
     )
+
+
+@query(
+    "orders_incremental_rollup_state",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_value
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def orders_incremental_rollup_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/incremental_agg.py): the stored per-(status, priority)
+    state is built from the orders BEFORE the pivot key, then three
+    daily-batch partials (pivot split by orderkey mod 3) fold in one
+    at a time — each refresh costs batch + state work, NEVER a corpus
+    rescan. Because counts and decimal sums merge exactly, the
+    incrementally-maintained state is bit-identical to a full
+    recompute, so the ORACLE IS THE FULL GROUP BY over all orders —
+    the driver proves the incremental path equals the from-scratch
+    answer every round."""
+    from lakehouse_architecture_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    pivot = 7500
+    state = agg_state(
+        orders.filter(F.col("o_orderkey") < pivot), keys, "o_totalprice"
+    )
+    rest = orders.filter(F.col("o_orderkey") >= pivot)
+    for i in range(3):
+        batch = rest.filter(F.col("o_orderkey") % 3 == i)
+        state = merge_agg_state(state, agg_state(batch, keys, "o_totalprice"))
+    return state.select(
+        *keys, "n_rows", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS key_low_byte,
+       o_orderkey | 7 AS key_or7,
+       xor(o_orderkey, o_custkey) AS key_xor_cust,
+       bit_count(o_orderkey) AS key_popcount,
+       o_orderkey << 2 AS key_shl2,
+       o_orderkey >> 3 AS key_shr3
+FROM orders
+""",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — &, |, XOR, popcount, shifts — pinned
+    row-by-row against DuckDB (the primitives under the SimHash
+    Hamming verify and the Bloom masks, here exposed as first-class
+    §2.6 surface). Pure projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        k.bitwiseOR(F.lit(7)).alias("key_or7"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor_cust"),
+        F.bit_count(k).alias("key_popcount"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("key_shl2"),
+        F.expr("shiftright(o_orderkey, 3)").alias("key_shr3"),
+    )

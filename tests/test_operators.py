@@ -585,3 +585,27 @@ def test_pq_adc_shortlist_recalls_planted_neighbors(spark):
     assert got == same_cluster  # all 19 true neighbors, nothing else
     with __import__("pytest").raises(ValueError, match="query dim"):
         pq_adc_topk(enc, cbs, q[:8], k=3)
+
+
+def test_incremental_agg_state_equals_full_recompute(spark):
+    from lakehouse_architecture_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "k" + str(i % 3), float(i) * 1.5) for i in range(60)],
+        "id long, k string, v double",
+    )
+    state = agg_state(df.filter("id < 20"), ["k"], "v")
+    for lo, hi in [(20, 40), (40, 60)]:
+        batch = df.filter(f"id >= {lo} and id < {hi}")
+        state = merge_agg_state(state, agg_state(batch, ["k"], "v"))
+    got = {
+        r.k: (r.n_rows, float(r.sum_value)) for r in state.collect()
+    }
+    full = {
+        r.k: (r.n_rows, float(r.sum_value))
+        for r in agg_state(df, ["k"], "v").collect()
+    }
+    assert got == full  # incremental == from-scratch, exactly
