@@ -693,3 +693,75 @@ def stream_cdc_apply(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_rollup_maintain(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_path: str,
+    keys: list[str],
+    value: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuously maintain an EXACT per-key (count, decimal-sum)
+    rollup from a file stream: each micro-batch aggregates to a
+    batch-sized partial and folds into the stored state
+    (operators/incremental_agg.py) — the exact-aggregate sibling of
+    the CMS ingest, for the metrics where an estimate won't do.
+
+    Batch cost is O(|state| + |batch|); the fold is exact decimal
+    algebra, so replaying a checkpointed batch after a crash converges
+    to the same state a from-scratch rebuild would produce. State is
+    written via the staging-swap (atomic-rename) path like every
+    other maintained table."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from lakehouse_architecture_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_state,
+    )
+    from lakehouse_architecture_spark.sinks.writers import (
+        _refresh_swapped_path,
+    )
+
+    stream = (
+        spark.readStream.format("json").schema(schema).load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = agg_state(batch_df, keys, value)
+        exists = _os.path.exists(state_path) and any(
+            not e.startswith(("_", "."))
+            for e in _os.listdir(state_path)
+        )
+        if exists:
+            prior = spark.read.parquet(state_path)
+            # materialize BEFORE the swap: the merged plan reads the
+            # files the swap replaces
+            merged = merge_agg_state(prior, partial).localCheckpoint(
+                eager=True
+            )
+        else:
+            merged = partial
+        staging = f"{state_path}.staging-{_uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        if _os.path.exists(state_path):
+            backup = f"{state_path}.old-{_uuid.uuid4().hex[:8]}"
+            _shutil.move(state_path, backup)
+            _shutil.move(staging, state_path)
+            _shutil.rmtree(backup)
+        else:
+            _shutil.move(staging, state_path)
+        _refresh_swapped_path(spark, state_path)
+
+    writer = stream.writeStream.foreachBatch(handle_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

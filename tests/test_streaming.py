@@ -583,3 +583,47 @@ def test_stream_cdc_apply_converges(spark, tmp_path):
         (2, "B"),
         (3, "c"),
     }
+
+
+def test_stream_rollup_maintain_exact_state(spark, tmp_path):
+    import json as _json
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_rollup_maintain,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    schema = "k string, v double"
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": v})
+            for k, v in [("a", 1.5), ("a", 2.5), ("b", 10.0)]
+        )
+    )
+    q = stream_rollup_maintain(
+        spark, str(src), schema, state, ["k"], "v", checkpoint_dir=ckpt
+    ).start()
+    q.awaitTermination(120)
+    got = {
+        r.k: (r.n_rows, float(r.sum_value))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {"a": (2, 4.0), "b": (1, 10.0)}
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": v})
+            for k, v in [("b", 0.5), ("c", 7.0)]
+        )
+    )
+    q2 = stream_rollup_maintain(
+        spark, str(src), schema, state, ["k"], "v", checkpoint_dir=ckpt
+    ).start()
+    q2.awaitTermination(120)
+    got2 = {
+        r.k: (r.n_rows, float(r.sum_value))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == {"a": (2, 4.0), "b": (2, 10.5), "c": (1, 7.0)}
