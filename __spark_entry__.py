@@ -71,6 +71,7 @@ _PRIORITY = [
     "scalar_null_semantics",
     "orders_incremental_rollup_state",
     "scalar_bitwise_funcs",
+    "orders_trend_by_segment",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

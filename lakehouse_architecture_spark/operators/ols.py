@@ -57,3 +57,36 @@ def simple_ols(df: DataFrame, x: str, y: str) -> DataFrame:
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
         (cov_n * cov_n / (var_x * var_y)).alias("r2"),
     )
+
+
+def grouped_ols(
+    df: DataFrame, group_cols: list[str], x: str, y: str
+) -> DataFrame:
+    """Per-group least-squares fits in ONE grouped aggregate:
+    (group..., n, slope, intercept, r2). Same decimal-exact moment
+    algebra as :func:`simple_ols`, keyed — fitting a trend per segment
+    over 100 TB is one shuffle on the group key with map-side partial
+    moments, never a per-group scan. Groups with zero x-variance get a
+    null slope (guarded division) rather than an ANSI error."""
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(xc).alias("sx"),
+        _m(yc).alias("sy"),
+        _m(xc * xc).alias("sxx"),
+        _m(yc * yc).alias("syy"),
+        _m(xc * yc).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    safe_vx = F.when(var_x != 0.0, var_x)
+    slope = cov_n / safe_vx
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        (cov_n * cov_n / (safe_vx * var_y)).alias("r2"),
+    )

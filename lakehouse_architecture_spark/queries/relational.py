@@ -1859,3 +1859,58 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(o_orderkey, 2)").alias("key_shl2"),
         F.expr("shiftright(o_orderkey, 3)").alias("key_shr3"),
     )
+
+
+@query(
+    "orders_trend_by_segment",
+    oracle="""
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+         o.o_totalprice AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+m AS (
+  SELECT segment, COUNT(*) AS n,
+    CAST(SUM(CAST(CAST(mi AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(rev AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(mi AS DOUBLE) * CAST(mi AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(mi AS DOUBLE) * CAST(rev AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY segment
+)
+SELECT segment, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM m
+""",
+)
+def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend: a least-squares slope of order value
+    over month index, fitted for every market segment in ONE grouped
+    aggregate (operators/ols.grouped_ols) — the is-this-segment-
+    growing question answered without a per-group scan. The month
+    index is pure integer calendar arithmetic (year*12 + month —
+    identical on both engines, unlike months_between vs date_diff
+    whose truncation disagrees before the pivot date) and the moments
+    are decimal-exact, so slope and
+    intercept compare bit-for-bit cross-engine after round(6)."""
+    from lakehouse_architecture_spark.operators.ols import grouped_ols
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pts = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    fit = grouped_ols(pts, ["segment"], "mi", "rev")
+    return fit.select(
+        "segment",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )

@@ -609,3 +609,25 @@ def test_incremental_agg_state_equals_full_recompute(spark):
         for r in agg_state(df, ["k"], "v").collect()
     }
     assert got == full  # incremental == from-scratch, exactly
+
+
+def test_grouped_ols_matches_per_group_numpy(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.ols import grouped_ols
+
+    rows = []
+    for g, (a, b) in enumerate([(2.0, 1.0), (-0.5, 10.0)]):
+        for i in range(20):
+            rows.append((f"g{g}", float(i), a * i + b + ((i * 13) % 7) * 0.1))
+    rows.append(("flat", 5.0, 1.0))
+    rows.append(("flat", 5.0, 2.0))  # zero x-variance -> null slope
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    for g in ("g0", "g1"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[g].slope - slope) < 1e-9
+        assert abs(got[g].intercept - intercept) < 1e-9
+    assert got["flat"].slope is None  # guarded, not an ANSI error
