@@ -72,6 +72,7 @@ _PRIORITY = [
     "orders_incremental_rollup_state",
     "scalar_bitwise_funcs",
     "orders_trend_by_segment",
+    "lineitem_key_skew_profile",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

@@ -1914,3 +1914,55 @@ def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+@query(
+    "lineitem_key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+),
+top10 AS (
+  SELECT c FROM per_key ORDER BY c DESC, k ASC LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM per_key) AS n_keys,
+       (SELECT SUM(c) FROM per_key) AS n_rows,
+       (SELECT MAX(c) FROM per_key) AS max_rows_per_key,
+       (SELECT SUM(c) FROM top10) AS rows_top10_keys,
+       ROUND((SELECT MAX(c) FROM per_key)
+             / ((SELECT CAST(SUM(c) AS DOUBLE) FROM per_key)
+                / (SELECT COUNT(*) FROM per_key)), 6) AS skew_ratio
+""",
+)
+def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the measurement that DECIDES between a
+    plain shuffle join, AQE skew splitting, and the explicit salting
+    operator (operators/skew.py) — per-key row counts reduced to key
+    cardinality, hottest-key mass, top-10 concentration, and the
+    max/mean skew ratio, all exact. One shuffle to the key grain; the
+    top-10 rides a bounded sort of the per-key COUNT relation (|keys|
+    rows, never the fact table). Run it BEFORE picking a join
+    strategy, the way emb_lsh_candidate_stats measures before the LSH
+    regime is chosen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    top10 = per_key.orderBy(F.desc("c"), F.asc("k")).limit(10)
+    s = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows_per_key"),
+    )
+    t = top10.agg(F.sum("c").alias("rows_top10_keys"))
+    return s.crossJoin(t).select(
+        "n_keys",
+        "n_rows",
+        "max_rows_per_key",
+        "rows_top10_keys",
+        F.round(
+            F.col("max_rows_per_key")
+            / (F.col("n_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+    )
