@@ -106,6 +106,13 @@ EXTRA = [
     "events_ab_test_value_ztest",
     "events_chi2_type_dow",
     "events_cusum_daily_drift",
+    "orders_incremental_rollup_state",
+    "orders_trend_by_segment",
+    "lineitem_key_skew_profile",
+    "orders_expectation_report",
+    "scalar_array_funcs",
+    "scalar_null_semantics",
+    "scalar_bitwise_funcs",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
