@@ -73,6 +73,7 @@ _PRIORITY = [
     "scalar_bitwise_funcs",
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
+    "customers_entity_resolution",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

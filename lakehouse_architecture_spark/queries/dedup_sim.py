@@ -1225,3 +1225,91 @@ def customers_fuzzy_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matched_pairs",
         )
     )
+
+
+@query(
+    "customers_entity_resolution",
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT c_custkey AS id, c_name AS name,
+         CASE WHEN i = 0 THEN c_name
+              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+         END AS var
+  FROM customer, UNNEST(generate_series(0, len(c_name))) AS t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+cl AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT (SELECT COUNT(*) FROM customer) AS n_entities,
+       (SELECT COUNT(*) FROM pairs) AS n_dup_pairs,
+       (SELECT COUNT(*) FROM comp) AS n_entities_in_clusters,
+       (SELECT COUNT(*) FROM cl) AS n_clusters,
+       (SELECT COUNT(*) FROM customer)
+         - (SELECT COUNT(*) FROM comp) + (SELECT COUNT(*) FROM cl)
+         AS n_canonical_entities
+""",
+)
+def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: SymSpell fuzzy matching
+    (operators/fuzzy.py) feeds near-identical-name pairs into the
+    connected-components election (operators/components.py), keep-min
+    canonicalization collapses each cluster — the full record-linkage
+    pipeline (match -> cluster -> survivor) as one query, the
+    customer-table sibling of docs_dedup_keep_best. The oracle
+    replicates the WHOLE chain: deletion-neighborhood candidates,
+    levenshtein verify, recursive-CTE transitive closure, per-cluster
+    census — every count exact cross-engine.
+
+    Scale: matching is the bucketed variant join (never all-pairs),
+    clustering is diameter-bounded label propagation, and the election
+    is one aggregate on the component key; nothing rescans the entity
+    table more than the operators themselves do."""
+    from lakehouse_architecture_spark.operators.components import (
+        connected_components,
+    )
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d1
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        fuzzy_pairs_d1(cust, "c_name", "c_custkey")
+        .select("id_a", "id_b")
+        .cache()
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b").cache()
+    s_ent = cust.agg(F.count(F.lit(1)).alias("n_entities"))
+    s_pairs = pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    s_in = labels.agg(F.count(F.lit(1)).alias("n_entities_in_clusters"))
+    s_cl = labels.agg(
+        F.countDistinct("comp").alias("n_clusters")
+    )
+    return (
+        s_ent.crossJoin(s_pairs)
+        .crossJoin(s_in)
+        .crossJoin(s_cl)
+        .select(
+            "n_entities",
+            "n_dup_pairs",
+            "n_entities_in_clusters",
+            "n_clusters",
+            (
+                F.col("n_entities")
+                - F.col("n_entities_in_clusters")
+                + F.col("n_clusters")
+            ).alias("n_canonical_entities"),
+        )
+    )
