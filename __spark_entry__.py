@@ -74,6 +74,7 @@ _PRIORITY = [
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
     "customers_entity_resolution",
+    "events_stickiness_ratio",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

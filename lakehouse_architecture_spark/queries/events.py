@@ -1606,3 +1606,66 @@ def events_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(z).over(w), 6) + F.lit(0.0)).alias("cusum"),
         )
     )
+
+
+@query(
+    "events_stickiness_ratio",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM act),
+dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+  FROM days d JOIN act a
+    ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT d.day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+""",
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness (DAU/WAU): per day, the distinct actives that
+    day over the distinct actives of its trailing 7 days — the
+    engagement-depth metric every product dashboard leads with. A
+    trailing COUNT DISTINCT can't ride a window frame, so both engines
+    use the same exact formulation: reduce raw events to the
+    (user, day) activity grain ONCE, then a calendar range join over
+    the day spine re-counts distincts per trailing week.
+
+    Scale: the activity relation is |users x active days| (already
+    tiny next to raw events), the range join is bounded by
+    |days| x 7 spine pairs, and the expensive distinct is computed on
+    that reduced relation — never on raw events. The ratio divides two
+    exact integers, so round(6) compares bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct().cache()
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    a = act.select(F.col("day").alias("aday"), "user_id")
+    wau = (
+        days.join(
+            a,
+            (F.col("aday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("aday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
