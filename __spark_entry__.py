@@ -75,6 +75,7 @@ _PRIORITY = [
     "lineitem_key_skew_profile",
     "customers_entity_resolution",
     "events_stickiness_ratio",
+    "lineitem_ols2_price_qty_discount",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",

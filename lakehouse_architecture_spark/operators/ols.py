@@ -90,3 +90,64 @@ def grouped_ols(
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
         (cov_n * cov_n / (safe_vx * var_y)).alias("r2"),
     )
+
+
+def ols2(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """Two-feature least squares y ~ b0 + b1*x1 + b2*x2 by the normal
+    equations, solved in-plan with Cramer's rule — still ONE aggregate
+    (nine decimal-exact moments), no driver linear algebra, no
+    iteration. The determinant expansions are written in a fixed term
+    order so an engine mirroring the same expressions reproduces the
+    coefficients bit-for-bit (the simple_ols doctrine, one rank up).
+    Rank-deficient inputs (collinear or constant features) make the
+    Gram determinant zero: coefficients come back null via the guarded
+    division rather than an ANSI error."""
+    a, b, c = (
+        F.col(x1).cast("double"),
+        F.col(x2).cast("double"),
+        F.col(y).cast("double"),
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(a).alias("s1"),
+        _m(b).alias("s2"),
+        _m(c).alias("sy"),
+        _m(a * a).alias("s11"),
+        _m(a * b).alias("s12"),
+        _m(b * b).alias("s22"),
+        _m(a * c).alias("s1y"),
+        _m(b * c).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    # det [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], first-row expansion
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    safe_det = F.when(det != 0.0, det)
+    # replace column k with [sy, s1y, s2y], same expansion order
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return agg.select(
+        "n",
+        (det0 / safe_det).alias("b0"),
+        (det1 / safe_det).alias("b1"),
+        (det2 / safe_det).alias("b2"),
+    )

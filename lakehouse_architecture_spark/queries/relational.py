@@ -1966,3 +1966,61 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "lineitem_ols2_price_qty_discount",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS nn,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s11,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s12,
+    CAST(SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s22,
+    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS s2y
+  FROM lineitem
+),
+d AS (
+  SELECT nn, s1, s2, sy, s11, s12, s22, s1y, s2y,
+    CAST(nn AS DOUBLE) * (s11 * s22 - s12 * s12)
+      - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det
+  FROM m
+)
+SELECT nn AS n,
+  ROUND((sy * (s11 * s22 - s12 * s12)
+         - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+  ROUND((CAST(nn AS DOUBLE) * (s1y * s22 - s12 * s2y)
+         - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+  ROUND((CAST(nn AS DOUBLE) * (s11 * s2y - s1y * s12)
+         - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+FROM d
+""",
+)
+def lineitem_ols2_price_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIPLE regression on-cluster: extended price fitted on
+    quantity AND discount together (operators/ols.ols2) — normal
+    equations solved in-plan by Cramer's rule over nine decimal-exact
+    moments, one aggregate, no iteration, no driver linear algebra.
+    The oracle mirrors the determinant expansions TERM BY TERM in the
+    same order, so all three coefficients compare bit-for-bit after
+    round(6) — the exactness ladder: simple (1 feature) -> grouped ->
+    multiple, every rung with an exact SQL twin."""
+    from lakehouse_architecture_spark.operators.ols import ols2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = ols2(li, "l_quantity", "l_discount", "l_extendedprice")
+    return fit.select(
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    )

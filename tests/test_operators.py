@@ -631,3 +631,30 @@ def test_grouped_ols_matches_per_group_numpy(spark):
         assert abs(got[g].slope - slope) < 1e-9
         assert abs(got[g].intercept - intercept) < 1e-9
     assert got["flat"].slope is None  # guarded, not an ANSI error
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from lakehouse_architecture_spark.operators.ols import ols2
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-10, 10, (60, 2))
+    yv = 4.0 + 1.5 * X[:, 0] - 2.25 * X[:, 1] + rng.uniform(-0.5, 0.5, 60)
+    df = spark.createDataFrame(
+        [(float(x1), float(x2), float(y)) for (x1, x2), y in zip(X, yv)],
+        "x1 double, x2 double, y double",
+    )
+    r = ols2(df, "x1", "x2", "y").collect()[0]
+    A = np.column_stack([np.ones(60), X])
+    beta = np.linalg.lstsq(A, yv, rcond=None)[0]
+    assert abs(r.b0 - beta[0]) < 1e-8
+    assert abs(r.b1 - beta[1]) < 1e-8
+    assert abs(r.b2 - beta[2]) < 1e-8
+    # collinear features -> guarded null, not an ANSI error
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (3.0, 6.0, 9.0)],
+        "x1 double, x2 double, y double",
+    )
+    r2 = ols2(df2, "x1", "x2", "y").collect()[0]
+    assert r2.b1 is None
