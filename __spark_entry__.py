@@ -76,6 +76,7 @@ _PRIORITY = [
     "customers_entity_resolution",
     "events_stickiness_ratio",
     "lineitem_ols2_price_qty_discount",
+    "orders_open_backlog_by_day",
     "docs_length_histogram",
     "docs_vocab_growth_by_source",
     "docs_token_freq_spectrum",
