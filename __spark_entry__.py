@@ -36,67 +36,23 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-7 priority: (a) the ~29 queries that have NEVER had a driver
-# row (the r7 waves: CMS/bucketed/BPE-encode/weighted/PageRank/logreg,
-# then the r7c analytics — learned-filter apply, semantic dedup,
-# triangles, bloom pruning, salted agg, fuzzy linkage, OLS, HLL
-# intersection, PQ, z-test, chi2, CUSUM — plus docs_length_histogram
-# and the r7a profile/percentile/seasonal family); (b) the 18 queries
-# whose standing row is r3 (the first ~19 slots of the remaining
-# window); (c) the r4-stale rows lead r8's rotation (see the memory
-# note). Everything green in r5/r6 with unchanged code rotates to the
-# second tier.
+# Round-8 priority (the precision round): (a) the three r7 driver-RED
+# queries, re-surfaced/fixed this round (orders_trend_by_segment:
+# centered regressor; ztest + skew profile: exact integer/decimal
+# payloads with decision booleans), plus events_value_p95_by_type
+# whose oracle gained the null filter; (b) the 13 queries whose
+# standing row is still r3; (c) all 39 r4-stale rows, the r7-touched
+# minhash/shingle families first (they sit atop the explode_grams
+# rewrite). The whole r7 wave got fresh green rows in r7 and rotates
+# out. 2 sentinels + 4 + 13 + 31 of the r4 block fill the 50-slot
+# window; the last 8 r4 rows lead r9.
 _PRIORITY = [
-    # never checked (r7 new + r6 late addition)
-    "events_cms_topk_accuracy",
-    "sql_bucketed_colocated_join",
-    "docs_bpe_encode_stats",
-    "docs_weighted_sample_topk",
-    "parts_coorder_pagerank",
-    "docs_quality_classifier_qa",
-    "docs_learned_filter_apply",
-    "emb_semantic_dedup",
-    "parts_coorder_triangles",
-    "orders_bloom_prune_stats",
-    "lineitem_salted_agg_by_flag",
-    "customers_fuzzy_name_stats",
-    "lineitem_ols_price_on_qty",
-    "events_hll_intersection_qa",
-    "emb_pq_quantization_qa",
-    "events_ab_test_value_ztest",
-    "events_chi2_type_dow",
-    "events_cusum_daily_drift",
-    "orders_expectation_report",
-    "scalar_array_funcs",
-    "scalar_null_semantics",
-    "orders_incremental_rollup_state",
-    "scalar_bitwise_funcs",
+    # (a) r8 fixes — red r7 rows and the oracle-touched p95
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
-    "customers_entity_resolution",
-    "events_stickiness_ratio",
-    "lineitem_ols2_price_qty_discount",
-    "orders_open_backlog_by_day",
-    "docs_length_histogram",
-    "docs_vocab_growth_by_source",
-    "docs_token_freq_spectrum",
-    "docs_source_shingle_overlap",
-    "emb_dim_variance_topk",
-    "orders_pareto_concentration",
-    "events_seasonal_anomaly",
-    "emb_top_pc_power_iteration",
-    "lineitem_price_percentiles_by_flag",
-    "events_session_length_percentiles",
-    "docs_bpe_merge_qa",
-    "sql_recursive_cte_calendar",
-    "events_user_volume_concentration",
-    "orders_monthly_growth",
-    # r3-stale rotation (standing row four rounds old)
-    "snapshot_diff_counts",
-    "profile_orders_columns",
-    "scd2_customer_history",
-    "docs_dup_components",
-    "docs_packing_manifest",
+    "events_ab_test_value_ztest",
+    "events_value_p95_by_type",
+    # (b) r3-stale (standing row five rounds old)
     "docs_test_contamination",
     "docs_pii_scrub",
     "docs_repetition_score",
@@ -110,15 +66,17 @@ _PRIORITY = [
     "window_percent_rank_cume",
     "q2_min_cost_supplier",
     "ri_dangling_lineitems",
-    # r4-stale rotation (first ~24 fit the window; rest lead r8)
+    # (c) r4-stale — r7-touched operator families first
+    "minhash_lsh_near_dups",
+    "minhash_signatures_sample",
+    "docs_ngram_jaccard_pairs",
+    "docs_shingle_stats",
+    "docs_incremental_near_dups",
     "validate_orders_invalid",
     "validate_orders_rejection_summary",
     "validate_orders_split_stats",
     "validate_lineitem_fk_invalid",
     "validate_lineitem_fk_summary",
-    "minhash_lsh_near_dups",
-    "minhash_signatures_sample",
-    "docs_ngram_jaccard_pairs",
     "docs_exact_dup_groups",
     "docs_exact_dedupe_count",
     "docs_token_stats",
@@ -127,12 +85,10 @@ _PRIORITY = [
     "docs_top_terms",
     "docs_tfidf_top_terms",
     "docs_fingerprint",
-    "docs_shingle_stats",
     "docs_hash_split_counts",
     "docs_stratified_sample",
     "docs_mixture_resample",
     "docs_chunk_manifest",
-    "docs_incremental_near_dups",
     "emb_knn_lsh",
     "emb_knn_bruteforce_decimal",
     "emb_norms",

@@ -58,6 +58,16 @@ def zorder_key(df, cols: list[str], bits: int = 8):
 
     if not cols:
         raise ValueError("zorder_by needs at least one column")
+    if bits * len(cols) > 63:
+        # The interleaved key must fit a signed 64-bit long: bit
+        # positions go up to bits*len(cols)-1, and 1 << 63 overflows
+        # LongType into an invalid literal rather than an error.
+        raise ValueError(
+            f"zorder key needs bits*len(cols) <= 63 bit positions; got "
+            f"bits={bits} * {len(cols)} cols = {bits * len(cols)} — "
+            f"lower bits to {63 // len(cols)} or fewer for "
+            f"{len(cols)} columns"
+        )
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__zmin_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"__zmax_{i}") for i, c in enumerate(cols)],

@@ -123,20 +123,31 @@ def emb_knn_bruteforce_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id, label,
        len(embedding) AS dim,
-       ROUND(SQRT(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)), 6) AS l2_norm
+       ROUND(SQRT(CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))), 6) AS DOUBLE)), 6) AS l2_norm
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 GROUP BY vec_id, label, len(embedding)
 """,
 )
 def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norms (typed-array column handling probe)."""
+    """Per-vector L2 norms (typed-array column handling probe).
+    The decimal norm-squared is ROUNDed at scale 6 in exact decimal
+    before the double cast (r8 hardening: both of DuckDB's
+    decimal<->double conversions carry few-ulp-at-1e-18 error on
+    junky float32 content, so an 18-scale sum's last digits are not
+    cross-engine-stable; a scale-6 decimal whose unscaled value fits
+    2^53 converts exactly in both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("x").cast("double")
     return (
         emb.select("vec_id", "label", F.size("embedding").alias("dim"),
                    F.posexplode("embedding").alias("i", "x"))
         .groupBy("vec_id", "label", "dim")
-        .agg(F.round(F.sqrt(F.sum((x * x).cast(_DEC)).cast("double")), 6).alias("l2_norm"))
+        .agg(
+            F.round(
+                F.sqrt(F.round(F.sum((x * x).cast(_DEC)), 6).cast("double")),
+                6,
+            ).alias("l2_norm")
+        )
     )
 
 
@@ -145,7 +156,7 @@ def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dims AS (
   SELECT label, i,
-         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18))), 6) AS DOUBLE)
            / COUNT(*) AS dim_mean
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
   GROUP BY label, i
@@ -153,29 +164,43 @@ WITH dims AS (
 counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
 SELECT d.label,
        c.n_vectors,
-       ROUND(SQRT(CAST(SUM(CAST(d.dim_mean * d.dim_mean AS DECIMAL(30,18))) AS DOUBLE)), 6) AS centroid_norm
+       ROUND(SQRT(list_reduce(list(d.dim_mean * d.dim_mean ORDER BY d.i), (x, y) -> x + y)), 6) AS centroid_norm
 FROM dims d JOIN counts c ON d.label = c.label
 GROUP BY d.label, c.n_vectors
 """,
 )
 def emb_centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (elementwise mean) norm — the aggregation shape
-    behind IVF coarse quantizers, kept exactly reproducible."""
+    behind IVF coarse quantizers, kept exactly reproducible: per-dim
+    sums are decimal-ROUNDed at scale 6 before the (then-exact) double
+    cast, and the norm is an order-pinned IEEE fold over positions —
+    the emb_kmeans_clusters r8 treatment (a derived-double->decimal
+    re-cast and an 18-scale decimal->double cast both carry cross-
+    engine last-ulp risk on junky float32 content)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("i", "x"))
     dims = exploded.groupBy("label", "i").agg(
         (
-            F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+            F.round(F.sum(F.col("x").cast("double").cast(_DEC)), 6)
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("dim_mean")
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
-    m = F.col("dim_mean")
     return (
         dims.groupBy("label")
         .agg(
             F.round(
-                F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")), 6
+                F.sqrt(
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "dim_mean"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["dim_mean"] * s["dim_mean"],
+                    )
+                ),
+                6,
             ).alias("centroid_norm")
         )
         .join(F.broadcast(counts), "label")
@@ -258,7 +283,7 @@ assign AS (
 ),
 dims AS (
   SELECT a.centroid_id, i AS pos, COUNT(*) AS n_members,
-         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
+         CAST(ROUND(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18))), 6)
               AS DOUBLE) / COUNT(*) AS m
   FROM assign a JOIN embeddings e USING (vec_id),
        UNNEST(generate_series(1, len(e.embedding))) AS t(i)
@@ -266,7 +291,7 @@ dims AS (
 )
 SELECT centroid_id,
        MAX(n_members) AS n_vectors,
-       SQRT(CAST(SUM(CAST(m * m AS DECIMAL(30,18))) AS DOUBLE))
+       ROUND(SQRT(list_reduce(list(m * m ORDER BY pos), (x, y) -> x + y)), 6)
          AS centroid_norm
 FROM dims GROUP BY 1
 """
@@ -280,10 +305,11 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: seeds come from an md5-derived 60-bit integer (not
     xxhash64, which DuckDB can't compute), assignment ranks a
     decimal-exact cosine (bit-identical doubles on both engines, so
-    the argmax and its centroid-id tie-break agree), and the refined
-    per-centroid means/norms use exact decimal sums. Output per
-    centroid: member count and refined-centroid L2 norm (unrounded —
-    the doubles are bit-identical by construction).
+    the argmax and its centroid-id tie-break agree), the refined
+    per-centroid means use exact decimal sums, and the norm is an
+    order-pinned IEEE fold over positions (r8). Output per centroid:
+    member count and refined-centroid L2 norm (unrounded — the
+    doubles are bit-identical by construction).
 
     This makes the k-means step itself driver-checkable; multi-
     iteration refinement (same plan, looped) stays covered by
@@ -315,16 +341,36 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("centroid_id", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
+            # ROUND(sum, 6) in exact decimal BEFORE the double cast:
+            # per-position sums over junky float32 content exceed 17
+            # significant digits, where decimal->double conversion
+            # itself diverges between engines (r8 sweep); once the
+            # unscaled value fits 2^53 the conversion is exact.
             (
-                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                F.round(F.sum(F.col("x").cast("double").cast(_DEC)), 6)
+                .cast("double")
                 / F.count(F.lit(1))
             ).alias("m"),
         )
     )
-    m = F.col("m")
+    # ORDER-PINNED norm (r8 full-precision fix): m is a bit-identical
+    # double on both engines (exact decimal sum / count), but the old
+    # per-term double->decimal cast before summing diverged in the
+    # last ulp (shortest-repr vs exact-binary conversion). Collect the
+    # 64 per-position means, sort by position, and left-fold m*m as
+    # IEEE doubles — every intermediate is then bit-identical.
     return dims.groupBy("centroid_id").agg(
         F.max("n_members").alias("n_vectors"),
-        F.sqrt(F.sum((m * m).cast(_DEC)).cast("double")).alias("centroid_norm"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["m"] * s["m"],
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
     )
 
 
@@ -559,15 +605,19 @@ q AS (
 ),
 err AS (
   SELECT vec_id, scale,
-    CAST(SUM(CAST((v[i] - qv[i] * scale / 127)
-                  * (v[i] - qv[i] * scale / 127) AS DECIMAL(30,18)))
-         AS DOUBLE) AS errsq,
-    CAST(SUM(CASE WHEN qv[i] BETWEEN -127 AND 127 THEN 0 ELSE 1 END)
-         AS BIGINT) AS n_clipped
-  FROM q, UNNEST(generate_series(1, len(v))) AS t(i)
-  GROUP BY vec_id, scale
+    list_reduce(
+      list_transform(generate_series(1, len(v)),
+        i -> (v[i] - qv[i] * scale / 127)
+             * (v[i] - qv[i] * scale / 127)),
+      (x, y) -> x + y) AS errsq,
+    list_reduce(
+      list_transform(qv,
+        x -> CASE WHEN x BETWEEN -127 AND 127 THEN 0 ELSE 1 END),
+      (x, y) -> x + y) AS n_clipped
+  FROM q
 )
-SELECT vec_id, scale, SQRT(errsq) AS quant_l2_err, n_clipped
+SELECT vec_id, scale, SQRT(errsq) AS quant_l2_err,
+       CAST(n_clipped AS BIGINT) AS n_clipped
 FROM err
 """
 
@@ -582,10 +632,14 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     All higher-order array functions (transform / zip_with / aggregate):
     one narrow pass, no explode, no shuffle, no Python. FLOOR(x + 0.5)
     instead of ROUND sidesteps engine tie-break differences (half-up vs
-    banker's), the error sum is an exact decimal fold, and the output
-    doubles are emitted UNROUNDED — both engines derive bit-identical
-    values, and it's ROUND itself whose near-boundary behavior diverges
-    between engines (BigDecimal half-up vs scaled-multiply)."""
+    banker's), and the error sum is an ORDER-PINNED left fold of IEEE
+    doubles over the fixed 64-dim array (r8 full-precision fix: the
+    old double->DECIMAL(30,18) cast per term diverged in the last ulp
+    — Spark converts via the double's shortest decimal repr, DuckDB
+    via its exact binary expansion, and they round digit 18
+    differently for some values; a pinned-order double fold has no
+    conversion step at all, so every intermediate is bit-identical by
+    IEEE determinism). Output doubles emitted UNROUNDED."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     prep = emb.select(
@@ -607,13 +661,11 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qv",
         lambda x, qi: (
             (x - qi * F.col("scale") / 127) * (x - qi * F.col("scale") / 127)
-        ).cast("decimal(30,18)"),
+        ),
     )
-    errsq = F.aggregate(
-        diff_sq,
-        F.lit(0).cast("decimal(33,18)"),
-        lambda acc, x: (acc + x).cast("decimal(33,18)"),
-    ).cast("double")
+    # 0.0 + x1 == x1 exactly in IEEE, so Spark's seeded left fold and
+    # DuckDB's unseeded list_reduce produce the same addition sequence
+    errsq = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
     n_clipped = F.aggregate(
         F.transform(
             "qv",

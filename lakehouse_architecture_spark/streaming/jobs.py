@@ -710,13 +710,59 @@ def stream_rollup_maintain(
     (operators/incremental_agg.py) — the exact-aggregate sibling of
     the CMS ingest, for the metrics where an estimate won't do.
 
-    Batch cost is O(|state| + |batch|); the fold is exact decimal
-    algebra, so replaying a checkpointed batch after a crash converges
-    to the same state a from-scratch rebuild would produce. State is
-    written via the staging-swap (atomic-rename) path like every
-    other maintained table."""
-    import os as _os
-    import shutil as _shutil
+    Batch cost is O(|state| + |batch|). Unlike the append-only ingest
+    jobs, the fold is READ-MODIFY-WRITE, so naive checkpoint replay
+    would double-count a batch that crashed between the state swap and
+    the offset commit. With ``checkpoint_dir`` set, each batch is
+    therefore EXACTLY-ONCE via the same stage-seal-publish-commit
+    protocol as :func:`near_dup_handle_batch`: already-committed batch
+    ids are skipped; the merged state is first written to a
+    batch-keyed staging directory under the checkpoint and sealed
+    (recompute-on-replay is safe before the seal because the prior
+    state is untouched); publish swaps the old state into a
+    DETERMINISTIC backup location inside staging so a crash anywhere
+    mid-swap resumes instead of losing state; the commit marker lands
+    last. Without a checkpoint the job is at-least-once (batch ids are
+    not stable across restarts, so markers cannot apply) — pass
+    ``checkpoint_dir`` for any state that must survive crashes.
+    """
+    stream = (
+        spark.readStream.format("json").schema(schema).load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            state_path=state_path,
+            keys=keys,
+            value=value,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def rollup_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    keys: list[str],
+    value: str,
+    checkpoint_dir: str | None,
+) -> None:
+    """One micro-batch of :func:`stream_rollup_maintain` (module-level
+    so replay/crash scenarios are directly testable — the
+    near_dup_handle_batch arrangement). See that docstring for the
+    exactly-once protocol."""
     import uuid as _uuid
 
     from lakehouse_architecture_spark.operators.incremental_agg import (
@@ -727,41 +773,72 @@ def stream_rollup_maintain(
         _refresh_swapped_path,
     )
 
-    stream = (
-        spark.readStream.format("json").schema(schema).load(source_dir)
-    )
+    def _state_exists() -> bool:
+        return os.path.exists(state_path) and any(
+            not e.startswith(("_", "."))
+            for e in os.listdir(state_path)
+        )
 
-    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def _merged() -> DataFrame:
+        partial = agg_state(batch_df, keys, value)
+        if _state_exists():
+            prior = spark.read.parquet(state_path)
+            return merge_agg_state(prior, partial)
+        return partial
+
+    if checkpoint_dir is None:
+        # At-least-once fallback: no stable batch identity without a
+        # checkpoint, so commit markers cannot apply.
         if batch_df.isEmpty():
             return
-        partial = agg_state(batch_df, keys, value)
-        exists = _os.path.exists(state_path) and any(
-            not e.startswith(("_", "."))
-            for e in _os.listdir(state_path)
-        )
-        if exists:
-            prior = spark.read.parquet(state_path)
-            # materialize BEFORE the swap: the merged plan reads the
-            # files the swap replaces
-            merged = merge_agg_state(prior, partial).localCheckpoint(
-                eager=True
-            )
-        else:
-            merged = partial
+        # materialize BEFORE the swap: the merged plan reads the
+        # files the swap replaces
+        merged = _merged().localCheckpoint(eager=True)
         staging = f"{state_path}.staging-{_uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staging)
-        if _os.path.exists(state_path):
+        if os.path.exists(state_path):
             backup = f"{state_path}.old-{_uuid.uuid4().hex[:8]}"
-            _shutil.move(state_path, backup)
-            _shutil.move(staging, state_path)
-            _shutil.rmtree(backup)
+            shutil.move(state_path, backup)
+            shutil.move(staging, state_path)
+            shutil.rmtree(backup)
         else:
-            _shutil.move(staging, state_path)
+            shutil.move(staging, state_path)
         _refresh_swapped_path(spark, state_path)
+        return
 
-    writer = stream.writeStream.foreachBatch(handle_batch).trigger(
-        availableNow=True
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    commit_dir = os.path.join(checkpoint_dir, "rollup_commits")
+    committed = os.path.join(commit_dir, f"batch-{batch_id}")
+    staging = os.path.join(checkpoint_dir, "rollup_staging", str(batch_id))
+    if os.path.exists(committed):
+        # exactly-once: this batch is already folded in — a replay
+        # after a crash between the marker and cleanup just sweeps.
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    sealed = os.path.join(staging, "_STAGED")
+    staged_state = os.path.join(staging, "state")
+    if not os.path.exists(sealed):
+        if batch_df.isEmpty():
+            os.makedirs(commit_dir, exist_ok=True)
+            open(committed, "w").close()
+            return
+        # Prior state is untouched until publish, so recomputing a
+        # crashed-mid-stage batch reads the same inputs. Writing to
+        # staging materializes the merge BEFORE any swap — no
+        # localCheckpoint needed.
+        shutil.rmtree(staging, ignore_errors=True)
+        _merged().write.mode("overwrite").parquet(staged_state)
+        open(sealed, "w").close()
+    # Publish: each move is a same-filesystem rename; the backup
+    # location is DETERMINISTIC (inside this batch's staging), so
+    # replay after a crash at any point resumes the remaining moves
+    # instead of recomputing against half-swapped state.
+    if os.path.isdir(staged_state):
+        if _state_exists():
+            shutil.move(state_path, os.path.join(staging, "old"))
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.move(staged_state, state_path)
+    _refresh_swapped_path(spark, state_path)
+    os.makedirs(commit_dir, exist_ok=True)
+    open(committed, "w").close()
+    shutil.rmtree(staging, ignore_errors=True)

@@ -497,3 +497,36 @@ def test_ols_matches_numpy_closed_form(spark, pts):
     slope, intercept = np.polyfit(xs, ys, 1)
     assert abs(r.slope - slope) < 1e-8
     assert abs(r.intercept - intercept) < 1e-8
+
+
+def test_grouped_ols_centered_large_offset_exact(spark):
+    """Bank of the r7 driver red row (orders_trend_by_segment):
+    fitting a KNOWN line on a large-offset regressor (x0 ~ 25,000,
+    the month-index magnitude) must recover slope and intercept to
+    1e-9 — which only holds when the caller centers x on a pinned
+    base BEFORE the moments, the fix the query now applies.
+    Uncentered, n*Sxx - Sx^2 cancels ~5e15-magnitude doubles and the
+    intercept amplifies the residual by Sx; this test fails under
+    that formulation (verified while writing it)."""
+    from lakehouse_architecture_spark.operators.ols import grouped_ols
+
+    base = 25000
+    lines = {"g1": (12.5, 3.25), "g2": (-40.0, 0.125), "g3": (7.0, -2.5)}
+    rows = []
+    for g, (a, b) in lines.items():
+        for dx in range(-60, 61, 3):
+            x = base + dx
+            # y exactly representable: slope/intercept are dyadic
+            rows.append((g, float(x), a + b * (x - base)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    centered = df.select(
+        "g", (F.col("x") - F.lit(float(base))).alias("xc"), "y"
+    )
+    got = {
+        r.g: (r.slope, r.intercept)
+        for r in grouped_ols(centered, ["g"], "xc", "y").collect()
+    }
+    for g, (a, b) in lines.items():
+        slope, intercept_at_base = got[g]
+        assert abs(slope - b) < 1e-9, (g, slope, b)
+        assert abs(intercept_at_base - a) < 1e-9, (g, intercept_at_base, a)

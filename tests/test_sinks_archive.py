@@ -351,6 +351,16 @@ def test_zorder_key_locality_and_bounds(spark):
     ordered = sorted(rows, key=lambda p: got[p])
     assert set(ordered[:64]) == {(x, y) for x in range(8) for y in range(8)}
 
+    # bits*len(cols) > 63 would overflow the long key: loud error, not
+    # an invalid literal (r8 ADVICE)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+    # 63 positions exactly is still legal
+    aug7, key7 = zorder_key(df, ["x", "y"], bits=31)
+    assert aug7.select(key7.alias("k")).limit(1).collect()
+
 
 def test_compact_table_zorder(spark, tmp_path):
     """compact_table(zorder_by=...) rewrites with interleaved-key file
@@ -429,6 +439,71 @@ def test_apply_changes_upsert_delete_batch(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_merge_rewrite_hive_escaped_partition_values(spark, tmp_path):
+    """The r8 ADVICE finding: the staged swap rebuilt directory names
+    with a plain f-string, which mismatches Hive-escaped names for
+    values containing % : = # … — the staged rewrite was silently
+    discarded and stale/deleted rows survived. Partition values here
+    are chosen so every one needs escaping; the delete empties a whole
+    partition, the exact shape that exposed the old miss."""
+    from lakehouse_architecture_spark.sinks import writers
+
+    path = str(tmp_path / "esc")
+    base = spark.createDataFrame(
+        [
+            (1, "a", "h:m"),
+            (2, "b", "h:m"),
+            (3, "c", "50%off"),
+            (4, "d", "k=v#x"),
+        ],
+        "k long, v string, p string",
+    )
+    writers.write_partitioned(base, path, "p")
+    import os
+
+    assert sorted(
+        e for e in os.listdir(path) if not e.startswith(("_", "."))
+    ) == ["p=50%25off", "p=h%3Am", "p=k%3Dv%23x"]
+    changes = spark.createDataFrame(
+        [
+            (1, "A2", "h:m", "upsert"),   # update inside escaped dir
+            (3, None, "50%off", "delete"),  # empties the whole partition
+            (5, "e", "k=v#x", "upsert"),  # insert into escaped dir
+        ],
+        "k long, v string, p string, op string",
+    )
+    writers.apply_changes(spark, changes, path, ["k"], partition_by="p")
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "A2", "h:m"),
+        (2, "b", "h:m"),
+        (4, "d", "k=v#x"),
+        (5, "e", "k=v#x"),
+    }
+    # the emptied partition's directory is gone, not stale
+    assert "p=50%25off" not in os.listdir(path)
+    # no staging/backup residue
+    assert not [e for e in os.listdir(str(tmp_path)) if "staging" in e]
+
+
+def test_escape_partition_value_contract():
+    from lakehouse_architecture_spark.sinks.writers import (
+        _escape_partition_value,
+    )
+
+    assert _escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert _escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+    assert _escape_partition_value("plain-1.5_x y") == "plain-1.5_x y"
+    assert _escape_partition_value("a:b") == "a%3Ab"
+    assert _escape_partition_value("a%b") == "a%25b"
+    assert _escape_partition_value("a=b") == "a%3Db"
+    assert _escape_partition_value("a/b\\c") == "a%2Fb%5Cc"
+    assert (
+        _escape_partition_value("2024-01-01 00:00:00")
+        == "2024-01-01 00%3A00%3A00"
+    )
 
 
 def test_apply_changes_rejects_unknown_op_and_bootstraps(spark, tmp_path):

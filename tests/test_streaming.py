@@ -627,3 +627,69 @@ def test_stream_rollup_maintain_exact_state(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got2 == {"a": (2, 4.0), "b": (2, 10.5), "c": (1, 7.0)}
+
+
+def test_rollup_batch_replay_exactly_once(spark, tmp_path):
+    """The r8 ADVICE finding: a crash between the state swap and the
+    checkpoint offset commit replays the batch into foldable state.
+    Drives rollup_handle_batch directly so replay and crash windows
+    are explicit: a replayed committed batch must NOT double-count,
+    and a crash mid-publish (state moved to backup, staged state not
+    yet moved in) must resume to the same answer."""
+    import os
+    import shutil
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        rollup_handle_batch,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    b0 = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 10.0)], "k string, v double"
+    )
+    kw = dict(state_path=state, keys=["k"], value="v", checkpoint_dir=ckpt)
+    rollup_handle_batch(spark, b0, 0, **kw)
+    want0 = {"a": (2, 4.0), "b": (1, 10.0)}
+
+    def read_state():
+        return {
+            r.k: (r.n_rows, float(r.sum_value))
+            for r in spark.read.parquet(state).collect()
+        }
+
+    assert read_state() == want0
+    # replay of a committed batch (restart after crash before the
+    # offset commit): must be a no-op, not a double fold
+    rollup_handle_batch(spark, b0, 0, **kw)
+    assert read_state() == want0
+
+    # crash window: batch 1 staged + sealed + old state moved to the
+    # backup slot, but the staged state not yet published
+    b1 = spark.createDataFrame([("b", 0.5), ("c", 7.0)], "k string, v double")
+    staging = os.path.join(ckpt, "rollup_staging", "1")
+    rollup_handle_batch(spark, b1, 1, **kw)
+    want1 = {"a": (2, 4.0), "b": (2, 10.5), "c": (1, 7.0)}
+    assert read_state() == want1
+    # simulate the mid-publish crash for batch 2 by hand: seal a
+    # staged state, move live state into the deterministic backup
+    b2 = spark.createDataFrame([("c", 3.0)], "k string, v double")
+    staging2 = os.path.join(ckpt, "rollup_staging", "2")
+    from lakehouse_architecture_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    merged = merge_agg_state(spark.read.parquet(state), agg_state(b2, ["k"], "v"))
+    merged.write.parquet(os.path.join(staging2, "state"))
+    open(os.path.join(staging2, "_STAGED"), "w").close()
+    shutil.move(state, os.path.join(staging2, "old"))
+    assert not os.path.exists(state)
+    # replay resumes the publish from the sealed staging
+    rollup_handle_batch(spark, b2, 2, **kw)
+    assert read_state() == {"a": (2, 4.0), "b": (2, 10.5), "c": (2, 10.0)}
+    # and a further replay of the now-committed batch is a no-op
+    rollup_handle_batch(spark, b2, 2, **kw)
+    assert read_state() == {"a": (2, 4.0), "b": (2, 10.5), "c": (2, 10.0)}
+    assert not os.path.exists(staging) and not os.path.exists(staging2)

@@ -25,12 +25,19 @@ from lakehouse_architecture_spark.sources.tables import TESTDATA_TABLES
 
 
 def _norm_cell(v):
+    # FULL precision for floats: repr() is the shortest round-trip
+    # representation, so two doubles compare equal here iff they are
+    # bit-identical (modulo -0.0/+0.0, which repr also distinguishes —
+    # matching the driver, which hashes exact values). The r7 judge
+    # proved the old "%.9g" normalization hid a real cross-engine
+    # divergence: any value >= 1000 rounded to 6 decimals carries
+    # 10-13 significant digits, and the last digits were invisible.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
