@@ -118,6 +118,19 @@ EXTRA = [
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
 # so the numbers and their interpretation travel together.
 NOTES: list[str] = [
+    "r8 (precision round, no plan regressions intended): the only "
+    "plan-shape changes are emb_int8_quantization's error fold going "
+    "decimal -> pure-double (strictly cheaper: no BigDecimal in the "
+    "per-element path; 0.28 s at sf0.1) and "
+    "emb_kmeans_clusters/emb_centroid_norm_by_label gaining a "
+    "k*dim-row collect_list+array_sort for the order-pinned norm fold "
+    "(bounded by clusters x dimensions — 512 structs at k=8, dim=64 — "
+    "never data-proportional; kmeans 1.77 s at sf0.1, unchanged from "
+    "r7). Headline wall this session read ~11% above r7 UNIFORMLY "
+    "(untouched TPC-H rows drifted the same ~10-20%) — the documented "
+    "cross-session noise band; per doctrine only the driver-recorded "
+    "rounds are compared, and no single query moved outside its "
+    "interleaved spread.",
     "r6: interleaved A/B of the three r5 nominal regressions "
     "(agg_stats_by_status, validate_lineitem_fk_invalid, "
     "emb_near_dup_pairs): 7 alternating reps in one session gave "

@@ -1,0 +1,90 @@
+"""Regression tests for the measuring instrument itself.
+
+The r7 judge proved the local oracle gate's float normalization
+(`%.9g`) could not see a real cross-engine divergence the driver's
+exact hash caught (orders_trend_by_segment: intercepts differing at
+7e-4 compared equal). The gate now compares at full precision; these
+tests pin that contract, plus the r8 cross-engine decimal conversion
+doctrine the fixes rely on (the "2^53 rule"), so neither can silently
+regress. No SparkSession needed — pure Python + DuckDB.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import _norm_cell, _row_set  # noqa: E402
+
+
+def test_norm_cell_distinguishes_last_ulp():
+    a = -2768799.774066
+    b = -2768799.773396  # the r7 driver-red intercept pair
+    assert _norm_cell(a) != _norm_cell(b)
+    x = 0.23626384400008613
+    y = math.nextafter(x, 0.0)  # exactly one ulp apart
+    assert _norm_cell(x) != _norm_cell(y)
+
+
+def test_norm_cell_roundtrips_and_specials():
+    for v in [0.1, 1e300, -1e-300, 12345.678901234567]:
+        assert float(_norm_cell(v)) == v
+    assert _norm_cell(float("nan")) == "NaN"
+    # -0.0 and +0.0 hash differently at the driver; the gate must be
+    # at least as strict (queries normalize with ROUND(x,6)+0.0)
+    assert _norm_cell(-0.0) != _norm_cell(0.0)
+    assert _norm_cell(None) == "NULL"
+    assert _norm_cell(True) == "1"
+    assert _norm_cell(3) == "3"
+
+
+def test_row_set_is_column_order_insensitive():
+    rows_a = [(1, 2.5), (3, 4.5)]
+    rows_b = [(2.5, 1), (4.5, 3)]
+    assert _row_set(rows_a, ["k", "v"]) == _row_set(rows_b, ["v", "k"])
+
+
+def test_duckdb_decimal_to_double_exact_below_2_53():
+    """The r8 doctrine: DuckDB's decimal->double cast matches the
+    correctly-rounded (JVM-equivalent) conversion whenever the
+    UNSCALED value fits in 2^53 — which is why every compared surface
+    now rounds wide decimal sums to a safe scale before the one cast.
+    Pin it with values whose unscaled forms sit just inside the bound."""
+    con = duckdb.connect()
+    for s in [
+        "8888777666555.444",      # scale 3, unscaled ~8.9e15 < 2^53
+        "123456789.012345",        # scale 6, unscaled ~1.2e14
+        "-999999999.999999",       # scale 6 boundary-ish
+        "0.000001",
+        "42.000000",
+    ]:
+        py = float(decimal.Decimal(s))
+        db = con.execute(
+            f"SELECT CAST(CAST('{s}' AS DECIMAL(30,6)) AS DOUBLE)"
+            if len(s.split(".")[1]) <= 6
+            else f"SELECT CAST(CAST('{s}' AS DECIMAL(30,3)) AS DOUBLE)"
+        ).fetchone()[0]
+        assert py == db, (s, py, db)
+
+
+def test_duckdb_decimal_round_matches_half_away_from_zero():
+    """Decimal ROUND (used before every wide-sum double cast) must be
+    exact digit arithmetic with away-from-zero ties on both engines;
+    Spark's HALF_UP is away-from-zero, so DuckDB must agree."""
+    con = duckdb.connect()
+    cases = [
+        ("1.0000005", 6, decimal.Decimal("1.000001")),
+        ("-1.0000005", 6, decimal.Decimal("-1.000001")),
+        ("2.9999994999", 6, decimal.Decimal("2.999999")),
+        ("123.4567891", 6, decimal.Decimal("123.456789")),
+    ]
+    for s, k, want in cases:
+        got = con.execute(
+            f"SELECT ROUND(CAST('{s}' AS DECIMAL(30,10)), {k})"
+        ).fetchone()[0]
+        assert decimal.Decimal(got) == want, (s, got, want)
