@@ -47,7 +47,10 @@ _SENTINELS = [
 # out. 2 sentinels + 4 + 13 + 31 of the r4 block fill the 50-slot
 # window; the last 8 r4 rows lead r9.
 _PRIORITY = [
-    # (a) r8 fixes — red r7 rows and the oracle-touched p95
+    # (a) r8 fixes — red r7 rows and the oracle-touched p95 — plus
+    # the two never-checked r8 additions (substring-level dedup)
+    "docs_shared_span_pairs",
+    "docs_copied_span_profile",
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
     "events_ab_test_value_ztest",

@@ -113,6 +113,9 @@ EXTRA = [
     "scalar_array_funcs",
     "scalar_null_semantics",
     "scalar_bitwise_funcs",
+    # r8 additions: substring-level dedup (DF-capped posting joins)
+    "docs_shared_span_pairs",
+    "docs_copied_span_profile",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -1313,3 +1313,169 @@ def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_canonical_entities"),
         )
     )
+
+
+def _word_spans(df: DataFrame, k: int) -> DataFrame:
+    """Distinct (doc_id, span) where span is an EXACT k-word window of
+    the raw whitespace tokenization — the k-gram fingerprint relation
+    under substring-level dedup (Lee et al. 2021, arXiv:2107.06499:
+    ExactSubstr; this is the fingerprint-join variant of their suffix
+    array, the shape that distributes). explode_outer + post-explode
+    null filter per the InferFiltersFromGenerate lesson
+    (operators/minhash.explode_grams): plain explode over the computed
+    span array would let Catalyst push an inferred size()>0 filter —
+    and with it the whole window expression — below any upstream
+    exchange."""
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.size(toks) - (k - 1)
+    spans_arr = F.when(
+        n_spans >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ),
+    )
+    return (
+        df.select("doc_id", F.explode_outer(spans_arr).alias("span"))
+        .filter(F.col("span").isNotNull())
+    )
+
+
+@query(
+    "docs_shared_span_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS span
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+),
+df AS (SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.span FROM spans s JOIN df USING (span)
+  WHERE df.n_docs BETWEEN 2 AND 10
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_spans
+  FROM kept a JOIN kept b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_spans
+FROM pairs ORDER BY n_shared_spans DESC, doc_a, doc_b LIMIT 20
+""",
+)
+def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: top-20 document pairs sharing exact
+    8-word spans — the pair view of ExactSubstr dedup
+    (arXiv:2107.06499), which catches verbatim copying that
+    document-level MinHash misses (a paragraph pasted into an
+    otherwise-different doc). The rung of the dedup ladder between
+    exact-hash (whole doc) and MinHash (bag-of-shingles similarity).
+
+    Plan shape at 100 TB: one narrow pass builds distinct (doc, span);
+    span doc-frequencies are a partial-aggregated groupBy; the pair
+    join is a POSTING-LIST self-join bounded by the document-frequency
+    cap (spans in >10 docs are boilerplate, excluded — cost is
+    sum(df^2) <= cap * |postings|, never corpus x corpus). The same
+    DF-capped shape as the MinHash band join; at production scale the
+    span string is replaced by a 64-bit rolling hash (join keys
+    shrink, semantics identical modulo collisions).
+
+    Compared surface: exact integers only (ids, span counts) with a
+    total-order tie-break before the LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _word_spans(docs, 8)
+    df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        spans.join(df_counts, "span")
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= 10))
+        .select("doc_id", "span")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .orderBy(F.desc("n_shared_spans"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "docs_copied_span_profile",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS span
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+),
+df AS (SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_copied
+  FROM spans s JOIN df USING (span)
+  GROUP BY 1
+)
+SELECT doc_id, n_spans, n_copied,
+       CAST((1000 * n_copied) // n_spans AS BIGINT) AS copied_milli,
+       n_copied * 5 >= n_spans AS trim_candidate
+FROM per_doc
+ORDER BY copied_milli DESC, n_copied DESC, doc_id LIMIT 20
+""",
+)
+def docs_copied_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document copied-content ratio: for each doc, what fraction
+    of its exact 8-word spans also appear in some other document —
+    THE ExactSubstr trim/drop decision (arXiv:2107.06499 removes the
+    duplicated substrings; a corpus curator ranks and trims the
+    worst offenders first). Top-20 most-copied docs with the >=20%
+    trim flag.
+
+    All-integer compared surface per the post-r7 doctrine: span
+    counts, copied counts, an integer-division permille
+    (skew-profile's exact-arithmetic trick), and the integer-compared
+    trim decision — no ratio double anywhere.
+
+    Plan: shares docs_shared_span_pairs' posting relation — one
+    explode pass, one span-grain aggregate, one doc-grain aggregate;
+    no self-join at all, so this profile is strictly cheaper than the
+    pair view and is the one to run corpus-wide first."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _word_spans(docs, 8)
+    df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        spans.join(df_counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_copied"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_copied",
+        F.expr("CAST((1000 * n_copied) div n_spans AS BIGINT)").alias(
+            "copied_milli"
+        ),
+        (F.col("n_copied") * 5 >= F.col("n_spans")).alias("trim_candidate"),
+    ).orderBy(
+        F.desc("copied_milli"), F.desc("n_copied"), F.asc("doc_id")
+    ).limit(20)
