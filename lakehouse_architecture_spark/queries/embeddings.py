@@ -353,12 +353,13 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m"),
         )
     )
-    # ORDER-PINNED norm (r8 full-precision fix): m is a bit-identical
-    # double on both engines (exact decimal sum / count), but the old
-    # per-term double->decimal cast before summing diverged in the
-    # last ulp (shortest-repr vs exact-binary conversion). Collect the
-    # 64 per-position means, sort by position, and left-fold m*m as
-    # IEEE doubles — every intermediate is then bit-identical.
+    # ORDER-PINNED norm (r8 full-precision fix): m is bit-identical on
+    # both engines (scale-6-rounded decimal sum -> exact double cast
+    # -> IEEE division), and the old per-term double->decimal re-cast
+    # before summing — which diverged in the last ulp — is replaced by
+    # collecting the 64 per-position means, sorting by position, and
+    # left-folding m*m as IEEE doubles: every intermediate is then
+    # bit-identical by IEEE determinism, no conversion anywhere.
     return dims.groupBy("centroid_id").agg(
         F.max("n_members").alias("n_vectors"),
         F.round(
