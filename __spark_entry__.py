@@ -51,6 +51,7 @@ _PRIORITY = [
     # the two never-checked r8 additions (substring-level dedup)
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
+    "docs_incremental_copied_spans",
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
     "events_ab_test_value_ztest",

@@ -116,6 +116,7 @@ EXTRA = [
     # r8 additions: substring-level dedup (DF-capped posting joins)
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
+    "docs_incremental_copied_spans",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

@@ -459,3 +459,29 @@ def test_bloom_prefilter_fact_side_is_shuffle_free(spark, sf_dir):
     assert "Join" not in plan
     assert "Generate" not in plan  # no explode on the probed side
     assert "Filter" in plan
+
+
+def test_shared_span_pairs_posting_join_shape(spark, sf_dir):
+    """The ExactSubstr pair query must stay a DF-capped POSTING-LIST
+    equi-join on span — never a cartesian/nested-loop product (the
+    doc_a < doc_b condition is a post-join filter on an equi-key
+    join), and the span relation must be built via explode_outer so
+    InferFiltersFromGenerate can't inline the window expression below
+    an exchange (the r7 shingle trap)."""
+    plan = _plan(spark, sf_dir, "docs_shared_span_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the documents scan reads only what the spans need
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema
+    assert "lang" not in read_schema
+
+
+def test_copied_span_profile_no_self_join(spark, sf_dir):
+    """The per-doc copied-ratio profile is aggregates only — exactly
+    one (span-grain) join, no pair self-join, no cartesian: it must
+    stay strictly cheaper than the pair view so it can run
+    corpus-wide first."""
+    plan = _plan(spark, sf_dir, "docs_copied_span_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
