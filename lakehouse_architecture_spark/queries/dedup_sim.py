@@ -1316,31 +1316,11 @@ def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_spans(df: DataFrame, k: int) -> DataFrame:
-    """Distinct (doc_id, span) where span is an EXACT k-word window of
-    the raw whitespace tokenization — the k-gram fingerprint relation
-    under substring-level dedup (Lee et al. 2021, arXiv:2107.06499:
-    ExactSubstr; this is the fingerprint-join variant of their suffix
-    array, the shape that distributes). explode_outer + post-explode
-    null filter per the InferFiltersFromGenerate lesson
-    (operators/minhash.explode_grams): plain explode over the computed
-    span array would let Catalyst push an inferred size()>0 filter —
-    and with it the whole window expression — below any upstream
-    exchange."""
-    toks = F.split(F.col("text"), " ")
-    n_spans = F.size(toks) - (k - 1)
-    spans_arr = F.when(
-        n_spans >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_spans),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
-            )
-        ),
-    )
-    return (
-        df.select("doc_id", F.explode_outer(spans_arr).alias("span"))
-        .filter(F.col("span").isNotNull())
-    )
+    """Shared span-fingerprint relation — see operators/spans.word_spans
+    (moved there in r8 so the streaming ingest shares one definition)."""
+    from lakehouse_architecture_spark.operators.spans import word_spans
+
+    return word_spans(df, k)
 
 
 @query(

@@ -842,3 +842,167 @@ def rollup_handle_batch(
     os.makedirs(commit_dir, exist_ok=True)
     open(committed, "w").close()
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_span_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+):
+    """Continuous SUBSTRING-level curation ingest — the streaming form
+    of the ExactSubstr family (docs_copied_span_profile /
+    docs_incremental_copied_spans): each micro-batch of documents is
+    admission-checked against a PERSISTED span index (reject when
+    >=20% of a doc's exact k-word spans are already known), survivors
+    land in the curated zone, and their spans fold into the index.
+    Completes the family triad the MinHash operators established:
+    batch query, asymmetric incremental query, exactly-once stream.
+
+    Per micro-batch (exactly-once via the near_dup stage-seal-
+    publish-commit protocol — see stream_near_dup_ingest):
+
+    1. corpus check: batch spans LEFT JOIN the index's distinct span
+       relation — cost ∝ batch spans, the corpus is never re-shingled;
+    2. batch-internal check among corpus survivors: each span is
+       "owned" by its lowest surviving doc_id, and a doc is rejected
+       when >=20% of its spans are owned by a LOWER id — deterministic
+       and order-independent (one min-aggregate + one join), the
+       keep-lowest-id election at span grain;
+    3. survivors are staged (rows -> target staging, their DISTINCT
+       spans -> index staging), sealed, published by atomic rename,
+       and the commit marker lands last. The index is an append-only
+       single-column (span) relation, so publishing partials is
+       mergeable by construction — consumers read it DISTINCT.
+    """
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        span_dedup_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            target_path=target_path,
+            checkpoint_dir=checkpoint_dir,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+        )
+
+    stream = (
+        spark.readStream.format("json").schema(schema).load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def span_dedup_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> None:
+    """One exactly-once micro-batch of :func:`stream_span_dedup_ingest`
+    (module-level so replay/crash scenarios are directly testable)."""
+    from lakehouse_architecture_spark.operators.spans import (
+        copied_ratio_reject,
+        word_spans,
+    )
+
+    commit_dir = os.path.join(checkpoint_dir, "span_dedup_commits")
+    committed = os.path.join(commit_dir, f"batch-{batch_id}")
+    staging = os.path.join(checkpoint_dir, "span_dedup_staging", str(batch_id))
+    if os.path.exists(committed):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    sealed = os.path.join(staging, "_STAGED")
+
+    if not os.path.exists(sealed):
+        if batch_df.isEmpty():
+            os.makedirs(commit_dir, exist_ok=True)
+            open(committed, "w").close()
+            return
+        # Recompute-on-replay is safe before the seal: nothing of this
+        # batch is visible to the index or the curated zone yet.
+        spans = word_spans(
+            batch_df, k, text_col=text_col, id_col=id_col
+        ).persist()
+        try:
+            index_exists = os.path.isdir(index_path) and any(
+                not e.startswith(("_", "."))
+                for e in os.listdir(index_path)
+            )
+            if index_exists:
+                idx = (
+                    spark.read.parquet(index_path)
+                    .select("span")
+                    .distinct()
+                    .withColumn("hit", F.lit(1))
+                )
+                joined = spans.join(idx, "span", "left")
+            else:
+                joined = spans.withColumn("hit", F.lit(None).cast("int"))
+            per_doc = joined.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_in"),
+            )
+            corpus_rejected = per_doc.filter(
+                copied_ratio_reject(F.col("n_in"), F.col("n_spans"))
+            ).select(id_col)
+            s1_spans = spans.join(corpus_rejected, id_col, "left_anti")
+            # batch-internal: spans owned by their lowest surviving doc
+            owners = s1_spans.groupBy("span").agg(
+                F.min(id_col).alias("owner")
+            )
+            internal = (
+                s1_spans.join(owners, "span")
+                .groupBy(id_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(
+                        F.when(F.col("owner") < F.col(id_col), 1).otherwise(0)
+                    ).alias("n_owned_lower"),
+                )
+            )
+            internal_rejected = internal.filter(
+                copied_ratio_reject(
+                    F.col("n_owned_lower"), F.col("n_spans")
+                )
+            ).select(id_col)
+            survivors = batch_df.join(
+                corpus_rejected.unionByName(internal_rejected).distinct(),
+                id_col,
+                "left_anti",
+            )
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(staging, "target")
+            )
+            # survivors' spans, DISTINCT at span grain: the index is a
+            # single-column set relation, append-mergeable
+            s1_spans.join(internal_rejected, id_col, "left_anti").select(
+                "span"
+            ).distinct().write.mode("overwrite").parquet(
+                os.path.join(staging, "spans")
+            )
+        finally:
+            spans.unpersist()
+        open(sealed, "w").close()
+
+    _publish_staged(os.path.join(staging, "target"), target_path, batch_id)
+    _publish_staged(os.path.join(staging, "spans"), index_path, batch_id)
+    os.makedirs(commit_dir, exist_ok=True)
+    open(committed, "w").close()
+    shutil.rmtree(staging, ignore_errors=True)

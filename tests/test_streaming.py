@@ -693,3 +693,80 @@ def test_rollup_batch_replay_exactly_once(spark, tmp_path):
     rollup_handle_batch(spark, b2, 2, **kw)
     assert read_state() == {"a": (2, 4.0), "b": (2, 10.5), "c": (2, 10.0)}
     assert not os.path.exists(staging) and not os.path.exists(staging2)
+
+
+def test_stream_span_dedup_ingest_and_replay(spark, tmp_path):
+    """The ExactSubstr streaming ingest: batch docs >=20% span-copied
+    from the persisted index (or from a lower-id doc in the same
+    batch) are rejected; survivors land in the curated zone and their
+    spans fold into the index; committed batches replay as no-ops."""
+    import json as _json
+    import os
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        span_dedup_handle_batch,
+        stream_span_dedup_ingest,
+    )
+
+    words = lambda seed, n: " ".join(f"w{seed}x{i}" for i in range(n))
+    base_text = words(1, 30)          # 23 spans of 8 words
+    fresh_text = words(2, 30)
+    other_text = words(3, 30)
+    copied_text = base_text + " tailA tailB"   # ~92% copied from base
+    internal_a = words(4, 30)
+    internal_b = internal_a + " tailC tailD"   # copies internal_a
+
+    src = tmp_path / "span_src"
+    src.mkdir()
+    idx = str(tmp_path / "span_idx")
+    tgt = str(tmp_path / "span_tgt")
+    ckpt = str(tmp_path / "span_ckpt")
+    schema = "doc_id long, text string"
+
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t})
+            for d, t in [(1, base_text), (2, fresh_text)]
+        )
+    )
+    q = stream_span_dedup_ingest(
+        spark, str(src), schema, idx, tgt, ckpt
+    ).start()
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(tgt).collect()} == {1, 2}
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t})
+            for d, t in [
+                (10, copied_text),    # rejected: copied from the INDEX
+                (11, other_text),     # admitted
+                (12, internal_a),     # admitted (owner of its spans)
+                (13, internal_b),     # rejected: copied from 12 in-batch
+            ]
+        )
+    )
+    q2 = stream_span_dedup_ingest(
+        spark, str(src), schema, idx, tgt, ckpt
+    ).start()
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(tgt).collect()}
+    assert got == {1, 2, 11, 12}
+    # the index holds only survivors' spans: doc 13's tail spans absent
+    idx_spans = {r.span for r in spark.read.parquet(idx).collect()}
+    assert not any("tailC" in s or "tailD" in s for s in idx_spans)
+    assert any("w3x0" in s for s in idx_spans)  # doc 11's spans present
+
+    # replay of a committed batch is a no-op (exactly-once)
+    b1 = spark.createDataFrame(
+        [(10, copied_text), (11, other_text), (12, internal_a), (13, internal_b)],
+        schema,
+    )
+    span_dedup_handle_batch(
+        spark, b1, 1, index_path=idx, target_path=tgt, checkpoint_dir=ckpt
+    )
+    again = [r.doc_id for r in spark.read.parquet(tgt).collect()]
+    assert sorted(again) == [1, 2, 11, 12]  # no duplicate rows either
+    assert not os.path.exists(
+        os.path.join(ckpt, "span_dedup_staging", "1")
+    )
