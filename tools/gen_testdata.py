@@ -12,8 +12,10 @@ small fraction of dangling lineitem FKs, which the RI queries count),
 and nanosecond event timestamps (the real tables are ns-encoded; the
 loader's nanosAsLong path must be exercised in CI too).
 
-Usage: python tools/gen_testdata.py SF OUT_DIR
+Usage: python tools/gen_testdata.py SF OUT_DIR [SEED]
 e.g.   python tools/gen_testdata.py 0.001 ci-testdata/sf0.001
+A non-default SEED gives the cross-engine gate a fresh die-roll on
+data-dependent rounding/boundary cases (the r7 ztest lesson).
 """
 
 from __future__ import annotations
@@ -65,8 +67,8 @@ def _doc_text(rng: np.random.Generator, lang: str, n_words: int) -> str:
     return " ".join(words)
 
 
-def generate(sf: float, out_dir: str) -> None:
-    rng = np.random.default_rng(42)
+def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+    rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
     def write(name: str, table: pa.Table) -> None:
@@ -302,5 +304,6 @@ def generate(sf: float, out_dir: str) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
     out = sys.argv[2] if len(sys.argv) > 2 else f"ci-testdata/sf{sf}"
-    generate(sf, out)
-    print(f"wrote sf={sf} tables to {out}")
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    generate(sf, out, seed)
+    print(f"wrote sf={sf} tables to {out} (seed={seed})")
