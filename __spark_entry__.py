@@ -52,6 +52,7 @@ _PRIORITY = [
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
     "docs_incremental_copied_spans",
+    "stats_corr_price_qty",
     "orders_trend_by_segment",
     "lineitem_key_skew_profile",
     "events_ab_test_value_ztest",
@@ -109,7 +110,6 @@ _PRIORITY = [
     "events_hll_accuracy_qa",
     "agg_argmax_by_status",
     "approx_distinct_and_quantile",
-    "stats_corr_price_qty",
 ]
 _FAMILY_ORDER = [
     "profiling",

@@ -786,10 +786,12 @@ WITH s AS (
   FROM lineitem
 )
 SELECT n,
-       (n * sxy - sx * sy)
+       ROUND((n * sxy - sx * sy)
          / SQRT(GREATEST(n * sxx - sx * sx, 0)
-                * GREATEST(n * syy - sy * sy, 0)) AS corr_price_qty,
-       (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop_price_qty
+                * GREATEST(n * syy - sy * sy, 0)), 6) + 0.0
+         AS corr_price_qty,
+       ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) + 0.0
+         AS covar_pop_price_qty
 FROM s
 """,
 )
@@ -818,18 +820,27 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can go fractionally negative in doubles on near-constant columns
     # (Spark sqrt(neg) = NaN, DuckDB raises — the oracle run would
     # error instead of comparing).
+    # ROUND(…,6)+0.0 on the emitted statistics (r8, seed-1337 die-roll):
+    # the wide moment sums exceed 2^53 unscaled, so their decimal->
+    # double casts can land one ulp apart cross-engine — an UNROUNDED
+    # derived double on the compared surface turns that into a red row.
     return s.select(
         "n",
         (
-            (n * sxy - sx * sy)
-            / F.sqrt(
-                F.greatest(n * sxx - sx * sx, F.lit(0.0))
-                * F.greatest(n * syy - sy * sy, F.lit(0.0))
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt(
+                    F.greatest(n * sxx - sx * sx, F.lit(0.0))
+                    * F.greatest(n * syy - sy * sy, F.lit(0.0))
+                ),
+                6,
             )
+            + F.lit(0.0)
         ).alias("corr_price_qty"),
-        ((n * sxy - sx * sy) / (n.cast("double") * n)).alias(
-            "covar_pop_price_qty"
-        ),
+        (
+            F.round((n * sxy - sx * sy) / (n.cast("double") * n), 6)
+            + F.lit(0.0)
+        ).alias("covar_pop_price_qty"),
     )
 
 
