@@ -658,3 +658,41 @@ def test_ols2_matches_numpy_lstsq(spark):
     )
     r2 = ols2(df2, "x1", "x2", "y").collect()[0]
     assert r2.b1 is None
+
+
+def test_word_spans_edges(spark):
+    """k-word span relation: docs shorter than k yield no spans, docs
+    of exactly k words yield one, repeated windows dedupe within a
+    doc, and spans are the EXACT raw windows (no normalization)."""
+    from lakehouse_architecture_spark.operators.spans import (
+        copied_ratio_reject,
+        word_spans,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),                  # shorter than k -> no spans
+            (2, "a b c"),                # exactly k -> one span
+            (3, "x y x y x y"),          # repeated window dedupes
+            (4, "A b. c d"),             # raw text, punctuation kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span)
+        for r in word_spans(df, 3).collect()
+    }
+    assert (1,) not in {(d,) for d, _ in got}
+    assert (2, "a b c") in got
+    spans3 = sorted(s for d, s in got if d == 3)
+    assert spans3 == ["x y x", "y x y"]
+    assert (4, "A b. c") in got and (4, "b. c d") in got
+
+    # the shared admission decision: integer-exact 20% threshold
+    r = spark.range(1).select(
+        copied_ratio_reject(F.lit(1), F.lit(5)).alias("a"),   # 20% -> reject
+        copied_ratio_reject(F.lit(0), F.lit(5)).alias("b"),
+        copied_ratio_reject(F.lit(1), F.lit(6)).alias("c"),   # <20%
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (True, False, False)
