@@ -36,11 +36,13 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-8 priority (the precision round): (a) the three r7 driver-RED
-# queries, re-surfaced/fixed this round (orders_trend_by_segment:
-# centered regressor; ztest + skew profile: exact integer/decimal
-# payloads with decision booleans), plus events_value_p95_by_type
-# whose oracle gained the null filter; (b) the 13 queries whose
+# Round-8 priority (the precision round): (a) EVERY query whose code
+# or oracle changed this round — the three r7 driver-RED queries
+# (orders_trend_by_segment: centered regressor; ztest + skew profile:
+# exact integer/decimal payloads with decision booleans), the p95
+# null-filter oracle, the full-precision-hardened numeric surfaces
+# (kmeans/scalar-math/norms/centroid/int8, corr), and the new
+# ExactSubstr span family; (b) the 13 queries whose
 # standing row is still r3; (c) all 39 r4-stale rows, the r7-touched
 # minhash/shingle families first (they sit atop the explode_grams
 # rewrite). The whole r7 wave got fresh green rows in r7 and rotates
@@ -57,6 +59,11 @@ _PRIORITY = [
     "lineitem_key_skew_profile",
     "events_ab_test_value_ztest",
     "events_value_p95_by_type",
+    "emb_kmeans_clusters",
+    "scalar_math_funcs",
+    "emb_norms",
+    "emb_centroid_norm_by_label",
+    "emb_int8_quantization",
     # (b) r3-stale (standing row five rounds old)
     "docs_test_contamination",
     "docs_pii_scrub",
@@ -96,9 +103,6 @@ _PRIORITY = [
     "docs_chunk_manifest",
     "emb_knn_lsh",
     "emb_knn_bruteforce_decimal",
-    "emb_norms",
-    "emb_centroid_norm_by_label",
-    "emb_int8_quantization",
     "events_hourly_by_type",
     "events_funnel",
     "events_retention_cohorts",
