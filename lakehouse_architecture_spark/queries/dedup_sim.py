@@ -1323,6 +1323,27 @@ def _word_spans(df: DataFrame, k: int) -> DataFrame:
     return word_spans(df, k)
 
 
+# One-slot cache for the persisted span posting relation: the span
+# queries return LAZY DataFrames, so they cannot unpersist in a finally
+# block the way the streaming twin (span_dedup_handle_batch) does — the
+# consuming action belongs to the caller. Holding exactly one persisted
+# relation and releasing the previous one on the next span query bounds
+# the session-wide cache to a single posting list (the r8 ADVICE leak:
+# un-released persists accumulated across a 198-query driver session).
+_SPAN_CACHE_SLOT: list = []
+
+
+def _persist_spans(spans: DataFrame) -> DataFrame:
+    if _SPAN_CACHE_SLOT:
+        try:
+            _SPAN_CACHE_SLOT.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session must not fail the new query
+    out = spans.persist()
+    _SPAN_CACHE_SLOT.append(out)
+    return out
+
+
 @query(
     "docs_shared_span_pairs",
     oracle="""
@@ -1368,10 +1389,11 @@ def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Compared surface: exact integers only (ids, span counts) with a
     total-order tie-break before the LIMIT."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the posting relation feeds the DF-count aggregate AND
-    # both sides of the pair join — uncached, the heavy window/string
-    # work recomputes per consumer (measured ~4.8 -> ~2 s at sf0.1)
-    spans = _word_spans(docs, 8).persist()
+    # persist (one-slot, see _persist_spans): the posting relation
+    # feeds the DF-count aggregate AND both sides of the pair join —
+    # uncached, the heavy window/string work recomputes per consumer
+    # (measured ~4.8 -> ~2 s at sf0.1)
+    spans = _persist_spans(_word_spans(docs, 8))
     df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
         spans.join(df_counts, "span")
@@ -1410,7 +1432,8 @@ df AS (SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY 1),
 per_doc AS (
   SELECT s.doc_id,
          COUNT(*) AS n_spans,
-         SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_copied
+         CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_copied
   FROM spans s JOIN df USING (span)
   GROUP BY 1
 )
@@ -1439,8 +1462,9 @@ def docs_copied_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join at all, so this profile is strictly cheaper than the
     pair view and is the one to run corpus-wide first."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist: reused by the DF-count aggregate and the per-doc join
-    spans = _word_spans(docs, 8).persist()
+    # persist (one-slot, see _persist_spans): reused by the DF-count
+    # aggregate and the per-doc join
+    spans = _persist_spans(_word_spans(docs, 8))
     df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         spans.join(df_counts, "span")
@@ -1489,12 +1513,12 @@ per_doc AS (
   GROUP BY 1
 )
 SELECT COUNT(*) AS n_batch_docs,
-       SUM(n_spans) AS n_batch_spans,
-       SUM(n_in_corpus) AS n_spans_in_corpus,
-       SUM(CASE WHEN n_in_corpus * 5 >= n_spans THEN 1 ELSE 0 END)
-         AS n_rejected,
-       SUM(CASE WHEN n_in_corpus * 5 < n_spans THEN 1 ELSE 0 END)
-         AS n_admitted
+       CAST(SUM(n_spans) AS BIGINT) AS n_batch_spans,
+       CAST(SUM(n_in_corpus) AS BIGINT) AS n_spans_in_corpus,
+       CAST(SUM(CASE WHEN n_in_corpus * 5 >= n_spans THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_rejected,
+       CAST(SUM(CASE WHEN n_in_corpus * 5 < n_spans THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_admitted
 FROM per_doc
 """,
 )

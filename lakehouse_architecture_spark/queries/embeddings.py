@@ -308,8 +308,13 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax and its centroid-id tie-break agree), the refined
     per-centroid means use exact decimal sums, and the norm is an
     order-pinned IEEE fold over positions (r8). Output per centroid:
-    member count and refined-centroid L2 norm (unrounded — the
-    doubles are bit-identical by construction).
+    member count and refined-centroid L2 norm, rounded to 6 decimals
+    on BOTH engines from operands that are bit-identical by
+    construction — with equal inputs the round is merely a formatting
+    step, unlike rounding 1-ulp-divergent inputs (the boundary class
+    emb_int8_quantization's docstring describes), so it cannot
+    introduce a mismatch here and shields the surface if a future
+    edit perturbs the fold by an ulp.
 
     This makes the k-means step itself driver-checkable; multi-
     iteration refinement (same plan, looped) stays covered by

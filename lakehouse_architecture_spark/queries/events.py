@@ -1392,8 +1392,8 @@ WITH per_user AS (
 ),
 m AS (
   SELECT
-    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
-    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
     CAST(ROUND(SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sum_a,
     CAST(ROUND(SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sum_b,
     CAST(ROUND(SUM(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(30,18)) END), 2) AS DOUBLE) AS sumsq_a,

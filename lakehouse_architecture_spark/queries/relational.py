@@ -1916,14 +1916,15 @@ def orders_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is pure integer calendar arithmetic (year*12 + month —
     identical on both engines, unlike months_between vs date_diff
     whose truncation disagrees before the pivot date), CENTERED on the
-    pinned literal base 24000 (= month index of 2000-01, mid-range of
-    the order dates) before the moments: uncentered, x ~ 24,000 makes
+    pinned literal base 24000 (= month index of 1999-12: 1999*12+12,
+    mid-range of the order dates) before the moments: uncentered,
+    x ~ 24,000 makes
     n*Sxx - Sx^2 cancel ~5e15-magnitude doubles down to ~7 significant
     digits, and the intercept amplifies the engines' last-ulp slope
     disagreement by Sx — the r7 driver red row. Centered, Sx is
     O(n * months-span), the cancellation disappears, the slope is
     unchanged, and the intercept is reported AT THE BASE month
-    (intercept_at_base = predicted revenue at 2000-01), which both
+    (intercept_at_base = predicted revenue at 1999-12), which both
     engines reproduce bit-for-bit after round(6)."""
     from lakehouse_architecture_spark.operators.ols import grouped_ols
 
@@ -1959,9 +1960,9 @@ top10 AS (
 ),
 s AS (
   SELECT (SELECT COUNT(*) FROM per_key) AS n_keys,
-         (SELECT SUM(c) FROM per_key) AS n_rows,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM per_key) AS n_rows,
          (SELECT MAX(c) FROM per_key) AS max_rows_per_key,
-         (SELECT SUM(c) FROM top10) AS rows_top10_keys
+         (SELECT CAST(SUM(c) AS BIGINT) FROM top10) AS rows_top10_keys
 )
 SELECT n_keys, n_rows, max_rows_per_key, rows_top10_keys,
        CAST((1000 * max_rows_per_key * n_keys) // n_rows AS BIGINT)

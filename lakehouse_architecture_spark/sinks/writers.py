@@ -294,13 +294,24 @@ def _parquet_rewrite_core(
             .collect()
         )
         parts = [r["__v"] for r in pairs]
-        part_entries = [
-            f"{partition_by}={_escape_partition_value(r['__s'])}"
-            for r in pairs
-        ]
-        null_in_parts = any(v is None for v in parts)
+        # dict.fromkeys: "" and null both map to __HIVE_DEFAULT_PARTITION__;
+        # a change set containing both must not list the entry twice or
+        # the swap loop would re-process (and destroy) the moved directory.
+        part_entries = list(
+            dict.fromkeys(
+                f"{partition_by}={_escape_partition_value(r['__s'])}"
+                for r in pairs
+            )
+        )
+        # "" is stored as __HIVE_DEFAULT_PARTITION__ and READ BACK AS
+        # NULL, so for pruning purposes it IS null: isin("") would miss
+        # the target's existing default-partition rows while the swap
+        # deletes their directory — silent row loss (r8 ADVICE).
+        null_in_parts = any(v is None or v == "" for v in parts)
         affected = target.filter(
-            F.col(partition_by).isin([v for v in parts if v is not None])
+            F.col(partition_by).isin(
+                [v for v in parts if v is not None and v != ""]
+            )
             | (F.col(partition_by).isNull() if null_in_parts else F.lit(False))
         )
         untouched_path_ok = True

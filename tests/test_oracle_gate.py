@@ -88,3 +88,104 @@ def test_duckdb_decimal_round_matches_half_away_from_zero():
             f"SELECT ROUND(CAST('{s}' AS DECIMAL(30,10)), {k})"
         ).fetchone()[0]
         assert decimal.Decimal(got) == want, (s, got, want)
+
+# --- the r8 judge's HUGEINT rule -------------------------------------
+# DuckDB types SUM(BIGINT/INTEGER) as HUGEINT (int128; Arrow
+# decimal128(38,0)); the driver's order-insensitive hash is
+# TYPE-sensitive, so a hugeint oracle column hashes differently from
+# Spark's LONG even when every value is equal. The four r8 red rows
+# were EXACTLY the four oracles (of 198) with a HUGEINT output column.
+# Two guards: a registry-wide DESCRIBE lint (no oracle may emit a type
+# outside the Spark-emittable set), and a regression test that the
+# typed gate itself reds the class.
+
+_SPARK_EMITTABLE = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+}
+
+
+def _described_oracles():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from lakehouse_architecture_spark.sources.tables import TESTDATA_TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    for name, sql in sorted(entry_mod.oracle_sql().items()):
+        yield name, con.execute(f"DESCRIBE {sql}").fetchall()
+
+
+def test_registry_wide_oracle_output_types_are_spark_emittable():
+    """Every oracle's DESCRIBE output type must be one Spark can emit
+    (plus DECIMAL(p,s)/TIMESTAMP, allowed only when the Spark side
+    matches — currently unused on compared surfaces). Registering a
+    bare SUM(int) oracle fails here before it fails at the driver."""
+    bad = []
+    for name, described in _described_oracles():
+        for col, typ, *_ in described:
+            u = typ.upper()
+            if u in _SPARK_EMITTABLE or u.startswith("DECIMAL"):
+                continue
+            bad.append((name, col, typ))
+    assert not bad, (
+        "oracle columns with non-Spark-emittable DuckDB types "
+        f"(HUGEINT => CAST the SUM to BIGINT): {bad}"
+    )
+
+
+def test_typed_gate_reds_the_hugeint_class():
+    """Pre-r9 regression: the gate's typed compare must red a bare
+    integer SUM (the exact shape of the four r8 driver-red oracles)
+    even though fetchall() values compare equal."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from check_oracle import typed_schema_problems
+
+    con = duckdb.connect()
+    described = con.execute(
+        "DESCRIBE SELECT SUM(x) AS n_rows FROM "
+        "(SELECT CAST(1 AS BIGINT) AS x)"
+    ).fetchall()
+    schema = StructType([StructField("n_rows", LongType())])
+    problems = typed_schema_problems(schema, described)
+    assert problems and "HUGEINT" in problems[0], problems
+    # and the fixed shape passes
+    described_ok = con.execute(
+        "DESCRIBE SELECT CAST(SUM(x) AS BIGINT) AS n_rows FROM "
+        "(SELECT CAST(1 AS BIGINT) AS x)"
+    ).fetchall()
+    assert typed_schema_problems(schema, described_ok) == []
+
+
+def test_typed_gate_collapses_integer_widths_but_not_floats():
+    """INTEGER/TINYINT oracle columns have been driver-green for
+    rounds against Spark LONG — width must collapse; an int-vs-double
+    class mix must not."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from check_oracle import typed_schema_problems
+
+    con = duckdb.connect()
+    described = con.execute(
+        "DESCRIBE SELECT CAST(1 AS TINYINT) AS a, CAST(2 AS INTEGER) AS b"
+    ).fetchall()
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    assert typed_schema_problems(schema, described) == []
+    schema_f = StructType(
+        [StructField("a", DoubleType()), StructField("b", LongType())]
+    )
+    problems = typed_schema_problems(schema_f, described)
+    assert len(problems) == 1 and "'a'" in problems[0], problems

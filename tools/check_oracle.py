@@ -51,6 +51,88 @@ def _row_set(rows, columns):
     return out
 
 
+# --- typed-output comparison (the r8 judge's HUGEINT lesson) ---------
+# The driver's order-insensitive hash is TYPE-sensitive: DuckDB
+# SUM(BIGINT) returns HUGEINT (Arrow decimal128(38,0)) while Spark
+# returns LONG, and equal values hash differently. fetchall() converts
+# hugeint -> Python int, so a value-only gate is structurally blind to
+# the class. Compare the DESCRIBE-level type CLASS of every oracle
+# column against the Spark schema: integer widths <=64 collapse to one
+# class (29 INTEGER / 2 TINYINT oracle columns have been driver-green
+# for rounds, so the driver normalizes width but not int128), floats
+# collapse, decimals must match (p,s) exactly, HUGEINT is always fatal.
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER",
+}
+
+
+def _duck_class(t: str) -> str:
+    u = t.upper()
+    if u in _DUCK_INT:
+        return "int"
+    if u in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT"
+    if u in ("FLOAT", "DOUBLE"):
+        return "float"
+    if u == "VARCHAR":
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("DECIMAL"):
+        return u.replace(" ", "")
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    return u
+
+
+def _spark_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("decimal"):
+        return s.upper().replace(" ", "")
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return s
+
+
+def typed_schema_problems(spark_schema, duck_described) -> list[str]:
+    """Class-compare a Spark schema against DuckDB ``DESCRIBE`` rows
+    ((name, type, ...) tuples); returns human-readable problems."""
+    problems = []
+    dtypes = {row[0]: row[1] for row in duck_described}
+    stypes = {f.name: f.dataType for f in spark_schema.fields}
+    for col, dtyp in dtypes.items():
+        dcls = _duck_class(dtyp)
+        if dcls == "HUGEINT":
+            problems.append(
+                f"oracle column {col!r} is {dtyp} (int128) — the driver "
+                "hashes it as a different value class than Spark's LONG; "
+                "CAST the integer SUM to BIGINT in the oracle SQL"
+            )
+            continue
+        if col in stypes:
+            scls = _spark_class(stypes[col])
+            if scls != dcls:
+                problems.append(
+                    f"typed-schema mismatch on {col!r}: spark={scls} "
+                    f"({stypes[col].simpleString()}) vs duckdb={dcls} ({dtyp})"
+                )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -97,6 +179,7 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            described = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -104,7 +187,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = typed_schema_problems(sdf.schema, described)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
