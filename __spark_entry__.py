@@ -36,84 +36,79 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-8 priority (the precision round): (a) EVERY query whose code
-# or oracle changed this round — the three r7 driver-RED queries
-# (orders_trend_by_segment: centered regressor; ztest + skew profile:
-# exact integer/decimal payloads with decision booleans), the p95
-# null-filter oracle, the full-precision-hardened numeric surfaces
-# (kmeans/scalar-math/norms/centroid/int8, corr), and the new
-# ExactSubstr span family; (b) the 13 queries whose
-# standing row is still r3; (c) all 39 r4-stale rows, the r7-touched
-# minhash/shingle families first (they sit atop the explode_grams
-# rewrite). The whole r7 wave got fresh green rows in r7 and rotates
-# out. 2 sentinels + 4 + 13 + 31 of the r4 block fill the 50-slot
-# window; the last 8 r4 rows lead r9.
+# Round-9 priority (the hugeint-cleanup round). Standing-row staleness
+# after r8 (computed from CORRECTNESS_r01..r08: latest round each query
+# appears in): 13 rows last checked r4, 44 last checked r5, 46 r6,
+# 45 r7, 50 r8. Window arithmetic, 50 slots: 2 sentinels
+# + 5 r9-touched (the four driver-red hugeint oracles, now CAST to
+#   BIGINT, plus docs_shared_span_pairs whose posting relation moved to
+#   the one-slot persist)
+# + 13 r4-stale
+# + the first 30 of the 44 r5-stale rows (non-TPC-H families first —
+#   the 14 left over are all TPC-H, the most stable family, re-covered
+#   by every bench run) = 50. Those last 14 TPC-H r5 rows lead r10.
 _PRIORITY = [
-    # (a) r8 fixes — red r7 rows and the oracle-touched p95 — plus
-    # the two never-checked r8 additions (substring-level dedup)
-    "docs_shared_span_pairs",
-    "docs_copied_span_profile",
-    "docs_incremental_copied_spans",
-    "stats_corr_price_qty",
-    "orders_trend_by_segment",
+    # (a) r9-touched: the four hugeint-red oracles (CAST AS BIGINT —
+    # values were bit-identical, the DuckDB SUM type was int128) and
+    # the span query sharing the reworked persisted posting relation
     "lineitem_key_skew_profile",
     "events_ab_test_value_ztest",
-    "events_value_p95_by_type",
-    "emb_kmeans_clusters",
-    "scalar_math_funcs",
-    "emb_norms",
-    "emb_centroid_norm_by_label",
-    "emb_int8_quantization",
-    # (b) r3-stale (standing row five rounds old)
-    "docs_test_contamination",
-    "docs_pii_scrub",
-    "docs_repetition_score",
-    "docs_token_entropy",
-    "docs_novelty_score",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "events_sessionization",
-    "events_ohlc_downsample",
-    "events_gapfilled_hourly",
-    "window_percent_rank_cume",
-    "q2_min_cost_supplier",
-    "ri_dangling_lineitems",
-    # (c) r4-stale — r7-touched operator families first
-    "minhash_lsh_near_dups",
-    "minhash_signatures_sample",
-    "docs_ngram_jaccard_pairs",
-    "docs_shingle_stats",
-    "docs_incremental_near_dups",
-    "validate_orders_invalid",
-    "validate_orders_rejection_summary",
-    "validate_orders_split_stats",
-    "validate_lineitem_fk_invalid",
-    "validate_lineitem_fk_summary",
-    "docs_exact_dup_groups",
-    "docs_exact_dedupe_count",
-    "docs_token_stats",
-    "docs_quality_score",
-    "docs_lang_id",
-    "docs_top_terms",
-    "docs_tfidf_top_terms",
-    "docs_fingerprint",
-    "docs_hash_split_counts",
-    "docs_stratified_sample",
-    "docs_mixture_resample",
-    "docs_chunk_manifest",
-    "emb_knn_lsh",
-    "emb_knn_bruteforce_decimal",
-    "events_hourly_by_type",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "events_type_value_stats",
-    "events_props_extract",
-    "events_tumbling_window",
-    "events_daily_active_users",
-    "events_hll_accuracy_qa",
+    "docs_copied_span_profile",
+    "docs_incremental_copied_spans",
+    "docs_shared_span_pairs",
+    # (b) r4-stale (standing row five rounds old)
     "agg_argmax_by_status",
     "approx_distinct_and_quantile",
+    "emb_knn_bruteforce_decimal",
+    "emb_knn_lsh",
+    "events_anomaly_zscore",
+    "events_daily_active_users",
+    "events_funnel",
+    "events_hll_accuracy_qa",
+    "events_hourly_by_type",
+    "events_props_extract",
+    "events_retention_cohorts",
+    "events_tumbling_window",
+    "events_type_value_stats",
+    # (c) r5-stale, non-TPC-H first (26), then TPC-H until the window
+    # closes (4 fit); q14..q9 lead r10
+    "basket_brand_pairs",
+    "docs_curation_funnel",
+    "docs_dedup_keep_best",
+    "docs_dedup_savings_report",
+    "docs_dup_profile_by_source",
+    "emb_ivf_probe_stats",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf_md5",
+    "emb_lsh_candidate_stats",
+    "emb_near_dup_lsh",
+    "emb_near_dup_lsh_strict",
+    "emb_near_dup_pairs",
+    "events_anomaly_mad",
+    "events_dow_hour_heatmap",
+    "events_type_transitions",
+    "events_user_lifetime",
+    "lineitem_discount_band_profile",
+    "lineitem_unpivot_measure_stats",
+    "minhash_estimate_qa",
+    "minhash_recall_curve",
+    "orders_cohort_monthly_value",
+    "orders_interarrival_stats",
+    "orders_rfm_segments",
+    "stats_skew_kurtosis_qty",
+    "supplier_fulfillment_latency",
+    "window_first_last_dense",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "q13_customer_order_distribution",
+    # r10 leads: q14_promo_revenue, q15_top_supplier,
+    # q16_supplier_part_counts, q17_small_quantity_revenue,
+    # q18_large_volume_customers, q19_disjunctive_revenue,
+    # q20_excess_shippers, q21_sole_late_supplier,
+    # q4_priority_late_ship, q5_local_supplier_volume,
+    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    # q9_product_profit
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -128,9 +123,10 @@ _FAMILY_ORDER = [
     "advanced",
 ]
 # Queries pushed past the driver's check horizon this round: all have
-# FRESH green rows in CORRECTNESS_r5 or r6 and their code is unchanged
-# in r7, so the window is spent on the never-checked queries and the
-# r3/r4-stale rotation above.
+# standing green rows from r6/r7/r8 (or are r5-stale TPC-H rows named
+# in the r10-leads comment above) and their code is unchanged in r9, so
+# the window is spent on the hugeint fixes and the r4/r5-stale rotation
+# above. Names that also appear in _PRIORITY are deduped there first.
 _SECOND_TIER = {
     "agg_cube_flags",
     "agg_grouping_sets",

@@ -488,6 +488,52 @@ def test_merge_rewrite_hive_escaped_partition_values(spark, tmp_path):
     assert not [e for e in os.listdir(str(tmp_path)) if "staging" in e]
 
 
+def test_merge_rewrite_empty_string_partition_is_null(spark, tmp_path):
+    """The r9 ADVICE finding: Spark STORES an empty-string partition
+    value as __HIVE_DEFAULT_PARTITION__ and READS IT BACK AS NULL, so
+    for pruning purposes "" IS null — the old isin("") filter missed
+    the target's existing default-partition rows while the swap
+    deleted their directory: silent row loss. Also pins the
+    dedup of part_entries when a change set contains BOTH None and ""
+    (one directory, previously listed twice — the second pass
+    destroyed the freshly-moved partition)."""
+    import os
+
+    from lakehouse_architecture_spark.sinks import writers
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, "keepme", None), (2, "b", "p1")],
+        "k long, v string, p string",
+    )
+    writers.write_partitioned(base, path, "p")
+    assert "p=__HIVE_DEFAULT_PARTITION__" in os.listdir(path)
+
+    # change set uses "" — same directory as the existing null row
+    upd = spark.createDataFrame(
+        [(10, "x", "")], "k long, v string, p string"
+    )
+    writers.merge_upsert(spark, upd, path, ["k"], partition_by="p")
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    # the pre-existing null-partition row SURVIVES ("" reads back null)
+    assert got == {(1, "keepme", None), (2, "b", "p1"), (10, "x", None)}
+
+    # change set with BOTH None and "": one directory entry, processed
+    # once — update lands, survivors kept, no duplicate-swap crash
+    upd2 = spark.createDataFrame(
+        [(1, "updated", None), (11, "y", "")],
+        "k long, v string, p string",
+    )
+    writers.merge_upsert(spark, upd2, path, ["k"], partition_by="p")
+    got2 = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got2 == {
+        (1, "updated", None),
+        (2, "b", "p1"),
+        (10, "x", None),
+        (11, "y", None),
+    }
+
+
 def test_escape_partition_value_contract():
     from lakehouse_architecture_spark.sinks.writers import (
         _escape_partition_value,
