@@ -696,3 +696,29 @@ def test_word_spans_edges(spark):
         copied_ratio_reject(F.lit(1), F.lit(6)).alias("c"),   # <20%
     ).collect()[0]
     assert (r.a, r.b, r.c) == (True, False, False)
+
+
+def test_span_persist_one_slot(spark):
+    """The r9 cache-leak fix: the span queries persist their posting
+    relation through a ONE-SLOT cache — each call releases the
+    previous call's persisted relation (lazy query functions cannot
+    unpersist in a finally; the consuming action is the caller's), so
+    a long driver/bench session holds at most one posting list."""
+    from lakehouse_architecture_spark.queries import dedup_sim
+
+    df1 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    df2 = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+
+    dedup_sim._SPAN_CACHE_SLOT.clear()
+    first = dedup_sim._persist_spans(df1)
+    assert first.storageLevel.useMemory
+    assert dedup_sim._SPAN_CACHE_SLOT == [first]
+
+    second = dedup_sim._persist_spans(df2)
+    assert second.storageLevel.useMemory
+    assert dedup_sim._SPAN_CACHE_SLOT == [second]
+    # the first relation was released; Spark reports the default
+    # (non-cached) storage level once unpersisted
+    assert not first.storageLevel.useMemory
+    second.unpersist(blocking=False)
+    dedup_sim._SPAN_CACHE_SLOT.clear()
