@@ -107,10 +107,14 @@ _SPARK_EMITTABLE = {
 
 def _described_oracles():
     sys.path.insert(0, "/root/repo")
+    import os
+
     import __spark_entry__ as entry_mod
     from lakehouse_architecture_spark.sources.tables import TESTDATA_TABLES
 
-    sf = "/root/testdata/sf0.001"
+    # same resolution as conftest.SF_SMALL: CI points this at its
+    # generated ci-testdata tables (DESCRIBE only binds, any SF works)
+    sf = os.environ.get("LAKEHOUSE_TESTDATA_DIR", "/root/testdata/sf0.001")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
