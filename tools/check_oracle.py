@@ -163,7 +163,16 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_weak = 0
-    for name, fn in sorted(qs.items()):
+    # ORACLE_CHECK_DRIVER_ORDER=N: check the FIRST N queries in dict-
+    # insertion order — exactly the driver's window walk — instead of
+    # alphabetically. Session state is order-dependent (caches, temp
+    # views, the one-slot span cache), so a green sorted sweep does not
+    # by itself prove the driver's order; this mode does.
+    driver_n = int(os.environ.get("ORACLE_CHECK_DRIVER_ORDER", "0"))
+    items = (
+        list(qs.items())[:driver_n] if driver_n else sorted(qs.items())
+    )
+    for name, fn in items:
         if only and name not in only:
             continue
         try:
