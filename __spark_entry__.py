@@ -40,13 +40,14 @@ _SENTINELS = [
 # after r8 (computed from CORRECTNESS_r01..r08: latest round each query
 # appears in): 13 rows last checked r4, 44 last checked r5, 46 r6,
 # 45 r7, 50 r8. Window arithmetic, 50 slots: 2 sentinels
-# + 5 r9-touched (the four driver-red hugeint oracles, now CAST to
-#   BIGINT, plus docs_shared_span_pairs whose posting relation moved to
-#   the one-slot persist)
+# + 6 r9-touched (the four driver-red hugeint oracles, now CAST to
+#   BIGINT; docs_shared_span_pairs whose posting relation moved to the
+#   one-slot persist; docs_curation_funnel whose plan dropped the
+#   corpus cache for a single hash-grain shuffle)
 # + 13 r4-stale
-# + the first 30 of the 44 r5-stale rows (non-TPC-H families first —
-#   the 14 left over are all TPC-H, the most stable family, re-covered
-#   by every bench run) = 50. Those last 14 TPC-H r5 rows lead r10.
+# + the first 29 of the 44 r5-stale rows (non-TPC-H families first —
+#   the 15 left over are all TPC-H, the most stable family, re-covered
+#   by every bench run) = 50. Those last 15 TPC-H r5 rows lead r10.
 _PRIORITY = [
     # (a) r9-touched: the four hugeint-red oracles (CAST AS BIGINT —
     # values were bit-identical, the DuckDB SUM type was int128) and
@@ -56,6 +57,7 @@ _PRIORITY = [
     "docs_copied_span_profile",
     "docs_incremental_copied_spans",
     "docs_shared_span_pairs",
+    "docs_curation_funnel",
     # (b) r4-stale (standing row five rounds old)
     "agg_argmax_by_status",
     "approx_distinct_and_quantile",
@@ -71,9 +73,8 @@ _PRIORITY = [
     "events_tumbling_window",
     "events_type_value_stats",
     # (c) r5-stale, non-TPC-H first (26), then TPC-H until the window
-    # closes (4 fit); q14..q9 lead r10
+    # closes (3 fit); q13/q14..q9 lead r10
     "basket_brand_pairs",
-    "docs_curation_funnel",
     "docs_dedup_keep_best",
     "docs_dedup_savings_report",
     "docs_dup_profile_by_source",
@@ -101,8 +102,8 @@ _PRIORITY = [
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_priority_counts",
-    "q13_customer_order_distribution",
-    # r10 leads: q14_promo_revenue, q15_top_supplier,
+    # r10 leads: q13_customer_order_distribution, q14_promo_revenue,
+    # q15_top_supplier,
     # q16_supplier_part_counts, q17_small_quantity_revenue,
     # q18_large_volume_customers, q19_disjunctive_revenue,
     # q20_excess_shippers, q21_sole_late_supplier,

@@ -448,21 +448,24 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel's counts are consistent with the per-operator outputs by
     construction — and the whole chain is replicated in the oracle.
 
-    Plan (reworked r5): the first FOUR stage counts collapse into ONE
-    aggregate over the flagged-and-CACHED base relation — count(*),
-    count_if(length gate), count_if(gate & en), countDistinct(content
-    hash of survivors) — because "rows after keep-one-per-hash dedup"
-    IS the distinct hash count; no window, no per-stage re-scan of the
-    regex-heavy lang-ID lineage (the r4 shape re-materialized it up to
-    4x — measured 1.43 s -> ~1.1 s at sf0.1, now floored by the
-    near-dup stage itself). Stage 5 = n4 minus the distinct dropped
-    doc_ids from the exact-Jaccard pair job over the stage-4 survivor
-    relation (min doc_id + min_by text per hash — one groupBy shuffle).
-    Cache lifetime is session-scoped like the other dedup caches
-    (caller releases via spark.catalog.clearCache()); the cached
-    relation carries the text column, so at 100 TB this is a
-    MEMORY_AND_DISK corpus-sized spill — acceptable for the reporting
-    query this is, and the per-stage operators remain usable uncached."""
+    Plan (reworked r9; the r5 shape cached the flagged corpus because
+    it fed two consumers — the counts aggregate and the stage-4
+    survivor relation — and the cache carried text corpus-wide, the
+    one documented scale-killer in SCALING.md's limits table): now ONE
+    scan and ONE corpus shuffle, at the content-hash grain the dedup
+    stages need anyway, with NO corpus cache. The per-hash aggregate
+    carries everything both consumers used: group row counts, the
+    length-gate and en conditional counts (stages 1-3 are sums of
+    per-hash partials), the has-en-survivor flag (stage 4 = count of
+    such groups), and the canonical survivor itself as a conditional
+    struct-min (min over struct(doc_id, text) of en rows — doc_id is
+    unique, so the min is deterministic and equal to the old
+    min/min_by pair). The regex-heavy lang-ID lineage runs exactly
+    once per document, map-side before the shuffle; the shuffle
+    carries text once and its files die with the stage instead of
+    pinning a MEMORY_AND_DISK corpus. Stage 5 = n4 minus the distinct
+    dropped doc_ids from the exact-Jaccard pair job over the stage-4
+    survivor relation, unchanged."""
     from lakehouse_architecture_spark.operators.dedup import content_hash
     from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
 
@@ -483,27 +486,37 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (s["en"] >= s["es"])
         & (s["en"] >= s["fr"])
     )
-    base = docs.select(
-        "doc_id", "text", pass_len.alias("pass_len"), is_en.alias("is_en")
-    ).cache()
-    en = F.col("pass_len") & F.col("is_en")
-    counts = base.agg(
-        F.count(F.lit(1)).alias("n1"),
-        F.count_if("pass_len").alias("n2"),
-        F.count_if(en).alias("n3"),
-        F.countDistinct(F.when(en, content_hash(F.col("text")))).alias("n4"),
-    )
-    # Stage-4 survivor RELATION (canonical = min doc_id per hash) still
-    # materializes for the near-dup stage; min_by on the unique doc_id
-    # is deterministic and equivalent to the keep-first window.
-    s4 = (
-        base.filter(en)
-        .groupBy(content_hash(F.col("text")).alias("h"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("text", "doc_id").alias("text"),
+    en = pass_len & is_en
+    per_hash = (
+        docs.select(
+            F.col("doc_id"),
+            F.col("text"),
+            pass_len.alias("pass_len"),
+            en.alias("en"),
+            content_hash(F.col("text")).alias("h"),
         )
-        .select("doc_id", "text")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_if("pass_len").alias("cnt_len"),
+            F.count_if("en").alias("cnt_en"),
+            F.min(
+                F.when(F.col("en"), F.struct(F.col("doc_id"), F.col("text")))
+            ).alias("canon"),
+        )
+    )
+    counts = per_hash.agg(
+        F.sum("cnt").alias("n1"),
+        F.sum("cnt_len").alias("n2"),
+        F.sum("cnt_en").alias("n3"),
+        F.count_if(F.col("cnt_en") > 0).alias("n4"),
+    )
+    # Stage-4 survivor RELATION (canonical = min en doc_id per hash,
+    # with THAT row's text) for the near-dup stage — already computed
+    # by the same aggregate, no second corpus pass.
+    s4 = per_hash.filter(F.col("cnt_en") > 0).select(
+        F.col("canon.doc_id").alias("doc_id"),
+        F.col("canon.text").alias("text"),
     )
     pairs = ngram_jaccard_pairs(
         s4, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
