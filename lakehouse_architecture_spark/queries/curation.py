@@ -448,24 +448,27 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel's counts are consistent with the per-operator outputs by
     construction — and the whole chain is replicated in the oracle.
 
-    Plan (reworked r9; the r5 shape cached the flagged corpus because
-    it fed two consumers — the counts aggregate and the stage-4
-    survivor relation — and the cache carried text corpus-wide, the
-    one documented scale-killer in SCALING.md's limits table): now ONE
-    scan and ONE corpus shuffle, at the content-hash grain the dedup
-    stages need anyway, with NO corpus cache. The per-hash aggregate
-    carries everything both consumers used: group row counts, the
-    length-gate and en conditional counts (stages 1-3 are sums of
-    per-hash partials), the has-en-survivor flag (stage 4 = count of
-    such groups), and the canonical survivor itself as a conditional
-    struct-min (min over struct(doc_id, text) of en rows — doc_id is
-    unique, so the min is deterministic and equal to the old
-    min/min_by pair). The regex-heavy lang-ID lineage runs exactly
-    once per document, map-side before the shuffle; the shuffle
-    carries text once and its files die with the stage instead of
-    pinning a MEMORY_AND_DISK corpus. Stage 5 = n4 minus the distinct
-    dropped doc_ids from the exact-Jaccard pair job over the stage-4
-    survivor relation, unchanged."""
+    Plan (reworked r9; the r5 shape cached the flagged corpus — ALL
+    docs' text + flags — because two consumers read it, and that
+    corpus-sized MEMORY_AND_DISK pin was one of the two documented
+    scale-killers in SCALING.md's limits table): stages 1-3 are now a
+    scan-only conditional aggregate (no shuffle, no materialization —
+    counts fold map-side); the stage-4 survivor relation shuffles ONLY
+    the en-surviving rows to the content-hash grain and elects the
+    canonical doc as a struct-min (min over struct(doc_id, text) —
+    doc_id is unique, so the election is deterministic and equal to
+    the old min/min_by pair). The survivor relation has two consumers
+    (the n4 count and the near-dup pair job's gram build), so it is
+    one-slot persisted (operators/caching) — survivor-grain, i.e. the
+    deduped-English subset, strictly smaller than the old corpus-wide
+    cache, and RELEASED by the next query that uses the slot instead
+    of accumulating. The lang-ID regexes run once in each of the two
+    scans — linear map-side CPU, the price of holding no corpus-sized
+    state anywhere. Stage 5 = n4 minus the distinct dropped doc_ids
+    from the exact-Jaccard pair job over the survivors, unchanged."""
+    from lakehouse_architecture_spark.operators.caching import (
+        one_slot_persist,
+    )
     from lakehouse_architecture_spark.operators.dedup import content_hash
     from lakehouse_architecture_spark.queries.text import _LANG_MARKERS
 
@@ -487,37 +490,27 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (s["en"] >= s["fr"])
     )
     en = pass_len & is_en
-    per_hash = (
-        docs.select(
-            F.col("doc_id"),
-            F.col("text"),
-            pass_len.alias("pass_len"),
-            en.alias("en"),
-            content_hash(F.col("text")).alias("h"),
-        )
-        .groupBy("h")
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count_if(pass_len).alias("n2"),
+        F.count_if(en).alias("n3"),
+    )
+    # Stage-4 survivor RELATION: en rows only reach the hash shuffle;
+    # canonical = min en doc_id per hash, with THAT row's text.
+    s4 = one_slot_persist(
+        docs.filter(en)
+        .groupBy(content_hash(F.col("text")).alias("h"))
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count_if("pass_len").alias("cnt_len"),
-            F.count_if("en").alias("cnt_en"),
-            F.min(
-                F.when(F.col("en"), F.struct(F.col("doc_id"), F.col("text")))
-            ).alias("canon"),
+            F.min(F.struct(F.col("doc_id"), F.col("text"))).alias("canon")
         )
+        .select(
+            F.col("canon.doc_id").alias("doc_id"),
+            F.col("canon.text").alias("text"),
+        ),
+        slot="curation-funnel-s4",
     )
-    counts = per_hash.agg(
-        F.sum("cnt").alias("n1"),
-        F.sum("cnt_len").alias("n2"),
-        F.sum("cnt_en").alias("n3"),
-        F.count_if(F.col("cnt_en") > 0).alias("n4"),
-    )
-    # Stage-4 survivor RELATION (canonical = min en doc_id per hash,
-    # with THAT row's text) for the near-dup stage — already computed
-    # by the same aggregate, no second corpus pass.
-    s4 = per_hash.filter(F.col("cnt_en") > 0).select(
-        F.col("canon.doc_id").alias("doc_id"),
-        F.col("canon.text").alias("text"),
-    )
+    n4df = s4.agg(F.count(F.lit(1)).alias("n4"))
+    counts = counts.crossJoin(n4df)
     pairs = ngram_jaccard_pairs(
         s4, "text", "doc_id", threshold=0.3, max_doc_freq=MAX_DOC_FREQ
     )

@@ -1323,25 +1323,19 @@ def _word_spans(df: DataFrame, k: int) -> DataFrame:
     return word_spans(df, k)
 
 
-# One-slot cache for the persisted span posting relation: the span
-# queries return LAZY DataFrames, so they cannot unpersist in a finally
-# block the way the streaming twin (span_dedup_handle_batch) does — the
-# consuming action belongs to the caller. Holding exactly one persisted
-# relation and releasing the previous one on the next span query bounds
-# the session-wide cache to a single posting list (the r8 ADVICE leak:
-# un-released persists accumulated across a 198-query driver session).
-_SPAN_CACHE_SLOT: list = []
-
-
 def _persist_spans(spans: DataFrame) -> DataFrame:
-    if _SPAN_CACHE_SLOT:
-        try:
-            _SPAN_CACHE_SLOT.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # a stopped session must not fail the new query
-    out = spans.persist()
-    _SPAN_CACHE_SLOT.append(out)
-    return out
+    """One-slot persist of the span posting relation (see
+    operators/caching.one_slot_persist): the span queries return LAZY
+    DataFrames, so they cannot unpersist in a finally block the way
+    the streaming twin (span_dedup_handle_batch) does — the consuming
+    action belongs to the caller. Each span query releases the
+    previous one's posting list, bounding the session-wide cache to
+    one relation (the r8 ADVICE leak)."""
+    from lakehouse_architecture_spark.operators.caching import (
+        one_slot_persist,
+    )
+
+    return one_slot_persist(spans, slot="dedup-sim-spans")
 
 
 @query(

@@ -698,27 +698,43 @@ def test_word_spans_edges(spark):
     assert (r.a, r.b, r.c) == (True, False, False)
 
 
-def test_span_persist_one_slot(spark):
-    """The r9 cache-leak fix: the span queries persist their posting
-    relation through a ONE-SLOT cache — each call releases the
-    previous call's persisted relation (lazy query functions cannot
-    unpersist in a finally; the consuming action is the caller's), so
-    a long driver/bench session holds at most one posting list."""
-    from lakehouse_architecture_spark.queries import dedup_sim
+def test_one_slot_persist(spark):
+    """The r9 cache-leak fix: lazy query functions persist heavy
+    intermediates through NAMED one-slot caches — each call releases
+    the slot's previous relation (they cannot unpersist in a finally;
+    the consuming action is the caller's), so a long driver/bench
+    session holds at most one relation per call site."""
+    from lakehouse_architecture_spark.operators.caching import (
+        _SLOTS,
+        one_slot_persist,
+    )
+    from lakehouse_architecture_spark.queries.dedup_sim import (
+        _persist_spans,
+    )
 
     df1 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     df2 = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+    df3 = spark.createDataFrame([(3, "c")], "doc_id long, text string")
 
-    dedup_sim._SPAN_CACHE_SLOT.clear()
-    first = dedup_sim._persist_spans(df1)
+    first = one_slot_persist(df1, slot="t-slot")
     assert first.storageLevel.useMemory
-    assert dedup_sim._SPAN_CACHE_SLOT == [first]
+    assert _SLOTS["t-slot"] is first
 
-    second = dedup_sim._persist_spans(df2)
+    second = one_slot_persist(df2, slot="t-slot")
     assert second.storageLevel.useMemory
-    assert dedup_sim._SPAN_CACHE_SLOT == [second]
+    assert _SLOTS["t-slot"] is second
     # the first relation was released; Spark reports the default
     # (non-cached) storage level once unpersisted
     assert not first.storageLevel.useMemory
-    second.unpersist(blocking=False)
-    dedup_sim._SPAN_CACHE_SLOT.clear()
+
+    # independent slots do not evict each other
+    other = one_slot_persist(df3, slot="t-other")
+    assert second.storageLevel.useMemory and other.storageLevel.useMemory
+
+    # the span queries route through the "dedup-sim-spans" slot
+    spans = _persist_spans(df1)
+    assert spans.storageLevel.useMemory
+    assert _SLOTS["dedup-sim-spans"] is spans
+
+    for k in ("t-slot", "t-other", "dedup-sim-spans"):
+        _SLOTS.pop(k).unpersist(blocking=False)
