@@ -8,6 +8,20 @@ Set ``ORACLE_CHECK_PLAIN=1`` to run against a PLAIN SparkSession (no
 engine conf) exactly like the driver does — queries must not depend on
 get_spark's session conf (that failure class is invisible under the
 default mode and was behind the r4 float-normalization scare).
+
+Set ``ORACLE_CHECK_DRIVER_ORDER=N`` to check the first N queries in
+dict-insertion order — the driver's exact window walk — instead of
+alphabetically (session state is order-dependent: caches, temp views,
+the one-slot persists).
+
+Known flake (r9): a FULL 198-query run in PLAIN mode lives inside
+Spark's default 1 GB driver heap; with ~190 queries of accumulated
+session state one run died with a GCLocker-starvation
+OutOfMemoryError mid-query and every later query cascaded to
+"Connection refused". An immediate identical re-run passed 198/198.
+If a full plain sweep dies that way, re-run before suspecting a
+regression — the driver itself only ever runs a 50-query window,
+which has never tripped this.
 """
 
 from __future__ import annotations
