@@ -193,3 +193,35 @@ def test_typed_gate_collapses_integer_widths_but_not_floats():
     )
     problems = typed_schema_problems(schema_f, described)
     assert len(problems) == 1 and "'a'" in problems[0], problems
+
+
+def test_driver_window_composition():
+    """Structural invariants of the driver's 50-query check window
+    (dict-insertion order of __spark_entry__.queries()): the sentinels
+    lead, every name resolves to a registered query exactly once, and
+    every query the current round touched sits INSIDE the window — a
+    changed query outside it keeps a stale green row, the near-miss
+    the r8 window-arithmetic bug would have caused."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    assert len(names) == len(set(names))
+    assert set(names) == set(oracles), "every query needs an oracle"
+    assert names[0] == "q1_pricing_summary"
+    window = set(names[:50])
+    listed = entry_mod._SENTINELS + entry_mod._PRIORITY
+    assert len(listed) == len(set(listed)), "duplicate in priority list"
+    assert set(listed) <= set(names)
+    # r9-touched surfaces (hugeint casts, span one-slot persist,
+    # funnel rework) must all have a fresh driver row this round
+    touched_r9 = {
+        "lineitem_key_skew_profile",
+        "events_ab_test_value_ztest",
+        "docs_copied_span_profile",
+        "docs_incremental_copied_spans",
+        "docs_shared_span_pairs",
+        "docs_curation_funnel",
+    }
+    assert touched_r9 <= window, sorted(touched_r9 - window)
