@@ -36,80 +36,82 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-9 priority (the hugeint-cleanup round). Standing-row staleness
-# after r8 (computed from CORRECTNESS_r01..r08: latest round each query
-# appears in): 13 rows last checked r4, 44 last checked r5, 46 r6,
-# 45 r7, 50 r8. Window arithmetic, 50 slots: 2 sentinels
-# + 6 r9-touched (the four driver-red hugeint oracles, now CAST to
-#   BIGINT; docs_shared_span_pairs whose posting relation moved to the
-#   one-slot persist; docs_curation_funnel whose plan dropped the
-#   corpus cache for a single hash-grain shuffle)
-# + 13 r4-stale
-# + the first 29 of the 44 r5-stale rows (non-TPC-H families first —
-#   the 15 left over are all TPC-H, the most stable family, re-covered
-#   by every bench run) = 50. Those last 15 TPC-H r5 rows lead r10.
+# Round-10 priority (the cache-bounding round). Standing-row staleness
+# after r9 (CORRECTNESS_r01..r09, latest round per query): 15 rows last
+# checked r5 (all TPC-H), 46 r6, 44 r7, 43 r8, 50 r9. Window
+# arithmetic, 50 slots: 2 sentinels
+# + 15 r5-stale TPC-H rows (the rotation the r9 verdict ordered —
+#   after this window no standing row is older than r6)
+# + 23 r10-touched (every query whose plan gained a one-slot /
+#   identity-keyed persist this round needs a fresh row)
+# + 10 oldest r6-stale rows = 50 exactly (asserted by
+#   tests/test_oracle_gate.py::test_driver_window_composition).
+# The 34 remaining r6-stale rows lead r11.
 _PRIORITY = [
-    # (a) r9-touched: the four hugeint-red oracles (CAST AS BIGINT —
-    # values were bit-identical, the DuckDB SUM type was int128) and
-    # the span query sharing the reworked persisted posting relation
+    # (a) r5-stale TPC-H (standing row five rounds old)
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_supplier",
+    # (b) r10-touched: plain .cache() sites replaced by bounded
+    # one-slot persists (operators/caching), span/gram slots now
+    # identity-keyed — same logical plans, new persist choreography
+    "parts_coorder_triangles",
+    "orders_bloom_prune_stats",
     "lineitem_key_skew_profile",
-    "events_ab_test_value_ztest",
-    "docs_copied_span_profile",
-    "docs_incremental_copied_spans",
-    "docs_shared_span_pairs",
-    "docs_curation_funnel",
-    # (b) r4-stale (standing row five rounds old)
-    "agg_argmax_by_status",
-    "approx_distinct_and_quantile",
-    "emb_knn_bruteforce_decimal",
-    "emb_knn_lsh",
-    "events_anomaly_zscore",
-    "events_daily_active_users",
-    "events_funnel",
-    "events_hll_accuracy_qa",
-    "events_hourly_by_type",
-    "events_props_extract",
-    "events_retention_cohorts",
-    "events_tumbling_window",
-    "events_type_value_stats",
-    # (c) r5-stale, non-TPC-H first (26), then TPC-H until the window
-    # closes (3 fit); q13/q14..q9 lead r10
-    "basket_brand_pairs",
-    "docs_dedup_keep_best",
-    "docs_dedup_savings_report",
-    "docs_dup_profile_by_source",
-    "emb_ivf_probe_stats",
-    "emb_knn_bruteforce",
-    "emb_knn_ivf_md5",
-    "emb_lsh_candidate_stats",
-    "emb_near_dup_lsh",
-    "emb_near_dup_lsh_strict",
-    "emb_near_dup_pairs",
-    "events_anomaly_mad",
-    "events_dow_hour_heatmap",
-    "events_type_transitions",
-    "events_user_lifetime",
-    "lineitem_discount_band_profile",
-    "lineitem_unpivot_measure_stats",
+    "minhash_lsh_near_dups",
     "minhash_estimate_qa",
     "minhash_recall_curve",
-    "orders_cohort_monthly_value",
-    "orders_interarrival_stats",
-    "orders_rfm_segments",
-    "stats_skew_kurtosis_qty",
-    "supplier_fulfillment_latency",
-    "window_first_last_dense",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_priority_counts",
-    # r10 leads: q13_customer_order_distribution, q14_promo_revenue,
-    # q15_top_supplier,
-    # q16_supplier_part_counts, q17_small_quantity_revenue,
-    # q18_large_volume_customers, q19_disjunctive_revenue,
-    # q20_excess_shippers, q21_sole_late_supplier,
-    # q4_priority_late_ship, q5_local_supplier_volume,
-    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-    # q9_product_profit
+    "docs_ngram_jaccard_pairs",
+    "docs_incremental_near_dups",
+    "simhash_near_pairs",
+    "customers_fuzzy_name_stats",
+    "customers_entity_resolution",
+    "events_chi2_type_dow",
+    "events_stickiness_ratio",
+    "events_hll_intersection_qa",
+    "emb_semantic_dedup",
+    "emb_knn_ivf",
+    "docs_dup_components",
+    "docs_dedup_keep_best",
+    "docs_dup_cluster_size_histogram",
+    "docs_curation_funnel",
+    "docs_shared_span_pairs",
+    "docs_copied_span_profile",
+    "docs_incremental_copied_spans",
+    # (c) 10 oldest r6-stale rows (session-state-sensitive families
+    # first: persisted corpus index, catalog/temp-view round-trips,
+    # write-path guards)
+    "docs_incremental_near_dups_indexed",
+    "events_hll_sketch_rollup",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "sql_catalog_roundtrip",
+    "not_exists_insert_guard",
+    "sql_insert_not_exists",
+    "quantiles_exact",
+    "pivot_status_by_priority",
+    "scalar_subquery_above_avg",
+    # r11 leads (34 r6-stale): agg_cube_flags, agg_grouping_sets,
+    # agg_rollup_status_priority, agg_stats_by_status,
+    # case_when_conditional_agg, correlated_min_per_group_join,
+    # dedup_latest_order_per_customer, distinct_segments,
+    # docs_rare_token_ratio, events_daily_new_vs_returning,
+    # events_signup_to_purchase_1h, events_trailing_24h_volume,
+    # join_* (7), q22_dormant_customers, scalar_date_funcs,
+    # scalar_string_funcs, setop_* (4), sql_probe_orders,
+    # sql_revenue_by_nation, topk_orders, window_* (5)
 ]
 _FAMILY_ORDER = [
     "profiling",

@@ -5,30 +5,90 @@ belongs to the caller (driver, bench, a user), so a function that
 persists an intermediate cannot unpersist it in a ``finally`` the way a
 streaming job does. Left alone, those persists accumulate across a
 multi-query session (the r8 ADVICE leak: every span query pinned a new
-posting relation).
+posting relation; the same class covered ~20 plain ``.cache()`` sites
+across the relational/dedup_sim/events/embeddings query modules until
+round 10 routed them all through here).
 
 ``one_slot_persist`` bounds that growth by construction: each named
 slot holds AT MOST ONE persisted relation, and persisting into a slot
 releases its predecessor first. Session-wide cache held by this module
 is therefore bounded by the number of slots (a small static set of
 call sites), not by the number of queries run.
+
+Identity-aware reuse: callers that can name the logical identity of
+the relation (e.g. ``(sf_dir, shingle_k)`` for a posting relation) may
+pass ``key=...``. When the incoming key equals the key the slot
+already holds, the slot's ALREADY-WARM DataFrame is returned and no
+unpersist/re-persist happens — bounded AND warm across consecutive
+queries over the same inputs. Same key MUST mean same logical
+relation; when in doubt, omit ``key`` and take the rebuild.
+
+Concurrency contract: slot state is guarded by a lock, so concurrent
+calls won't corrupt the registry — but two concurrent queries that
+share a slot NAME with different keys will still evict each other's
+relation mid-flight. Slots assume the build-then-consume, one query
+at a time session shape of the driver/bench; a threaded harness must
+either give each thread its own slot names or accept recomputation
+(correctness is unaffected — an evicted relation recomputes lazily).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SLOTS: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
+_SLOTS: dict[str, tuple[object, DataFrame]] = {}
 
 
-def one_slot_persist(df: DataFrame, slot: str = "default") -> DataFrame:
-    """Persist ``df``, releasing whatever the named slot held before."""
-    prev = _SLOTS.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # a stopped session must not fail the new query
-    out = df.persist()
-    _SLOTS[slot] = out
-    return out
+def one_slot_persist(
+    df: DataFrame, slot: str = "default", key: object = None
+) -> DataFrame:
+    """Persist ``df`` into ``slot``, releasing whatever it held before.
+
+    With a non-None ``key``: if the slot already holds a relation
+    persisted under an equal key, return THAT (warm) DataFrame and
+    leave it persisted — the caller's ``df`` is discarded
+    unmaterialized. ``key=None`` claims no identity and never matches.
+    """
+    with _LOCK:
+        held = _SLOTS.get(slot)
+        if (
+            held is not None
+            and key is not None
+            and held[0] == key
+            # a warm hit must come from the SAME live session — a new
+            # session's plan must not be answered with a stopped
+            # session's DataFrame (tests create/stop many sessions)
+            and held[1].sparkSession is df.sparkSession
+        ):
+            return held[1]
+        _SLOTS.pop(slot, None)
+        if held is not None:
+            try:
+                held[1].unpersist(blocking=False)
+            except Exception:
+                pass  # a stopped session must not fail the new query
+        out = df.persist()
+        _SLOTS[slot] = (key, out)
+        return out
+
+
+def release_slots(prefix: str = "") -> int:
+    """Unpersist and drop every slot whose name starts with ``prefix``.
+
+    Returns the number of slots released. Used by tests and by
+    long-running harnesses that want a clean cache boundary between
+    phases; queries never need to call this (slots self-bound).
+    """
+    released = 0
+    with _LOCK:
+        for name in [n for n in _SLOTS if n.startswith(prefix)]:
+            _, df = _SLOTS.pop(name)
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+            released += 1
+    return released

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.operators.dedup import normalize_text
 from lakehouse_architecture_spark.operators.partitioning import spread_scan
 
@@ -407,6 +408,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
+    cache_key: object = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -418,21 +420,37 @@ def ngram_jaccard_pairs(
     shingles above that document-frequency cap before the join (one
     groupBy count + semi-join, :func:`df_capped_shingles`), bounding any
     bucket's pair fan-out at cap^2.
+
+    The internal persists go through one-slot caches (operators/
+    caching): both self-join sides consume the exploded relation, and
+    uncached each side would redo the normalize/shingle/cap work
+    (measured 3x slower at sf0.1) — but a plain ``.cache()`` outlives
+    the call in a multi-query session. ``cache_key`` (optional) names
+    the INPUT's logical identity (e.g. ``(sf_dir, "documents")``):
+    consecutive calls with an equal key reuse the warm slot instead of
+    rebuilding; callers over changing inputs leave it None.
     """
+    slot_key = (
+        None if cache_key is None else (cache_key, shingle_n, max_doc_freq)
+    )
     g = gram_arrays(df, text_col, id_col, shingle_n)
     if max_doc_freq is not None:
-        # Cached because the cap reads g twice (stop-list scan + capped
-        # projection); the capped arrays then feed the explode below.
-        g = capped_gram_arrays(g.cache(), max_doc_freq)
+        # Persisted because the cap reads g twice (stop-list scan +
+        # capped projection); the capped arrays then feed the explode.
+        g = capped_gram_arrays(
+            one_slot_persist(g, slot="minhash-njp-grams", key=slot_key),
+            max_doc_freq,
+        )
     # Set size travels WITH each exploded row (one extra int column), so
     # the pair aggregation already has both sizes — no per-doc sizes
-    # relation and none of its two re-join shuffles. The exploded
-    # relation is CACHED: both self-join sides consume it, and uncached
-    # each side would redo the normalize/shingle/cap work (measured 3x
-    # slower at sf0.1).
-    sh = explode_grams(
-        g.select("doc", F.size("grams").alias("n"), "grams"), "doc", "n"
-    ).cache()
+    # relation and none of its two re-join shuffles.
+    sh = one_slot_persist(
+        explode_grams(
+            g.select("doc", F.size("grams").alias("n"), "grams"), "doc", "n"
+        ),
+        slot="minhash-njp-exploded",
+        key=slot_key,
+    )
     sa = sh.select(
         F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
     )
@@ -461,6 +479,7 @@ def minhash_lsh_dedupe(
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
     persist_intermediate: bool = True,
+    cache_key: object = None,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold (candidates via LSH).
 
@@ -477,32 +496,38 @@ def minhash_lsh_dedupe(
     stop-shingles in the verification stage only (signatures always use
     the full sets, keeping LSH candidate recall identical).
 
-    Cache lifetime: the internal ``.cache()`` on the gram relation(s)
-    lives until the session ends or ``spark.catalog.clearCache()`` —
-    the CALLER owns release. A long-lived session running repeated
-    dedup passes over CHANGING inputs (each new input plan is a new
-    cache entry that never hits again) must pass
-    ``persist_intermediate=False`` — the gram lineage is then
-    recomputed by its 2-3 consumers instead of leaking one cache entry
-    per invocation; the streaming ingest job does exactly this, and
+    Cache lifetime (r10): the internal persists are ONE-SLOT caches
+    (operators/caching) — each call releases the previous call's gram
+    relations, so repeated passes bound session cache to one relation
+    per site instead of leaking one entry per invocation. Passing
+    ``cache_key`` (the input's logical identity, e.g. ``(sf_dir,
+    "documents")``) additionally lets consecutive same-input calls
+    reuse the warm slot. ``persist_intermediate=False`` skips the
+    persists entirely — the gram lineage is then recomputed by its 2-3
+    consumers; the streaming ingest job does exactly this, and
     repeated passes over the SAME corpus should use
     :class:`MinHashCorpusIndex` + :func:`minhash_lsh_incremental_indexed`,
     whose persistence is explicit (``index.persist()``/``unpersist()``).
     """
+    slot_key = (
+        None if cache_key is None else (cache_key, shingle_n, max_doc_freq)
+    )
     g = gram_arrays(df, text_col, id_col, shingle_n)
     if persist_intermediate:
-        g = g.cache()
+        g = one_slot_persist(g, slot="minhash-lsh-grams", key=slot_key)
     sigs = minhash_signatures_from_grams(g, num_hashes)
     bands = lsh_band_keys(sigs, num_hashes, band_size)
     pairs = candidate_pairs(bands)
-    # The verify relation is read twice (ga and gb sides) — cache the
+    # The verify relation is read twice (ga and gb sides) — persist the
     # capped projection so the stop-list agg + array_except run once.
     if max_doc_freq is None:
         gv = g
     else:
         gv = capped_gram_arrays(g, max_doc_freq)
         if persist_intermediate:
-            gv = gv.cache()
+            gv = one_slot_persist(
+                gv, slot="minhash-lsh-grams-capped", key=slot_key
+            )
     return (
         jaccard_verify_arrays(pairs, gv)
         .filter(F.col("jaccard") >= threshold)
@@ -520,6 +545,7 @@ def minhash_lsh_incremental(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
+    cache_key: object = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: (new_doc, corpus_doc, jaccard)
     pairs where a NEW-batch document near-duplicates an EXISTING-corpus
@@ -543,13 +569,23 @@ def minhash_lsh_incremental(
     boilerplate shingle must be dropped consistently from both sides of
     the verify or the capped Jaccard would be asymmetric.
 
-    Cache lifetime: as in :func:`minhash_lsh_dedupe`, the internal
-    ``.cache()`` on ``gn``/``gc`` is caller-released (session end or
-    ``spark.catalog.clearCache()``); the indexed variant has no hidden
-    caches at all.
+    Cache lifetime (r10): the ``gn``/``gc`` persists are one-slot
+    caches (operators/caching) — each call releases the previous
+    call's relations, bounding session cache; ``cache_key`` names the
+    (new, corpus) input identity for warm reuse across same-input
+    calls. The indexed variant has no hidden caches at all.
     """
-    gn = gram_arrays(new_df, text_col, id_col, shingle_n).cache()
-    gc = gram_arrays(corpus_df, text_col, id_col, shingle_n).cache()
+    slot_key = None if cache_key is None else (cache_key, shingle_n)
+    gn = one_slot_persist(
+        gram_arrays(new_df, text_col, id_col, shingle_n),
+        slot="minhash-incr-new-grams",
+        key=slot_key,
+    )
+    gc = one_slot_persist(
+        gram_arrays(corpus_df, text_col, id_col, shingle_n),
+        slot="minhash-incr-corpus-grams",
+        key=slot_key,
+    )
     bn = lsh_band_keys(
         minhash_signatures_from_grams(gn, num_hashes), num_hashes, band_size
     )

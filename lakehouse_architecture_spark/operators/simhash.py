@@ -85,6 +85,7 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 2,
     bits: int = FINGERPRINT_BITS,
+    cache_key: object = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within ``max_hamming``.
 
@@ -97,9 +98,17 @@ def simhash_near_pairs(
     the fingerprint relation — small side broadcast by AQE — to score
     Hamming distance.
     """
+    from lakehouse_architecture_spark.operators.caching import one_slot_persist
     from lakehouse_architecture_spark.operators.minhash import candidate_pairs
 
-    fp = simhash_fingerprints(df, text_col, id_col, bits).cache()
+    # one-slot persisted (operators/caching): the fingerprint relation
+    # feeds the band explode and both score-join sides; bounded across
+    # sessions, warm across same-cache_key calls
+    fp = one_slot_persist(
+        simhash_fingerprints(df, text_col, id_col, bits),
+        slot="simhash-fingerprints",
+        key=None if cache_key is None else (cache_key, bits),
+    )
     half = bits // 2
     seg = fp.select(
         "doc",

@@ -284,7 +284,14 @@ def knn_ivf(
     """
     from pyspark.sql import Window
 
-    cents = sample_centroids(corpus, n_centroids, vec_col, id_col).cache()
+    from lakehouse_architecture_spark.operators.caching import one_slot_persist
+
+    # one-slot persisted: the tiny centroid relation feeds the corpus
+    # assignment and the query-probe broadcast; bounded across sessions
+    cents = one_slot_persist(
+        sample_centroids(corpus, n_centroids, vec_col, id_col),
+        slot="similarity-ivf-cents",
+    )
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
 
     q = query.select(
@@ -593,7 +600,9 @@ def near_dup_candidates_blocked(
     )
     both = a.union(b)
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # Full type hints: Spark 4 infers the grouped-map eval type from
+    # them and warns (per-session) when any parameter lacks one.
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         ba, bb = key

@@ -169,7 +169,17 @@ def run_pipeline(
             # post-write probe (Athena LIMIT 5 step)
             "probe_rows": len(curated.limit(5).collect()),
         }
-        reference[name] = curated.cache()
+        # one-slot per table (operators/caching): the curated reference
+        # must stay warm within THIS run (later tables FK-join it), and
+        # the next run's same-named slot releases it — repeated pipeline
+        # runs in one session no longer accumulate cached tables
+        from lakehouse_architecture_spark.operators.caching import (
+            one_slot_persist,
+        )
+
+        reference[name] = one_slot_persist(
+            curated, slot=f"pipeline-ref-{name}"
+        )
         results[name] = res
 
     return results

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table
 
@@ -899,14 +900,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("sim"), F.asc("centroid_id")
     )
     # Three consumers (both pair sides + the size census) read the
-    # assignment; cached so it's computed once, not three corpus scans
-    # (at 100 TB the assignment is materialized as a table anyway).
-    assigned = (
+    # assignment; one-slot persisted so it's computed once, not three
+    # corpus scans (at 100 TB the assignment is materialized as a
+    # table anyway) — and released by the next slot user instead of
+    # accumulating across a multi-query session.
+    assigned = one_slot_persist(
         _md5_seeded_scores(emb)
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-        .cache()
+        .select("vec_id", "embedding", "centroid_id"),
+        slot="emb-semantic-assignment",
+        key=(sf_dir,),
     )
     a = assigned.select(
         "centroid_id",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.numeric import davg, dsum
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table
 
@@ -1346,17 +1347,21 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(a, b):
         # cached: each side feeds ~4 actions (own sketch, union sketch,
         # distinct count, semi-join) — uncached, every action rescans
-        # raw events (the chi2 contingency lesson)
+        # raw events (the chi2 contingency lesson). This function is
+        # EAGER (every consumer is an action inside it), so unlike the
+        # lazy-query one-slot sites it can release in a finally.
         a, b = a.cache(), b.cache()
-        est = lambda d: d.agg(  # noqa: E731
-            F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")
-        ).first().e
-        ea, eb, eu = est(a), est(b), est(a.union(b))
-        da, db = a.distinct(), b.distinct()
-        xa, xb = da.count(), db.count()
-        xi = da.join(db, "c", "left_semi").count()
-        a.unpersist()
-        b.unpersist()
+        try:
+            est = lambda d: d.agg(  # noqa: E731
+                F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")
+            ).first().e
+            ea, eb, eu = est(a), est(b), est(a.union(b))
+            da, db = a.distinct(), b.distinct()
+            xa, xb = da.count(), db.count()
+            xi = da.join(db, "c", "left_semi").count()
+        finally:
+            a.unpersist()
+            b.unpersist()
         return ea, eb, eu, xa, xb, xi
 
     ca, cb, cu, cxa, cxb, cxi = stats(
@@ -1522,13 +1527,15 @@ def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny contingency relation. dayofweek() runs under the loader's
     pinned UTC session, so the bucketing is environment-independent."""
     ev = load_table(spark, sf_dir, "events")
-    # cached: five consumers (row/col/total margins, cells, the spine)
-    # read the 35-row contingency relation — uncached, each one would
-    # rescan raw events (measured 6 scans in the static plan)
-    obs = (
-        ev.groupBy("event_type", F.dayofweek("ts").alias("dow"))
-        .agg(F.count(F.lit(1)).alias("o"))
-        .cache()
+    # one-slot persisted: five consumers (row/col/total margins, cells,
+    # the spine) read the 35-row contingency relation — uncached, each
+    # one would rescan raw events (measured 6 scans in the static plan)
+    obs = one_slot_persist(
+        ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+            F.count(F.lit(1)).alias("o")
+        ),
+        slot="events-chi2-obs",
+        key=(sf_dir,),
     )
     rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols = obs.groupBy("dow").agg(F.sum("o").alias("c"))
@@ -1666,9 +1673,13 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     that reduced relation — never on raw events. The ratio divides two
     exact integers, so round(6) compares bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct().cache()
+    # one-slot persisted: the activity grain feeds the day spine, the
+    # DAU agg, and the trailing-week range join
+    act = one_slot_persist(
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct(),
+        slot="events-activity-grain",
+        key=(sf_dir,),
+    )
     days = act.select("day").distinct()
     dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     a = act.select(F.col("day").alias("aday"), "user_id")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.numeric import davg, dsum
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table, register_views
 
@@ -1474,15 +1475,20 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
-    und = (
+    # one-slot persisted (operators/caching): the edge relation feeds
+    # the degree agg, the direction join, and the edge count; a plain
+    # .cache() here outlived the query in multi-query sessions (the
+    # r8-class leak, bounded repo-wide in r10)
+    und = one_slot_persist(
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
-        .cache()
+        .distinct(),
+        slot="relational-tri-edges",
+        key=(sf_dir,),
     )
     deg = (
         und.select(F.col("src").alias("node"))
@@ -1497,10 +1503,14 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
     )
-    fwd = j.select(
-        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
-        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
-    ).cache()
+    fwd = one_slot_persist(
+        j.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        ),
+        slot="relational-tri-fwd",
+        key=(sf_dir,),
+    )
     e1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = fwd.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y").select("x", "z")
@@ -1608,15 +1618,27 @@ def orders_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     M, K = 65536, 3
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    dimk = (
+    # one-slot persisted (operators/caching): each relation feeds 2-3
+    # consumers inside this query; the slots bound what a multi-query
+    # session accumulates to one relation per site
+    dimk = one_slot_persist(
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("key"))
-        .distinct()
-        .cache()
+        .distinct(),
+        slot="relational-bloom-dimk",
+        key=(sf_dir,),
     )
-    factk = li.select(F.col("l_orderkey").alias("key")).distinct().cache()
+    factk = one_slot_persist(
+        li.select(F.col("l_orderkey").alias("key")).distinct(),
+        slot="relational-bloom-factk",
+        key=(sf_dir,),
+    )
     words = bloom_build(dimk, "key", M, K)
-    passk = bloom_pass_keys(factk, "key", words, M, K).cache()
+    passk = one_slot_persist(
+        bloom_pass_keys(factk, "key", words, M, K),
+        slot="relational-bloom-passk",
+        key=(sf_dir,),
+    )
     truek = factk.join(dimk, "key", "left_semi")
     s_dim = dimk.agg(F.count(F.lit(1)).alias("n_dim_keys"))
     s_fact = factk.agg(F.count(F.lit(1)).alias("n_fact_keys"))
@@ -1991,9 +2013,15 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer-compared decision (max >= 3*mean) that actually picks
     the join strategy."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
+    # one-slot persisted (operators/caching): read by the top-10 sort
+    # and the margin aggregate; bounded across sessions
+    per_key = one_slot_persist(
+        li.groupBy(F.col("l_orderkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        slot="relational-skew-perkey",
+        key=(sf_dir,),
+    )
     top10 = per_key.orderBy(F.desc("c"), F.asc("k")).limit(10)
     s = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),

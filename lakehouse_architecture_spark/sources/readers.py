@@ -86,7 +86,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
-    df = df.cache()
+    from lakehouse_architecture_spark.operators.caching import one_slot_persist
+
+    # one-slot persisted: each new batch's split releases the previous
+    # batch's cached frame (the pipeline consumes a table fully before
+    # splitting the next), bounding session cache to one raw frame
+    df = one_slot_persist(df, slot="readers-corrupt-split")
     parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
     return parsed, corrupt

@@ -707,6 +707,7 @@ def test_one_slot_persist(spark):
     from lakehouse_architecture_spark.operators.caching import (
         _SLOTS,
         one_slot_persist,
+        release_slots,
     )
     from lakehouse_architecture_spark.queries.dedup_sim import (
         _persist_spans,
@@ -718,11 +719,11 @@ def test_one_slot_persist(spark):
 
     first = one_slot_persist(df1, slot="t-slot")
     assert first.storageLevel.useMemory
-    assert _SLOTS["t-slot"] is first
+    assert _SLOTS["t-slot"][1] is first
 
     second = one_slot_persist(df2, slot="t-slot")
     assert second.storageLevel.useMemory
-    assert _SLOTS["t-slot"] is second
+    assert _SLOTS["t-slot"][1] is second
     # the first relation was released; Spark reports the default
     # (non-cached) storage level once unpersisted
     assert not first.storageLevel.useMemory
@@ -731,10 +732,27 @@ def test_one_slot_persist(spark):
     other = one_slot_persist(df3, slot="t-other")
     assert second.storageLevel.useMemory and other.storageLevel.useMemory
 
-    # the span queries route through the "dedup-sim-spans" slot
-    spans = _persist_spans(df1)
-    assert spans.storageLevel.useMemory
-    assert _SLOTS["dedup-sim-spans"] is spans
+    # identity-aware reuse (r10): an equal key returns the slot's
+    # ALREADY-WARM relation instead of unpersist+rebuild...
+    keyed = one_slot_persist(df1, slot="t-keyed", key=("sf", 8))
+    again = one_slot_persist(df2, slot="t-keyed", key=("sf", 8))
+    assert again is keyed and keyed.storageLevel.useMemory
+    # ...a DIFFERENT key evicts and re-persists...
+    swapped = one_slot_persist(df2, slot="t-keyed", key=("sf2", 8))
+    assert swapped is not keyed and not keyed.storageLevel.useMemory
+    # ...and key=None never matches (no identity claim)
+    anon = one_slot_persist(df3, slot="t-keyed")
+    assert anon is not swapped and not swapped.storageLevel.useMemory
 
-    for k in ("t-slot", "t-other", "dedup-sim-spans"):
-        _SLOTS.pop(k).unpersist(blocking=False)
+    # the span queries route through the "dedup-sim-spans" slot, keyed
+    # by (sf_dir, k) so consecutive same-input span queries stay warm
+    spans = _persist_spans(df1, "/tmp/sf-test", 8)
+    assert spans.storageLevel.useMemory
+    assert _SLOTS["dedup-sim-spans"][1] is spans
+    assert _persist_spans(df2, "/tmp/sf-test", 8) is spans
+    assert _persist_spans(df2, "/tmp/sf-other", 8) is not spans
+
+    assert release_slots("t-") == 3
+    assert not second.storageLevel.useMemory
+    release_slots("dedup-sim-spans")
+    assert "dedup-sim-spans" not in _SLOTS

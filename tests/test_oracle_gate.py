@@ -214,14 +214,43 @@ def test_driver_window_composition():
     listed = entry_mod._SENTINELS + entry_mod._PRIORITY
     assert len(listed) == len(set(listed)), "duplicate in priority list"
     assert set(listed) <= set(names)
-    # r9-touched surfaces (hugeint casts, span one-slot persist,
-    # funnel rework) must all have a fresh driver row this round
-    touched_r9 = {
+    # the priority list must FILL the window exactly — the r9 ADVICE
+    # off-by-one (49 intended names, slot 50 silently falling to the
+    # family-order filler) passed unnoticed without this
+    assert len(listed) == 50, len(listed)
+    assert window == set(listed)
+    # r10-touched surfaces (plain .cache() -> bounded one-slot persists,
+    # identity-keyed span/gram slots) must all have a fresh driver row
+    touched_r10 = {
+        "parts_coorder_triangles",
+        "orders_bloom_prune_stats",
         "lineitem_key_skew_profile",
-        "events_ab_test_value_ztest",
+        "minhash_lsh_near_dups",
+        "minhash_estimate_qa",
+        "minhash_recall_curve",
+        "docs_ngram_jaccard_pairs",
+        "docs_incremental_near_dups",
+        "simhash_near_pairs",
+        "customers_fuzzy_name_stats",
+        "customers_entity_resolution",
+        "events_chi2_type_dow",
+        "events_stickiness_ratio",
+        "events_hll_intersection_qa",
+        "emb_semantic_dedup",
+        "emb_knn_ivf",
+        "docs_dup_components",
+        "docs_dedup_keep_best",
+        "docs_dup_cluster_size_histogram",
+        "docs_curation_funnel",
+        "docs_shared_span_pairs",
         "docs_copied_span_profile",
         "docs_incremental_copied_spans",
-        "docs_shared_span_pairs",
-        "docs_curation_funnel",
     }
-    assert touched_r9 <= window, sorted(touched_r9 - window)
+    assert touched_r10 <= window, sorted(touched_r10 - window)
+    # the rotation the r9 verdict ordered: the 15 r5-stale TPC-H rows
+    # all get fresh rows this round
+    stale_r5 = {f"q{i}_" for i in (4, 5, 6, 7, 8, 9)} | {
+        f"q{i}_" for i in range(13, 22)
+    }
+    for prefix in stale_r5:
+        assert any(n.startswith(prefix) for n in window), prefix

@@ -183,12 +183,16 @@ def main() -> int:
     # views, the one-slot span cache), so a green sorted sweep does not
     # by itself prove the driver's order; this mode does.
     driver_n = int(os.environ.get("ORACLE_CHECK_DRIVER_ORDER", "0"))
-    items = (
-        list(qs.items())[:driver_n] if driver_n else sorted(qs.items())
-    )
+    # `only` composes with driver-order by FILTERING FIRST: slicing
+    # before the filter would silently check nothing when a named query
+    # sits past position N (r9 ADVICE). With explicit names the window
+    # slice applies to the filtered list (usually a no-op).
+    items = list(qs.items()) if driver_n else sorted(qs.items())
+    if only:
+        items = [it for it in items if it[0] in only]
+    if driver_n:
+        items = items[:driver_n]
     for name, fn in items:
-        if only and name not in only:
-            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
