@@ -126,6 +126,24 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r10 triangles drift adjudication (the r9 watch item: "
+    "parts_coorder_triangles 4.55 -> 6.88 s on untouched code, +51%, "
+    "outside the noise band while TPC-H improved in the same session). "
+    "Interleaved COLD A/B — 7 alternating reps, r8-tree function vs "
+    "r10-tree function in ONE session, catalog cache + one-slot "
+    "registry cleared before every rep, byte-identical rows asserted: "
+    "r8 median 8.23 s (spread 1.61), r10 median 9.41 s (spread 3.18) "
+    "at sf0.1. Verdict: NO plan regression — the deltas sit inside "
+    "the spreads, and both trees read far above either round's bench "
+    "number when forced cold, which exposes the real mechanism: the "
+    "bench's warmup rep leaves the triangle intermediates cached, so "
+    "its timed reps are WARM, and the r9 elevation tracks cache-state "
+    "(the session's accumulated unreleased persists pressuring "
+    "eviction), not the wedge join. Consistent with that, the r10 "
+    "bench (bounded slots, no accumulation) reads triangles 5.40 s — "
+    "below r9 — with the span family back at r8 warmth "
+    "(docs_shared_span_pairs 2.49 -> 0.73 s, docs_copied_span_profile "
+    "2.38 -> 0.59 s via the identity-keyed slots).",
     "r10 (cache-bounding round): every remaining plain .cache() in "
     "lazy query functions (~20 sites: relational triangles/bloom/skew, "
     "dedup_sim grams/fuzzy/ER, events chi2/stickiness, embeddings "

@@ -1350,7 +1350,7 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw events (the chi2 contingency lesson). This function is
         # EAGER (every consumer is an action inside it), so unlike the
         # lazy-query one-slot sites it can release in a finally.
-        a, b = a.cache(), b.cache()
+        a, b = a.cache(), b.cache()  # eager: released in finally below
         try:
             est = lambda d: d.agg(  # noqa: E731
                 F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")

@@ -254,3 +254,31 @@ def test_driver_window_composition():
     }
     for prefix in stale_r5:
         assert any(n.startswith(prefix) for n in window), prefix
+
+
+def test_no_unreleased_cache_in_lazy_query_modules():
+    """The r8-r10 leak class, pinned shut: LAZY query functions must not
+    call plain .cache()/.persist() (the consuming action is the
+    caller's, so the pin outlives the query and accumulates across a
+    multi-query session — the root of the r9 198-query plain-sweep OOM
+    flake). Every within-query persist routes through
+    operators/caching.one_slot_persist, which bounds session cache to
+    one relation per static call site. Eager modules (streaming jobs,
+    sinks, plans) release in a finally and are exempt here; dedup_sim's
+    _CORPUS_INDEXES memo has an explicit release function and is
+    allowed via its marker comment."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path("/root/repo/lakehouse_architecture_spark/queries")
+    offenders = []
+    for path in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.cache\(\)|\.persist\(\)", code):
+                if "build_minhash_corpus_index" in code:
+                    continue  # _CORPUS_INDEXES: explicitly released memo
+                if "released in finally" in line:
+                    continue  # eager helper: consumes AND releases inline
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert offenders == [], offenders
