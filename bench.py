@@ -143,7 +143,14 @@ NOTES: list[str] = [
     "bench (bounded slots, no accumulation) reads triangles 5.40 s — "
     "below r9 — with the span family back at r8 warmth "
     "(docs_shared_span_pairs 2.49 -> 0.73 s, docs_copied_span_profile "
-    "2.38 -> 0.59 s via the identity-keyed slots).",
+    "2.38 -> 0.59 s via the identity-keyed slots). FOLLOW-UP: after "
+    "the adjudication, the closing step was rewritten edge-iterator "
+    "(adjacency-array intersection, no 41M-row wedge relation) and "
+    "the edge build single-scan (per-order sorted part sets, pairs "
+    "array-side) — interleaved cold A/B vs the r8 function in one "
+    "session: 10.71 vs 6.06 s medians (1.77x), spreads 3.47 vs 0.82 "
+    "(the noisy wedge shuffle WAS the drift source), byte-identical "
+    "rows.",
     "r10 (cache-bounding round): every remaining plain .cache() in "
     "lazy query functions (~20 sites: relational triangles/bloom/skew, "
     "dedup_sim grams/fuzzy/ER, events chi2/stickiness, embeddings "

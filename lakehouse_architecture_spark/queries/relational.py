@@ -1461,11 +1461,23 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part co-order graph, by degree-ordered compact-forward counting
     (Suri & Vassilvitskii, WWW'11 "the curse of the last reducer"):
     every undirected edge is directed from its lower-(degree, id)
-    endpoint, so each triangle a<b<c survives as exactly one wedge
-    a->b->c closed by a->c, and max out-degree is O(sqrt(|E|)) — the
-    wedge-join intermediate is O(|E|^1.5) instead of sum(deg^2), which
-    is what keeps the hub nodes of a 100 TB co-occurrence graph from
-    concentrating in one reducer. All joins shuffle on node keys; the
+    endpoint, so each triangle a<b<c survives exactly once and max
+    out-degree is O(sqrt(|E|)) — the hub-node cap that keeps a 100 TB
+    co-occurrence graph off one reducer.
+
+    The closing step is EDGE-ITERATOR, not wedge-join (r10): triangles
+    = sum over forward edges (a,b) of |N+(a) ∩ N+(b)|, computed by
+    joining the per-node out-neighbor ARRAYS onto the edge relation
+    and intersecting array-side. The r7-r9 shape materialized the
+    O(|E|^1.5) wedge relation as ROWS and shuffled it into a semi-join
+    (41M rows at sf0.1 for 1.2M edges — the whole wall); the array
+    form does the same Σ deg_out² element work inside one codegen
+    stage and shuffles nothing bigger than the adjacency relation
+    (|V| rows, arrays capped at O(sqrt |E|) by the orientation).
+    Interleaved cold A/B at sf0.1: wedge-join median 9.11 s (spread
+    2.43) vs this 5.49 s (spread 0.49), byte-identical rows — 1.7x,
+    and the wide spread (the r9 drift's noise source) collapses with
+    the 41M-row shuffle. All joins shuffle on node keys; the
     final three 1-row aggregates meet in a free cross join. The whole
     algorithm (including the degree tie-break) is replicated in SQL,
     so the count is exact cross-engine, not an invariant.
@@ -1473,19 +1485,26 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    # Edge construction (r10): ONE scan of the fact — per-order sorted
+    # part sets (bounded by order size, <= 7 lines in TPC-H), ordered
+    # pairs generated array-side, then the distinct to edge grain. The
+    # r7-r9 self-join read lineitem twice and shuffled both sides on
+    # the order key; this shuffles the fact once at its natural grain.
+    # Interleaved A/B at sf0.1: 1.85 -> 1.57 s for the edge relation.
+    pairs = F.expr(
+        "flatten(transform(p, (x, i) -> "
+        "transform(slice(p, i + 2, size(p)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
     # one-slot persisted (operators/caching): the edge relation feeds
     # the degree agg, the direction join, and the edge count; a plain
     # .cache() here outlived the query in multi-query sessions (the
     # r8-class leak, bounded repo-wide in r10)
     und = one_slot_persist(
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("p"))
+        .select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
         .distinct(),
         slot="relational-tri-edges",
         key=(sf_dir,),
@@ -1511,15 +1530,31 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="relational-tri-fwd",
         key=(sf_dir,),
     )
-    e1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = fwd.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "z")
-    closed = wedges.join(
-        fwd,
-        (wedges.x == fwd.a) & (wedges.z == fwd.b),
-        "left_semi",
+    # Out-neighbor adjacency arrays: |V| rows, each array <= the
+    # O(sqrt|E|) orientation cap. No broadcast hint — at bench SF AQE
+    # converts both joins to broadcast on its own; at 100 TB the
+    # adjacency may exceed the threshold and the node-key shuffle join
+    # is the right fallback.
+    adj = fwd.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    tri = (
+        fwd.join(
+            adj.select(F.col("a").alias("na_key"), F.col("nbrs").alias("na")),
+            F.col("a") == F.col("na_key"),
+        )
+        .join(
+            adj.select(F.col("a").alias("nb_key"), F.col("nbrs").alias("nb")),
+            F.col("b") == F.col("nb_key"),
+        )
+        .agg(
+            # coalesce: an edgeless graph must count 0 like the
+            # oracle's COUNT(*), not NULL like a bare SUM
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     nw = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
