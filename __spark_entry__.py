@@ -42,11 +42,11 @@ _SENTINELS = [
 # arithmetic, 50 slots: 2 sentinels
 # + 15 r5-stale TPC-H rows (the rotation the r9 verdict ordered —
 #   after this window no standing row is older than r6)
-# + 23 r10-touched (every query whose plan gained a one-slot /
-#   identity-keyed persist this round needs a fresh row)
-# + 10 oldest r6-stale rows = 50 exactly (asserted by
+# + 24 r10-touched/new (every query whose plan gained a one-slot /
+#   identity-keyed persist this round, plus the new KMV sketch query)
+# + 9 oldest r6-stale rows = 50 exactly (asserted by
 #   tests/test_oracle_gate.py::test_driver_window_composition).
-# The 34 remaining r6-stale rows lead r11.
+# The 35 remaining r6-stale rows lead r11.
 _PRIORITY = [
     # (a) r5-stale TPC-H (standing row five rounds old)
     "q4_priority_late_ship",
@@ -90,7 +90,8 @@ _PRIORITY = [
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
     "docs_incremental_copied_spans",
-    # (c) 10 oldest r6-stale rows (session-state-sensitive families
+    "events_kmv_intersection_qa",  # NEW in r10: first driver row
+    # (c) 9 oldest r6-stale rows (session-state-sensitive families
     # first: persisted corpus index, catalog/temp-view round-trips,
     # write-path guards)
     "docs_incremental_near_dups_indexed",
@@ -102,8 +103,9 @@ _PRIORITY = [
     "sql_insert_not_exists",
     "quantiles_exact",
     "pivot_status_by_priority",
-    "scalar_subquery_above_avg",
-    # r11 leads (34 r6-stale): agg_cube_flags, agg_grouping_sets,
+    # r11 leads (35 r6-stale incl. scalar_subquery_above_avg, which
+    # yielded its slot to the new KMV query): agg_cube_flags,
+    # agg_grouping_sets,
     # agg_rollup_status_priority, agg_stats_by_status,
     # case_when_conditional_agg, correlated_min_per_group_join,
     # dedup_latest_order_per_customer, distinct_segments,

@@ -52,6 +52,7 @@ EXTRA = [
     "stats_corr_price_qty",
     "emb_kmeans_clusters",
     "events_hll_sketch_rollup",
+    "events_kmv_intersection_qa",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",

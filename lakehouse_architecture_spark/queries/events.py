@@ -1386,6 +1386,215 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kmv_intersection_qa",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d-%H') AS c,
+         event_type, day(ts) AS d
+  FROM events
+),
+hs AS (
+  SELECT 'clk' AS side, CAST(('0x' || substr(md5(c), 1, 13)) AS BIGINT) AS h
+  FROM cells WHERE event_type = 'click'
+  UNION
+  SELECT 'pur', CAST(('0x' || substr(md5(c), 1, 13)) AS BIGINT)
+  FROM cells WHERE event_type = 'purchase'
+  UNION
+  SELECT 'a20', CAST(('0x' || substr(md5(c), 1, 13)) AS BIGINT)
+  FROM cells WHERE d <= 20
+  UNION
+  SELECT 'b11', CAST(('0x' || substr(md5(c), 1, 13)) AS BIGINT)
+  FROM cells WHERE d >= 11
+),
+k_clk AS (SELECT h FROM hs WHERE side = 'clk' ORDER BY h LIMIT 256),
+k_pur AS (SELECT h FROM hs WHERE side = 'pur' ORDER BY h LIMIT 256),
+k_a20 AS (SELECT h FROM hs WHERE side = 'a20' ORDER BY h LIMIT 256),
+k_b11 AS (SELECT h FROM hs WHERE side = 'b11' ORDER BY h LIMIT 256),
+ku_co AS (SELECT h FROM (SELECT h FROM k_clk UNION SELECT h FROM k_pur)
+          ORDER BY h LIMIT 256),
+ku_w  AS (SELECT h FROM (SELECT h FROM k_a20 UNION SELECT h FROM k_b11)
+          ORDER BY h LIMIT 256),
+n0 AS (
+  SELECT
+    (SELECT COUNT(*) FROM hs WHERE side = 'clk') AS n_clk,
+    (SELECT COUNT(*) FROM hs WHERE side = 'pur') AS n_pur,
+    (SELECT COUNT(*) FROM hs WHERE side = 'a20') AS n_a20,
+    (SELECT COUNT(*) FROM hs WHERE side = 'b11') AS n_b11,
+    (SELECT COUNT(*) FROM hs WHERE side = 'clk'
+       AND h IN (SELECT h FROM hs WHERE side = 'pur')) AS xi_co,
+    (SELECT COUNT(*) FROM hs WHERE side = 'a20'
+       AND h IN (SELECT h FROM hs WHERE side = 'b11')) AS xi_w,
+    (SELECT COUNT(*) FROM ku_co WHERE h IN (SELECT h FROM k_clk)
+       AND h IN (SELECT h FROM k_pur)) AS m_co,
+    (SELECT COUNT(*) FROM ku_w WHERE h IN (SELECT h FROM k_a20)
+       AND h IN (SELECT h FROM k_b11)) AS m_w,
+    (SELECT COUNT(*) FROM ku_co) AS sz_co,
+    (SELECT COUNT(*) FROM ku_w) AS sz_w,
+    (SELECT MAX(h) FROM k_clk) AS kth_clk,
+    (SELECT MAX(h) FROM k_pur) AS kth_pur,
+    (SELECT MAX(h) FROM k_a20) AS kth_a20,
+    (SELECT MAX(h) FROM k_b11) AS kth_b11,
+    (SELECT MAX(h) FROM ku_co) AS kth_uco,
+    (SELECT MAX(h) FROM ku_w) AS kth_uw
+),
+n AS (
+  SELECT *,
+         n_clk + n_pur - xi_co AS nu_co,
+         n_a20 + n_b11 - xi_w AS nu_w
+  FROM n0
+)
+SELECT 'type_cooccurrence' AS regime,
+       n_clk AS exact_a, n_pur AS exact_b, nu_co AS exact_union,
+       xi_co AS exact_inter,
+       ROUND(CASE WHEN n_clk < 256 THEN CAST(n_clk AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_clk END, 6) AS est_a,
+       ROUND(CASE WHEN n_pur < 256 THEN CAST(n_pur AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_pur END, 6) AS est_b,
+       ROUND(CASE WHEN nu_co < 256 THEN CAST(nu_co AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_uco END, 6) AS est_union,
+       m_co AS matches,
+       ROUND(CAST(m_co AS DOUBLE)
+             * (CASE WHEN nu_co < 256 THEN CAST(nu_co AS DOUBLE)
+                     ELSE 1148417904979476480.0 / kth_uco END)
+             / sz_co, 6) AS est_inter
+FROM n
+UNION ALL
+SELECT 'window_overlap',
+       n_a20, n_b11, nu_w, xi_w,
+       ROUND(CASE WHEN n_a20 < 256 THEN CAST(n_a20 AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_a20 END, 6),
+       ROUND(CASE WHEN n_b11 < 256 THEN CAST(n_b11 AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_b11 END, 6),
+       ROUND(CASE WHEN nu_w < 256 THEN CAST(nu_w AS DOUBLE)
+                  ELSE 1148417904979476480.0 / kth_uw END, 6),
+       m_w,
+       ROUND(CAST(m_w AS DOUBLE)
+             * (CASE WHEN nu_w < 256 THEN CAST(nu_w AS DOUBLE)
+                     ELSE 1148417904979476480.0 / kth_uw END)
+             / sz_w, 6)
+FROM n
+""",
+)
+def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (operators/kmv.py) on the SAME two
+    regimes as ``events_hll_intersection_qa`` — the fix that query's
+    docstring points at: a k-minimum-values sketch supports a DIRECT
+    intersection estimator (matches in the merged-k-min union sketch
+    → Jaccard × est(A∪B)), so small intersections degrade to sampling
+    noise around the true value instead of HLL inclusion-exclusion's
+    input-sized absolute error (which went NEGATIVE on the
+    type_cooccurrence regime). Per regime: exact cardinalities and
+    intersection (distinct 52-bit md5 hashes — collision-free at
+    every test SF) beside the k=256 sketch estimates; below k the
+    estimator collapses to exactness by construction.
+
+    Cross-engine: the hash family is the repo's md5 idiom, the sketch
+    is a deterministic k-min, and every estimate is closed-form double
+    math over exact integers compared after round(6) — the chi2/z-test
+    doctrine; the oracle replicates the sketches themselves, not just
+    the answers. Plan: ONE scan tags all four sides (conditional-array
+    explode, not a 4-way union), the distinct (side, h) relation is
+    one-slot persisted (sketch build + two intersection semi-joins
+    read it), sketch build is the two-stage top-k window
+    (per-partition cap, then ≤ k·partitions rows per side — never the
+    last-reducer sort), exact unions come free by inclusion-exclusion
+    on exact counts, and every downstream combine is a 1-row cross
+    join. Measured 2.35 s at sf0.1 (was 4.9 with the unioned scans +
+    distinct-union passes)."""
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_intersect_estimate,
+        kmv_sketch_by,
+        kmv_union,
+    )
+
+    K = 256
+    ev = load_table(spark, sf_dir, "events")
+    cell = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd-HH"),
+    )
+    day = F.dayofmonth("ts")
+
+    # ONE scan tags all four sides: each row emits the subset of side
+    # tags it belongs to via a conditional array + explode (a 4-way
+    # tagged union would scan events four times).
+    tags = F.array(
+        F.when(F.col("event_type") == "click", F.lit("clk")),
+        F.when(F.col("event_type") == "purchase", F.lit("pur")),
+        F.when(day <= 20, F.lit("a20")),
+        F.when(day >= 11, F.lit("b11")),
+    )
+    tagged = (
+        ev.select(cell.alias("c"), F.explode(tags).alias("side"))
+        .filter(F.col("side").isNotNull())
+    )
+    hs = one_slot_persist(
+        tagged.select("side", kmv_hash(F.col("c")).alias("h")).distinct(),
+        slot="events-kmv-hs",
+        key=(sf_dir,),
+    )
+    sk = kmv_sketch_by(hs, "side", K)
+
+    def regime_row(name: str, ta: str, tb: str) -> DataFrame:
+        a = sk.filter(F.col("side") == ta).select(
+            F.col("n").alias("n_a"), F.col("kmv").alias("kmv_a")
+        )
+        b = sk.filter(F.col("side") == tb).select(
+            F.col("n").alias("n_b"), F.col("kmv").alias("kmv_b")
+        )
+        xi = (
+            hs.filter(F.col("side") == ta)
+            .select("h")
+            .join(
+                hs.filter(F.col("side") == tb).select("h"), "h", "left_semi"
+            )
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+        ku = kmv_union(F.col("kmv_a"), F.col("kmv_b"), K)
+        est_u_raw = kmv_estimate(F.col("n_u"), F.col("ku"), K)
+        return (
+            a.crossJoin(b)
+            .crossJoin(xi)
+            # exact union by inclusion-exclusion on EXACT counts (no
+            # third distinct pass): |A∪B| = |A| + |B| - |A∩B|
+            .withColumn("n_u", F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+            .withColumn("ku", ku)
+            .select(
+                F.lit(name).alias("regime"),
+                F.col("n_a").alias("exact_a"),
+                F.col("n_b").alias("exact_b"),
+                F.col("n_u").alias("exact_union"),
+                "exact_inter",
+                F.round(kmv_estimate(F.col("n_a"), F.col("kmv_a"), K), 6)
+                .alias("est_a"),
+                F.round(kmv_estimate(F.col("n_b"), F.col("kmv_b"), K), 6)
+                .alias("est_b"),
+                F.round(est_u_raw, 6).alias("est_union"),
+                F.size(
+                    F.array_intersect(
+                        F.array_intersect("ku", "kmv_a"), "kmv_b"
+                    )
+                )
+                .cast("long")
+                .alias("matches"),
+                F.round(
+                    kmv_intersect_estimate(
+                        F.col("kmv_a"), F.col("kmv_b"), F.col("ku"), est_u_raw
+                    ),
+                    6,
+                ).alias("est_inter"),
+            )
+        )
+
+    return regime_row("type_cooccurrence", "clk", "pur").unionByName(
+        regime_row("window_overlap", "a20", "b11")
+    )
+
+
+@query(
     "events_ab_test_value_ztest",
     oracle="""
 WITH per_user AS (

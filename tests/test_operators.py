@@ -756,3 +756,69 @@ def test_one_slot_persist(spark):
     assert not second.storageLevel.useMemory
     release_slots("dedup-sim-spans")
     assert "dedup-sim-spans" not in _SLOTS
+
+
+# --- KMV sketch ---------------------------------------------------------
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV invariants on a small known universe: the sketch is the
+    exact k smallest hashes (deterministic regardless of partitioning
+    — the two-stage top-k's union property), the estimator collapses
+    to exactness below k, the union sketch equals the sketch of the
+    union, and the intersection estimator is exact when the union fits
+    in the sketch."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_intersect_estimate,
+        kmv_sketch_by,
+        kmv_union,
+    )
+
+    def h52(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    a_vals = [f"v{i}" for i in range(40)]
+    b_vals = [f"v{i}" for i in range(30, 60)]  # overlap v30..v39 (10)
+    rows = [("a", v) for v in a_vals] * 3 + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "side string, c string").repartition(7)
+    hs = df.select("side", kmv_hash(F.col("c")).alias("h")).distinct()
+
+    K = 16
+    sk = {r.side: r for r in kmv_sketch_by(hs, "side", K).collect()}
+    assert sk["a"].n == 40 and sk["b"].n == 30
+    assert list(sk["a"].kmv) == sorted(h52(v) for v in a_vals)[:K]
+    assert list(sk["b"].kmv) == sorted(h52(v) for v in b_vals)[:K]
+
+    # estimator: exact below k (k > n), (k-1)*SPACE/kth above
+    one = spark.createDataFrame([(sk["a"].n, sk["a"].kmv, sk["b"].n, sk["b"].kmv)],
+                                "n_a long, kmv_a array<long>, n_b long, kmv_b array<long>")
+    r = one.select(
+        kmv_estimate(F.col("n_a"), F.col("kmv_a"), K).alias("est16"),
+        kmv_estimate(F.lit(10), F.col("kmv_a"), 16).alias("exact_branch"),
+    ).collect()[0]
+    kth = sorted(h52(v) for v in a_vals)[K - 1]
+    assert r.est16 == (K - 1) * float(1 << 52) / kth
+    assert r.exact_branch == 10.0
+
+    # union sketch == sketch of the union; small-union intersection
+    # estimate collapses to the exact intersection
+    K2 = 128  # > |A union B| = 60: sketches are complete sets
+    sk2 = {r.side: r for r in kmv_sketch_by(hs, "side", K2).collect()}
+    two = spark.createDataFrame(
+        [(sk2["a"].n, sk2["a"].kmv, sk2["b"].n, sk2["b"].kmv)],
+        "n_a long, kmv_a array<long>, n_b long, kmv_b array<long>",
+    ).withColumn("ku", kmv_union(F.col("kmv_a"), F.col("kmv_b"), K2))
+    r2 = two.select(
+        F.size("ku").alias("szu"),
+        kmv_intersect_estimate(
+            F.col("kmv_a"), F.col("kmv_b"), F.col("ku"),
+            kmv_estimate(F.lit(60), F.col("ku"), K2),
+        ).alias("est_inter"),
+    ).collect()[0]
+    assert r2.szu == 60 and r2.est_inter == 10.0
