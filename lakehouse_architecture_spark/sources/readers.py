@@ -86,12 +86,17 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
-    from lakehouse_architecture_spark.operators.caching import one_slot_persist
-
-    # one-slot persisted: each new batch's split releases the previous
-    # batch's cached frame (the pipeline consumes a table fully before
-    # splitting the next), bounding session cache to one raw frame
-    df = one_slot_persist(df, slot="readers-corrupt-split")
+    # localCheckpoint, not cache/one-slot: (a) it truncates lineage, so
+    # the corrupt side no longer references a raw file scan and Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction can never resurface
+    # (a one-slot persist here broke exactly that way — an evicted
+    # slot's held corrupt frame recomputed from the raw scan and threw
+    # at action time); (b) the checkpoint blocks are released when the
+    # DataFrame is garbage-collected, so repeated splits self-bound
+    # without a slot. lazy=first-action; the pipeline acts per table.
+    # At 100 TB the split runs per ingest batch (a day's files), never
+    # corpus-wide — the materialization is batch-sized by construction.
+    df = df.localCheckpoint(eager=False)
     parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
     return parsed, corrupt

@@ -822,3 +822,31 @@ def test_kmv_sketch_properties(spark):
         ).alias("est_inter"),
     ).collect()[0]
     assert r2.szu == 60 and r2.est_inter == 10.0
+
+
+def test_split_corrupt_survives_later_splits(spark, tmp_path):
+    """Regression (r10): the corrupt side must stay actionable after
+    OTHER frames are split later. A shared-cache release used to make
+    a held corrupt frame recompute from the raw scan and die on
+    Spark's corrupt-record-column-only restriction; the localCheckpoint
+    lineage truncation makes the restriction unreachable."""
+    p1 = tmp_path / "a.csv"
+    p1.write_text(
+        "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+        "90,501,1990,2025-04-01T11:27:00,229.53,2025-04-01\n"
+        "not,an,int,row,xx,yy\n"
+    )
+    p2 = tmp_path / "b.csv"
+    p2.write_text(
+        "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+        "91,502,1991,2025-04-02T10:00:00,10.0,2025-04-02\n"
+    )
+    _, corrupt1 = split_corrupt(read_csv_typed(spark, str(p1), ORDERS_SCHEMA))
+    assert corrupt1.count() == 1
+    parsed2, corrupt2 = split_corrupt(
+        read_csv_typed(spark, str(p2), ORDERS_SCHEMA)
+    )
+    assert parsed2.count() == 1 and corrupt2.count() == 0
+    # the FIRST split's corrupt side still acts fine
+    assert corrupt1.count() == 1
+    assert corrupt1.collect()[0]._corrupt_record.startswith("not,an,int")
