@@ -42,6 +42,14 @@ _LOCK = threading.Lock()
 _SLOTS: dict[str, tuple[object, DataFrame]] = {}
 
 
+def _is_persisted(df: DataFrame) -> bool:
+    try:
+        sl = df.storageLevel
+        return sl.useMemory or sl.useDisk
+    except Exception:
+        return False  # stopped session: definitely not warm
+
+
 def one_slot_persist(
     df: DataFrame, slot: str = "default", key: object = None
 ) -> DataFrame:
@@ -62,6 +70,11 @@ def one_slot_persist(
             # session's plan must not be answered with a stopped
             # session's DataFrame (tests create/stop many sessions)
             and held[1].sparkSession is df.sparkSession
+            # ...and must STILL be cached: Spark's CacheManager is
+            # plan-keyed, so two slots holding the same logical plan
+            # share one entry and releasing either kills both — a
+            # de-warmed holder is a miss, not a hit (re-persist below)
+            and _is_persisted(held[1])
         ):
             return held[1]
         _SLOTS.pop(slot, None)

@@ -91,6 +91,15 @@ def kmv_union(kmv_a: Column, kmv_b: Column, k: int) -> Column:
     return F.slice(F.array_sort(F.array_union(kmv_a, kmv_b)), 1, k)
 
 
+def kmv_matches(kmv_a: Column, kmv_b: Column, union_kmv: Column) -> Column:
+    """Union-sketch elements present in BOTH input sketches — the
+    Jaccard-estimator numerator (shared by the estimate and any QA
+    column displaying it, so the two can't drift apart)."""
+    return F.size(
+        F.array_intersect(F.array_intersect(union_kmv, kmv_a), kmv_b)
+    )
+
+
 def kmv_intersect_estimate(
     kmv_a: Column, kmv_b: Column, union_kmv: Column, union_est: Column
 ) -> Column:
@@ -98,8 +107,9 @@ def kmv_intersect_estimate(
     × est(A∪B). When the union has fewer than k distinct hashes the
     union sketch IS the union and the estimate collapses to the exact
     intersection — the estimator degrades to exactness, never to
-    noise."""
-    matches = F.size(
-        F.array_intersect(F.array_intersect(union_kmv, kmv_a), kmv_b)
+    noise. An EMPTY union (both sides empty) estimates 0, not NaN."""
+    matches = kmv_matches(kmv_a, kmv_b, union_kmv)
+    sz = F.size(union_kmv)
+    return F.when(sz == 0, F.lit(0.0)).otherwise(
+        matches.cast("double") * union_est / sz
     )
-    return matches.cast("double") * union_est / F.size(union_kmv)

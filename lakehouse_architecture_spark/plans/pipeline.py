@@ -90,9 +90,9 @@ def process_dataset(
     # No cache on `valid`: its only consumer is the dedup -> MERGE write
     # (stats read the WRITTEN parquet back, and the rejected side derives
     # from `invalid`), so materializing it would cost a full in-memory
-    # copy during the write for nothing. The raw scan underneath is
-    # already cached by split_corrupt, which is what the recomputing
-    # consumers share.
+    # copy during the write for nothing. The raw frame underneath is a
+    # batch-sized localCheckpoint from split_corrupt (lineage-truncated,
+    # GC-released), which is what the recomputing consumers share.
     clean = dedupe_by_key(valid, [primary_key], dedup_order)
     rejected = with_rejection_audit(invalid, source=name, job_name=job_name)
     return DatasetResult(name=name, clean=clean, rejected=rejected)

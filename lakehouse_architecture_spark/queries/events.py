@@ -1453,10 +1453,11 @@ SELECT 'type_cooccurrence' AS regime,
        ROUND(CASE WHEN nu_co < 256 THEN CAST(nu_co AS DOUBLE)
                   ELSE 1148417904979476480.0 / kth_uco END, 6) AS est_union,
        m_co AS matches,
-       ROUND(CAST(m_co AS DOUBLE)
-             * (CASE WHEN nu_co < 256 THEN CAST(nu_co AS DOUBLE)
-                     ELSE 1148417904979476480.0 / kth_uco END)
-             / sz_co, 6) AS est_inter
+       ROUND(CASE WHEN sz_co = 0 THEN 0.0
+                  ELSE CAST(m_co AS DOUBLE)
+                       * (CASE WHEN nu_co < 256 THEN CAST(nu_co AS DOUBLE)
+                               ELSE 1148417904979476480.0 / kth_uco END)
+                       / sz_co END, 6) AS est_inter
 FROM n
 UNION ALL
 SELECT 'window_overlap',
@@ -1468,10 +1469,11 @@ SELECT 'window_overlap',
        ROUND(CASE WHEN nu_w < 256 THEN CAST(nu_w AS DOUBLE)
                   ELSE 1148417904979476480.0 / kth_uw END, 6),
        m_w,
-       ROUND(CAST(m_w AS DOUBLE)
-             * (CASE WHEN nu_w < 256 THEN CAST(nu_w AS DOUBLE)
-                     ELSE 1148417904979476480.0 / kth_uw END)
-             / sz_w, 6)
+       ROUND(CASE WHEN sz_w = 0 THEN 0.0
+                  ELSE CAST(m_w AS DOUBLE)
+                       * (CASE WHEN nu_w < 256 THEN CAST(nu_w AS DOUBLE)
+                               ELSE 1148417904979476480.0 / kth_uw END)
+                       / sz_w END, 6)
 FROM n
 """,
 )
@@ -1505,6 +1507,7 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_estimate,
         kmv_hash,
         kmv_intersect_estimate,
+        kmv_matches,
         kmv_sketch_by,
         kmv_union,
     )
@@ -1539,12 +1542,21 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketch_by(hs, "side", K)
 
     def regime_row(name: str, ta: str, tb: str) -> DataFrame:
-        a = sk.filter(F.col("side") == ta).select(
-            F.col("n").alias("n_a"), F.col("kmv").alias("kmv_a")
-        )
-        b = sk.filter(F.col("side") == tb).select(
-            F.col("n").alias("n_b"), F.col("kmv").alias("kmv_b")
-        )
+        # agg-with-defaults, NOT filter-then-crossJoin: an EMPTY side
+        # has no sk row, and a crossJoin against zero rows would drop
+        # the regime row entirely while the oracle's scalar subqueries
+        # still emit it (n=0, empty sketch) — the estimator must
+        # degrade to exact-0 on degenerate data, on both engines.
+        def sided(t: str, p: str) -> DataFrame:
+            return sk.filter(F.col("side") == t).agg(
+                F.coalesce(F.first("n"), F.lit(0)).alias(f"n_{p}"),
+                F.coalesce(
+                    F.first("kmv"), F.array().cast("array<long>")
+                ).alias(f"kmv_{p}"),
+            )
+
+        a = sided(ta, "a")
+        b = sided(tb, "b")
         xi = (
             hs.filter(F.col("side") == ta)
             .select("h")
@@ -1573,11 +1585,7 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(kmv_estimate(F.col("n_b"), F.col("kmv_b"), K), 6)
                 .alias("est_b"),
                 F.round(est_u_raw, 6).alias("est_union"),
-                F.size(
-                    F.array_intersect(
-                        F.array_intersect("ku", "kmv_a"), "kmv_b"
-                    )
-                )
+                kmv_matches(F.col("kmv_a"), F.col("kmv_b"), F.col("ku"))
                 .cast("long")
                 .alias("matches"),
                 F.round(

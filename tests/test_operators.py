@@ -744,6 +744,15 @@ def test_one_slot_persist(spark):
     anon = one_slot_persist(df3, slot="t-keyed")
     assert anon is not swapped and not swapped.storageLevel.useMemory
 
+    # a DE-WARMED holder is a miss, not a hit: Spark's CacheManager is
+    # plan-keyed, so another slot sharing the same logical plan can
+    # unpersist this slot's entry out from under it — the registry
+    # must detect it and re-persist instead of returning a cold frame
+    rewarm1 = one_slot_persist(df1, slot="t-rewarm", key=("k",))
+    rewarm1.unpersist(blocking=False)  # simulate shared-entry eviction
+    rewarm2 = one_slot_persist(df1, slot="t-rewarm", key=("k",))
+    assert rewarm2.storageLevel.useMemory
+
     # the span queries route through the "dedup-sim-spans" slot, keyed
     # by (sf_dir, k) so consecutive same-input span queries stay warm
     spans = _persist_spans(df1, "/tmp/sf-test", 8)
@@ -752,7 +761,7 @@ def test_one_slot_persist(spark):
     assert _persist_spans(df2, "/tmp/sf-test", 8) is spans
     assert _persist_spans(df2, "/tmp/sf-other", 8) is not spans
 
-    assert release_slots("t-") == 3
+    assert release_slots("t-") == 4
     assert not second.storageLevel.useMemory
     release_slots("dedup-sim-spans")
     assert "dedup-sim-spans" not in _SLOTS

@@ -271,9 +271,13 @@ def test_no_unreleased_cache_in_lazy_query_modules():
     import pathlib
     import re
 
-    qdir = pathlib.Path("/root/repo/lakehouse_architecture_spark/queries")
+    import lakehouse_architecture_spark.queries as qpkg
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    files = sorted(qdir.glob("*.py"))
+    assert files, qdir  # a wrong path must fail loudly, not vacuously
     offenders = []
-    for path in sorted(qdir.glob("*.py")):
+    for path in files:
         for i, line in enumerate(path.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
             if re.search(r"\.cache\(\)|\.persist\(\)", code):
