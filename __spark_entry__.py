@@ -42,9 +42,10 @@ _SENTINELS = [
 # arithmetic, 50 slots: 2 sentinels
 # + 15 r5-stale TPC-H rows (the rotation the r9 verdict ordered —
 #   after this window no standing row is older than r6)
-# + 24 r10-touched/new (every query whose plan gained a one-slot /
-#   identity-keyed persist this round, plus the new KMV sketch query)
-# + 9 oldest r6-stale rows = 50 exactly (asserted by
+# + 25 r10-touched/new (every query whose plan gained a one-slot /
+#   identity-keyed persist this round, plus the two new KMV sketch
+#   queries)
+# + 8 oldest r6-stale rows = 50 exactly (asserted by
 #   tests/test_oracle_gate.py::test_driver_window_composition).
 # The 35 remaining r6-stale rows lead r11.
 _PRIORITY = [
@@ -91,6 +92,7 @@ _PRIORITY = [
     "docs_copied_span_profile",
     "docs_incremental_copied_spans",
     "events_kmv_intersection_qa",  # NEW in r10: first driver row
+    "events_kmv_daily_rollup",  # NEW in r10: first driver row
     # (c) 9 oldest r6-stale rows (session-state-sensitive families
     # first: persisted corpus index, catalog/temp-view round-trips,
     # write-path guards)
@@ -102,10 +104,9 @@ _PRIORITY = [
     "not_exists_insert_guard",
     "sql_insert_not_exists",
     "quantiles_exact",
-    "pivot_status_by_priority",
-    # r11 leads (35 r6-stale incl. scalar_subquery_above_avg, which
-    # yielded its slot to the new KMV query): agg_cube_flags,
-    # agg_grouping_sets,
+    # r11 leads (36 r6-stale incl. scalar_subquery_above_avg and
+    # pivot_status_by_priority, which yielded their slots to the two
+    # new KMV queries): agg_cube_flags, agg_grouping_sets,
     # agg_rollup_status_priority, agg_stats_by_status,
     # case_when_conditional_agg, correlated_min_per_group_join,
     # dedup_latest_order_per_customer, distinct_segments,

@@ -53,6 +53,7 @@ EXTRA = [
     "emb_kmeans_clusters",
     "events_hll_sketch_rollup",
     "events_kmv_intersection_qa",
+    "events_kmv_daily_rollup",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",

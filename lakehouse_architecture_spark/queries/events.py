@@ -1603,6 +1603,117 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kmv_daily_rollup",
+    oracle="""
+WITH cells AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substr(md5(
+           CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d-%H')
+         ), 1, 13)) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM cells
+),
+dsk AS (SELECT day, h FROM ranked WHERE rn <= 128),
+merged AS (
+  SELECT h FROM (SELECT DISTINCT h FROM dsk) ORDER BY h LIMIT 128
+),
+dk AS (SELECT day, MAX(h) AS kth, COUNT(*) AS sz FROM dsk GROUP BY day),
+nd AS (SELECT day, COUNT(*) AS n FROM cells GROUP BY day),
+p AS (
+  SELECT (SELECT COUNT(DISTINCT h) FROM cells) AS n_period,
+         (SELECT MAX(h) FROM merged) AS kth_m,
+         (SELECT COUNT(*) FROM merged) AS sz_m
+)
+SELECT nd.day,
+       nd.n AS n_day,
+       ROUND(CASE WHEN nd.n < 128 THEN CAST(nd.n AS DOUBLE)
+                  ELSE 571957152676052992.0 / dk.kth END, 6) AS est_day,
+       p.n_period,
+       ROUND(CASE WHEN p.n_period < 128 THEN CAST(p.n_period AS DOUBLE)
+                  ELSE 571957152676052992.0 / p.kth_m END, 6)
+         AS est_period_from_merged
+FROM nd JOIN dk USING (day) CROSS JOIN p
+ORDER BY nd.day
+""",
+)
+def events_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct rollup from stored daily KMV sketches — the
+    production reason sketches exist: per-day user-hour sketches are
+    the PERSISTED artifact, and the period estimate is computed from
+    the sketches ALONE (k-min of the merged daily k-min arrays — the
+    KMV closure property guarantees it equals the sketch of the whole
+    period), never by rescanning raw events. The sibling of
+    events_hll_sketch_rollup with a stronger contract: HLL merged
+    estimates are engine-specific (invariant-style oracle), while the
+    KMV sketch is a deterministic k-min the DuckDB oracle replicates
+    BIT-FOR-BIT — per-day exact counts, per-day estimates, the
+    period-exact distinct, and the merged-sketch period estimate all
+    hash-compared.
+
+    Plan: one scan to the distinct (day, h) grain (one-slot
+    persisted; the daily-sketch build and the period-exact count read
+    it), the per-day top-k is the two-stage window of
+    operators/kmv.kmv_sketch_by, and the MERGE works on days x k
+    hashes (<= 31*128 rows here; |days| x k generally) — a bounded
+    sort_array fold, no window, no raw-data pass. At 100 TB the daily
+    sketch relation is what you'd store; this query IS the downstream
+    reader."""
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch_by,
+    )
+
+    K = 128
+    ev = load_table(spark, sf_dir, "events")
+    cell = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd-HH"),
+    )
+    hs = one_slot_persist(
+        ev.select(
+            F.col("ts").cast("date").alias("day"), kmv_hash(cell).alias("h")
+        ).distinct(),
+        slot="events-kmv-daily-hs",
+        key=(sf_dir,),
+    )
+    daily = kmv_sketch_by(hs, "day", K)
+    # Merge from the SKETCHES only: k smallest across all daily arrays.
+    # |days| x k rows -> one bounded collect_list fold (no window, no
+    # second raw-data pass).
+    merged = (
+        daily.select(F.explode("kmv").alias("h"))
+        .distinct()
+        .agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, K).alias("kmv_m")
+        )
+    )
+    n_period = (
+        hs.select("h").distinct().agg(F.count(F.lit(1)).alias("n_period"))
+    )
+    return (
+        daily.crossJoin(merged)
+        .crossJoin(n_period)
+        .select(
+            "day",
+            F.col("n").alias("n_day"),
+            F.round(kmv_estimate(F.col("n"), F.col("kmv"), K), 6).alias(
+                "est_day"
+            ),
+            "n_period",
+            F.round(
+                kmv_estimate(F.col("n_period"), F.col("kmv_m"), K), 6
+            ).alias("est_period_from_merged"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "events_ab_test_value_ztest",
     oracle="""
 WITH per_user AS (

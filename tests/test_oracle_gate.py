@@ -246,6 +246,7 @@ def test_driver_window_composition():
         "docs_copied_span_profile",
         "docs_incremental_copied_spans",
         "events_kmv_intersection_qa",  # new operator: first driver row
+        "events_kmv_daily_rollup",
     }
     assert touched_r10 <= window, sorted(touched_r10 - window)
     # the rotation the r9 verdict ordered: the 15 r5-stale TPC-H rows
