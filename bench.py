@@ -389,6 +389,17 @@ def run_pipeline_e2e(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _note_id(note: str) -> str:
+    """Stable identity for a round conclusion: the headline before the
+    first colon, falling back to the first 60 chars when that prefix is
+    too short to identify a note (several notes share a bare "r7:" /
+    "r6:" lead-in — a round tag is not an identity). Notes are written
+    headline-first, so edits to the BODY replace the old note on merge
+    while a new headline still reads as a new note."""
+    prefix = note.split(":", 1)[0]
+    return prefix[:80] if len(prefix) >= 20 else note[:60]
+
+
 def _load_ab_check() -> dict | None:
     """Pick up the interleaved A/B re-measurement (tools/ab_check.py
     writes /tmp/ab_check.json) if one was run; the payload is stamped
@@ -465,6 +476,10 @@ def main() -> None:
     # Merge-preserve round conclusions: a bench refresh (e.g. the
     # driver's post-commit run) must never DROP a note or a committed
     # ab_check — regenerate numbers, carry interpretation forward.
+    # Notes merge BY ID (the text before the first colon), not by exact
+    # string: a reworded note REPLACES its old version instead of both
+    # accumulating forever (r10 ADVICE — the exact-match merge made the
+    # notes array grow monotonically).
     prev_notes: list[str] = []
     prev_ab = None
     try:
@@ -474,6 +489,13 @@ def main() -> None:
         prev_ab = prev.get("ab_check")
     except Exception:
         pass
+    current_ids = {_note_id(n) for n in NOTES}
+    ab = _load_ab_check()
+    if isinstance(ab, dict) and ab.get("drop"):
+        # explicit sentinel ({"drop": true} in /tmp/ab_check.json):
+        # clear a superseded prior-round ab_check instead of carrying
+        # it forward forever (previously impossible — r10 ADVICE).
+        ab, prev_ab = None, None
     detail = {
         "queries_min": minima,
         "extra_queries": extra,
@@ -481,8 +503,9 @@ def main() -> None:
         "timing": {"warmup_runs": 1, "timed_runs": TIMED_RUNS, "stat": "median"},
         "pipeline_e2e": e2e,
         "errors": errors,
-        "notes": NOTES + [n for n in prev_notes if n not in NOTES],
-        "ab_check": _load_ab_check() or prev_ab,
+        "notes": NOTES
+        + [n for n in prev_notes if _note_id(n) not in current_ids],
+        "ab_check": ab or prev_ab,
     }
     try:
         with open(detail_path, "w") as fh:

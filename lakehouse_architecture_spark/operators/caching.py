@@ -30,6 +30,17 @@ relation mid-flight. Slots assume the build-then-consume, one query
 at a time session shape of the driver/bench; a threaded harness must
 either give each thread its own slot names or accept recomputation
 (correctness is unaffected — an evicted relation recomputes lazily).
+
+IMMUTABLE-INPUT ASSUMPTION (the r10 ADVICE hazard): an identity key
+like ``(sf_dir, k)`` names the INPUT FILES, so a warm hit silently
+serves the materialized relation built from the files as they were —
+if data under a keyed path is rewritten mid-session, the slot is
+stale. In-repo that cannot happen (no registry query writes under
+sf_dir, and every staged-swap writer calls
+:func:`release_slots_for_path` on its target via
+``sinks.writers._refresh_swapped_path``); a library user mutating
+inputs outside those writers must call ``release_slots_for_path(dir)``
+(or ``release_slots()``) after the rewrite.
 """
 
 from __future__ import annotations
@@ -86,6 +97,39 @@ def one_slot_persist(
         out = df.persist()
         _SLOTS[slot] = (key, out)
         return out
+
+
+def _path_overlaps(key_elem: object, path: str) -> bool:
+    """True when a key element names ``path`` or a directory related to
+    it by containment (either direction — a rewrite under a keyed dir
+    stales the slot, and a rewrite of a parent stales keys below it)."""
+    if not isinstance(key_elem, str) or not key_elem:
+        return False
+    a = key_elem.rstrip("/")
+    b = path.rstrip("/")
+    return a == b or a.startswith(b + "/") or b.startswith(a + "/")
+
+
+def release_slots_for_path(path: str) -> int:
+    """Unpersist and drop every slot whose identity KEY mentions a path
+    overlapping ``path`` — the cache-invalidation hook for writers that
+    rewrite files in place (staged-swap MERGE/overwrite/CDC call this
+    via ``_refresh_swapped_path``, next to the catalog refresh that
+    invalidates Spark's own plan cache). Keyless slots (``key=None``)
+    are left alone: they never warm-hit, so they cannot serve stale
+    data. Returns the number of slots released."""
+    released = 0
+    with _LOCK:
+        for name, (key, df) in list(_SLOTS.items()):
+            elems = key if isinstance(key, tuple) else (key,)
+            if any(_path_overlaps(e, path) for e in elems):
+                _SLOTS.pop(name)
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+                released += 1
+    return released
 
 
 def release_slots(prefix: str = "") -> int:

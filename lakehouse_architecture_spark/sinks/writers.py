@@ -403,11 +403,25 @@ def _refresh_swapped_path(spark: SparkSession, path: str) -> None:
     its captured scan; without the refresh, a post-swap action on a
     plan that cache-matches it fails FILE_NOT_EXIST (or silently serves
     pre-swap rows). Surfaced by the pipeline's idempotent re-run, where
-    the curated read is cached as the next run's FK reference."""
+    the curated read is cached as the next run's FK reference.
+
+    Also releases any identity-keyed one-slot persist whose key names
+    the swapped path (operators/caching): a keyed slot warm-hits by
+    input identity, so a rewrite under its key would otherwise keep
+    serving the pre-swap materialization for the rest of the session
+    (the r10 ADVICE hazard)."""
+    from lakehouse_architecture_spark.operators.caching import (
+        release_slots_for_path,
+    )
+
     try:
         spark.catalog.refreshByPath(path)
     except Exception:
         pass  # cache invalidation must never fail the committed write
+    try:
+        release_slots_for_path(path)
+    except Exception:
+        pass
 
 
 def apply_changes(

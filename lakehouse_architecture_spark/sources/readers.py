@@ -96,6 +96,15 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # without a slot. lazy=first-action; the pipeline acts per table.
     # At 100 TB the split runs per ingest batch (a day's files), never
     # corpus-wide — the materialization is batch-sized by construction.
+    # DURABILITY CAVEAT (cluster deployments): localCheckpoint blocks
+    # live UNREPLICATED in executor storage and the truncated lineage
+    # cannot recompute them, so losing an executor mid-job fails the
+    # job outright — a failure mode plain cache() recovered from.
+    # Acceptable here (single-JVM local mode; batch-sized, re-runnable
+    # ingest step), but a multi-executor deployment that cannot afford
+    # an ingest-batch retry should use a reliable checkpoint
+    # (sc.setCheckpointDir + .checkpoint()) or write the split out.
+    # Release timing is also GC-driven, not an explicit unpersist.
     df = df.localCheckpoint(eager=False)
     parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())

@@ -767,6 +767,51 @@ def test_one_slot_persist(spark):
     assert "dedup-sim-spans" not in _SLOTS
 
 
+def test_release_slots_for_path(spark):
+    """The r10 ADVICE hazard closed: a write that rewrites files under
+    a keyed slot's input path must stale the slot, or the warm hit
+    serves the pre-rewrite materialization for the whole session. The
+    staged-swap writers call this via _refresh_swapped_path; keyless
+    slots never warm-hit and are left alone."""
+    from lakehouse_architecture_spark.operators.caching import (
+        _SLOTS,
+        one_slot_persist,
+        release_slots,
+        release_slots_for_path,
+    )
+
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    keyed = one_slot_persist(df1, slot="p-keyed", key=("/tmp/sf-rel", 8))
+    anon = one_slot_persist(df2, slot="p-anon")
+
+    # unrelated path: nothing released, the keyed slot still warm-hits
+    assert release_slots_for_path("/tmp/other-dir") == 0
+    assert one_slot_persist(df2, slot="p-keyed", key=("/tmp/sf-rel", 8)) is keyed
+
+    # a rewrite UNDER the keyed dir stales it; the keyless slot stays
+    assert release_slots_for_path("/tmp/sf-rel/orders.parquet") == 1
+    assert "p-keyed" not in _SLOTS and not keyed.storageLevel.useMemory
+    assert anon.storageLevel.useMemory
+
+    # containment works in the other direction too (parent rewritten)
+    rekeyed = one_slot_persist(df1, slot="p-keyed", key=("/tmp/sf-rel/sub", 8))
+    assert release_slots_for_path("/tmp/sf-rel") == 1
+    assert not rekeyed.storageLevel.useMemory
+
+    # the writer chokepoint routes here: a staged-swap refresh over a
+    # keyed path must drop the slot even though no Spark cache exists
+    from lakehouse_architecture_spark.sinks.writers import (
+        _refresh_swapped_path,
+    )
+
+    one_slot_persist(df1, slot="p-keyed", key=("/tmp/sf-rel", 8))
+    _refresh_swapped_path(spark, "/tmp/sf-rel")
+    assert "p-keyed" not in _SLOTS
+
+    release_slots("p-")
+
+
 # --- KMV sketch ---------------------------------------------------------
 
 

@@ -258,6 +258,26 @@ def test_driver_window_composition():
         assert any(n.startswith(prefix) for n in window), prefix
 
 
+def test_readme_query_count_matches_registry():
+    """The r10 verdict's count drift (README said 199 while the
+    registry held 200), made impossible to repeat: the README's two
+    literal query counts must equal len(QUERIES)."""
+    import re
+
+    sys.path.insert(0, "/root/repo")
+    from lakehouse_architecture_spark.queries import QUERIES
+
+    text = open("/root/repo/README.md").read()
+    counts = re.findall(
+        r"Any of the (\d+) registered analytics queries"
+        r"|exposes (\d+) named queries",
+        text,
+    )
+    flat = [int(a or b) for a, b in counts]
+    assert len(flat) == 2, counts  # both phrases must still exist
+    assert flat == [len(QUERIES)] * 2, (flat, len(QUERIES))
+
+
 def test_no_unreleased_cache_in_lazy_query_modules():
     """The r8-r10 leak class, pinned shut: LAZY query functions must not
     call plain .cache()/.persist() (the consuming action is the
