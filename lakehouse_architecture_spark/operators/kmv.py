@@ -84,6 +84,21 @@ def kmv_estimate(n: Column, kmv: Column, k: int) -> Column:
     )
 
 
+def kmv_estimate_from_sketch(kmv: Column, k: int) -> Column:
+    """Distinct estimate from the sketch ALONE — the MERGEABLE form
+    (streamed/stored states hold only the sketch): an UNSATURATED
+    sketch (size < k) contains EVERY distinct hash by construction, so
+    its size is the exact count; at size == k the closed form applies.
+    Equals :func:`kmv_estimate` whenever that function's ``n`` is the
+    true distinct count, without needing ``n`` to be carried — which a
+    batch-folded state cannot do exactly once the sketch saturates."""
+    sz = F.size(kmv)
+    kth = F.get(kmv, k - 1)
+    return F.when(sz < k, sz.cast("double")).otherwise(
+        F.lit(float(k - 1) * KMV_SPACE) / kth
+    )
+
+
 def kmv_union(kmv_a: Column, kmv_b: Column, k: int) -> Column:
     """Sketch of A∪B from the two sketches: k smallest of the merged
     arrays (valid because every element of the union's true k-min set

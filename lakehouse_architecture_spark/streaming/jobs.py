@@ -749,42 +749,35 @@ def stream_rollup_maintain(
     return writer
 
 
-def rollup_handle_batch(
+def _state_nonempty(state_path: str) -> bool:
+    return os.path.exists(state_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(state_path)
+    )
+
+
+def _fold_batch_exactly_once(
     spark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
     *,
     state_path: str,
-    keys: list[str],
-    value: str,
     checkpoint_dir: str | None,
+    merged,
+    ns: str,
 ) -> None:
-    """One micro-batch of :func:`stream_rollup_maintain` (module-level
-    so replay/crash scenarios are directly testable — the
-    near_dup_handle_batch arrangement). See that docstring for the
-    exactly-once protocol."""
+    """The shared read-modify-write fold protocol behind every
+    stateful-maintenance stream (exact rollup, KMV sketches): fold the
+    batch into the stored state EXACTLY-ONCE via stage-seal-publish-
+    commit (see :func:`stream_rollup_maintain`). ``merged`` is a
+    zero-arg callable building the (prior state + batch) DataFrame —
+    it must read prior state lazily so a replayed recompute before the
+    seal sees the untouched pre-batch state. ``ns`` namespaces the
+    commit/staging dirs so two folds can share one checkpoint."""
     import uuid as _uuid
 
-    from lakehouse_architecture_spark.operators.incremental_agg import (
-        agg_state,
-        merge_agg_state,
-    )
     from lakehouse_architecture_spark.sinks.writers import (
         _refresh_swapped_path,
     )
-
-    def _state_exists() -> bool:
-        return os.path.exists(state_path) and any(
-            not e.startswith(("_", "."))
-            for e in os.listdir(state_path)
-        )
-
-    def _merged() -> DataFrame:
-        partial = agg_state(batch_df, keys, value)
-        if _state_exists():
-            prior = spark.read.parquet(state_path)
-            return merge_agg_state(prior, partial)
-        return partial
 
     if checkpoint_dir is None:
         # At-least-once fallback: no stable batch identity without a
@@ -793,9 +786,9 @@ def rollup_handle_batch(
             return
         # materialize BEFORE the swap: the merged plan reads the
         # files the swap replaces
-        merged = _merged().localCheckpoint(eager=True)
+        m = merged().localCheckpoint(eager=True)
         staging = f"{state_path}.staging-{_uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
+        m.write.mode("overwrite").parquet(staging)
         if os.path.exists(state_path):
             backup = f"{state_path}.old-{_uuid.uuid4().hex[:8]}"
             shutil.move(state_path, backup)
@@ -806,9 +799,9 @@ def rollup_handle_batch(
         _refresh_swapped_path(spark, state_path)
         return
 
-    commit_dir = os.path.join(checkpoint_dir, "rollup_commits")
+    commit_dir = os.path.join(checkpoint_dir, f"{ns}_commits")
     committed = os.path.join(commit_dir, f"batch-{batch_id}")
-    staging = os.path.join(checkpoint_dir, "rollup_staging", str(batch_id))
+    staging = os.path.join(checkpoint_dir, f"{ns}_staging", str(batch_id))
     if os.path.exists(committed):
         # exactly-once: this batch is already folded in — a replay
         # after a crash between the marker and cleanup just sweeps.
@@ -826,14 +819,14 @@ def rollup_handle_batch(
         # staging materializes the merge BEFORE any swap — no
         # localCheckpoint needed.
         shutil.rmtree(staging, ignore_errors=True)
-        _merged().write.mode("overwrite").parquet(staged_state)
+        merged().write.mode("overwrite").parquet(staged_state)
         open(sealed, "w").close()
     # Publish: each move is a same-filesystem rename; the backup
     # location is DETERMINISTIC (inside this batch's staging), so
     # replay after a crash at any point resumes the remaining moves
     # instead of recomputing against half-swapped state.
     if os.path.isdir(staged_state):
-        if _state_exists():
+        if _state_nonempty(state_path):
             shutil.move(state_path, os.path.join(staging, "old"))
         if os.path.exists(state_path):
             shutil.rmtree(state_path)
@@ -842,6 +835,148 @@ def rollup_handle_batch(
     os.makedirs(commit_dir, exist_ok=True)
     open(committed, "w").close()
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def rollup_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    keys: list[str],
+    value: str,
+    checkpoint_dir: str | None,
+) -> None:
+    """One micro-batch of :func:`stream_rollup_maintain` (module-level
+    so replay/crash scenarios are directly testable — the
+    near_dup_handle_batch arrangement). See that docstring for the
+    exactly-once protocol."""
+    from lakehouse_architecture_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    def _merged() -> DataFrame:
+        partial = agg_state(batch_df, keys, value)
+        if _state_nonempty(state_path):
+            prior = spark.read.parquet(state_path)
+            return merge_agg_state(prior, partial)
+        return partial
+
+    _fold_batch_exactly_once(
+        spark,
+        batch_df,
+        batch_id,
+        state_path=state_path,
+        checkpoint_dir=checkpoint_dir,
+        merged=_merged,
+        ns="rollup",
+    )
+
+
+def stream_kmv_daily_maintain(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_path: str,
+    group_col: str,
+    cell_col: str,
+    k: int = 128,
+    checkpoint_dir: str | None = None,
+):
+    """Continuously maintain per-group KMV distinct sketches from a
+    file stream — the streaming twin of ``events_kmv_daily_rollup``'s
+    persisted daily-sketch relation (the r10 verdict's one sketch-
+    family asymmetry: HLL, spans, MinHash and image-dhash all had
+    exactly-once streaming ingest; KMV daily sketches were batch-only).
+
+    State is the MERGEABLE form alone: ``(group, kmv array<long>)``,
+    folded per micro-batch as ``k-min(state ∪ batch-sketch)`` — valid
+    because the global k-min of a union is contained in the union of
+    the sides' k-mins (operators/kmv.py), so the streamed sketch is
+    BIT-IDENTICAL to the batch-computed sketch over the same rows (the
+    replay test asserts exactly that). The exact per-group distinct
+    count is NOT mergeable once a sketch saturates; downstream readers
+    estimate with ``kmv_estimate_from_sketch`` (exact below k by
+    construction). Batch cost: one distinct + two-stage top-k on the
+    BATCH plus a |groups|-row outer-join fold — never a history
+    rescan; read-modify-write is exactly-once via the same
+    stage-seal-publish-commit protocol as :func:`stream_rollup_maintain`
+    (pass ``checkpoint_dir``; without it the fold is at-least-once)."""
+    stream = (
+        spark.readStream.format("json").schema(schema).load(source_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_handle_batch(
+            spark,
+            batch_df,
+            batch_id,
+            state_path=state_path,
+            group_col=group_col,
+            cell_col=cell_col,
+            k=k,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def kmv_handle_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    group_col: str,
+    cell_col: str,
+    k: int,
+    checkpoint_dir: str | None,
+) -> None:
+    """One micro-batch of :func:`stream_kmv_daily_maintain`
+    (module-level so replay/crash scenarios are directly testable)."""
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_hash,
+        kmv_sketch_by,
+        kmv_union,
+    )
+
+    def _merged() -> DataFrame:
+        hs = batch_df.select(
+            F.col(group_col), kmv_hash(F.col(cell_col)).alias("h")
+        ).distinct()
+        partial = kmv_sketch_by(hs, group_col, k).select(
+            group_col, F.col("kmv").alias("kmv_b")
+        )
+        if not _state_nonempty(state_path):
+            return partial.select(
+                group_col, F.col("kmv_b").alias("kmv")
+            )
+        prior = spark.read.parquet(state_path).select(
+            group_col, F.col("kmv").alias("kmv_a")
+        )
+        empty = F.array().cast("array<long>")
+        return prior.join(partial, group_col, "full_outer").select(
+            group_col,
+            kmv_union(
+                F.coalesce("kmv_a", empty), F.coalesce("kmv_b", empty), k
+            ).alias("kmv"),
+        )
+
+    _fold_batch_exactly_once(
+        spark,
+        batch_df,
+        batch_id,
+        state_path=state_path,
+        checkpoint_dir=checkpoint_dir,
+        merged=_merged,
+        ns="kmv",
+    )
 
 
 def stream_span_dedup_ingest(

@@ -695,6 +695,139 @@ def test_rollup_batch_replay_exactly_once(spark, tmp_path):
     assert not os.path.exists(staging) and not os.path.exists(staging2)
 
 
+def test_stream_kmv_maintain_matches_batch_sketch(spark, tmp_path):
+    """The streamed per-group KMV state must be BIT-IDENTICAL to the
+    batch-computed sketch over the same rows (k-min closure: folding
+    per-batch k-mins equals the global k-min), and a restart must pick
+    up new files without refolding old ones."""
+    import json as _json
+
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_hash,
+        kmv_sketch_by,
+    )
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_kmv_daily_maintain,
+    )
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    schema = "day string, cell string"
+    K = 4  # tiny k so saturation + truncation paths are exercised
+    rows1 = [("d1", f"u{i}") for i in range(10)] + [("d2", "u1")]
+    rows2 = [("d1", f"u{i}") for i in range(5, 15)] + [("d3", "u2")]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"day": d, "cell": c}) for d, c in rows1)
+    )
+    q = stream_kmv_daily_maintain(
+        spark, str(src), schema, state, "day", "cell", k=K,
+        checkpoint_dir=ckpt,
+    ).start()
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps({"day": d, "cell": c}) for d, c in rows2)
+    )
+    q2 = stream_kmv_daily_maintain(
+        spark, str(src), schema, state, "day", "cell", k=K,
+        checkpoint_dir=ckpt,
+    ).start()
+    q2.awaitTermination(120)
+
+    streamed = {
+        r.day: list(r.kmv) for r in spark.read.parquet(state).collect()
+    }
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    hs = all_rows.select(
+        "day", kmv_hash(F.col("cell")).alias("h")
+    ).distinct()
+    want = {
+        r.day: list(r.kmv) for r in kmv_sketch_by(hs, "day", K).collect()
+    }
+    assert streamed == want
+    # saturated group really is truncated; unsaturated groups are exact
+    assert len(streamed["d1"]) == K
+    assert len(streamed["d2"]) == 1 and len(streamed["d3"]) == 1
+
+
+def test_kmv_batch_replay_exactly_once(spark, tmp_path):
+    """Replay of a committed KMV batch must be a no-op, and a crash
+    mid-publish (old state moved to the deterministic backup, staged
+    state not yet live) must resume to the same sketches."""
+    import os
+    import shutil
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        kmv_handle_batch,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    schema = "day string, cell string"
+    kw = dict(
+        state_path=state, group_col="day", cell_col="cell", k=4,
+        checkpoint_dir=ckpt,
+    )
+
+    def read_state():
+        return {
+            r.day: list(r.kmv) for r in spark.read.parquet(state).collect()
+        }
+
+    b0 = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(8)], schema
+    )
+    kmv_handle_batch(spark, b0, 0, **kw)
+    want0 = read_state()
+    kmv_handle_batch(spark, b0, 0, **kw)  # committed replay: no-op
+    assert read_state() == want0
+
+    # crash window: batch 1 staged + sealed + live state moved to the
+    # backup slot, but not yet published — replay must resume, not
+    # refold against half-swapped state
+    b1 = spark.createDataFrame([("d1", "u99"), ("d2", "x")], schema)
+    staging = os.path.join(ckpt, "kmv_staging", "1")
+    kmv_handle_batch(spark, b1, 1, **kw)
+    want1 = read_state()
+    assert set(want1) == {"d1", "d2"}
+    b2 = spark.createDataFrame([("d2", "y")], schema)
+    staging2 = os.path.join(ckpt, "kmv_staging", "2")
+    # hand-stage batch 2 and simulate the mid-publish crash
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_hash,
+        kmv_sketch_by,
+        kmv_union,
+    )
+
+    hs = b2.select("day", kmv_hash(F.col("cell")).alias("h")).distinct()
+    partial = kmv_sketch_by(hs, "day", 4).select(
+        "day", F.col("kmv").alias("kmv_b")
+    )
+    prior = spark.read.parquet(state).select(
+        "day", F.col("kmv").alias("kmv_a")
+    )
+    empty = F.array().cast("array<long>")
+    merged = prior.join(partial, "day", "full_outer").select(
+        "day",
+        kmv_union(
+            F.coalesce("kmv_a", empty), F.coalesce("kmv_b", empty), 4
+        ).alias("kmv"),
+    )
+    merged.write.parquet(os.path.join(staging2, "state"))
+    open(os.path.join(staging2, "_STAGED"), "w").close()
+    shutil.move(state, os.path.join(staging2, "old"))
+    assert not os.path.exists(state)
+    kmv_handle_batch(spark, b2, 2, **kw)  # resumes the publish
+    got = read_state()
+    assert len(got["d2"]) == 2  # x and y both in d2's sketch
+    assert got["d1"] == want1["d1"]
+    kmv_handle_batch(spark, b2, 2, **kw)  # committed replay: no-op
+    assert read_state() == got
+    assert not os.path.exists(staging) and not os.path.exists(staging2)
+
+
 def test_stream_span_dedup_ingest_and_replay(spark, tmp_path):
     """The ExactSubstr streaming ingest: batch docs >=20% span-copied
     from the persisted index (or from a lower-id doc in the same
