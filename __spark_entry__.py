@@ -157,7 +157,6 @@ _SECOND_TIER = {
     "emb_knn_ivf",
     "emb_knn_ivf_md5",
     "emb_lsh_candidate_stats",
-    "emb_near_dup_lsh",
     "emb_near_dup_lsh_strict",
     "emb_near_dup_pairs",
     "events_anomaly_mad",

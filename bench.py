@@ -40,9 +40,10 @@ EXTRA = [
     "q2_min_cost_supplier",
     "docs_tfidf_top_terms",
     "docs_novelty_score",
-    # emb_near_dup_lsh (the 0.45/12x4 worst-case twin) is deliberately
-    # NOT benched: its cost is a documented anti-regime demo. The
-    # production 0.8/8x8 config is what gets measured.
+    # the loose 0.45/12x4 sign-LSH twin was retired in r11 (regime
+    # mismatch — its lesson lives in emb_lsh_candidate_stats, which
+    # still measures that config's candidate ratio). The production
+    # 0.8/8x8 config is what gets measured.
     "emb_near_dup_lsh_strict",
     "emb_int8_quantization",
     "events_anomaly_zscore",
@@ -54,6 +55,8 @@ EXTRA = [
     "events_hll_sketch_rollup",
     "events_kmv_intersection_qa",
     "events_kmv_daily_rollup",
+    # r11 addition: the set-difference member of the KMV family
+    "events_kmv_new_vs_returning",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",

@@ -572,35 +572,6 @@ def _band_key_sql(band: int, bits: int = _EMB_LSH_BAND_BITS) -> str:
     return " + ".join(terms)
 
 
-EMB_NEAR_DUP_LSH_ORACLE = f"""
-WITH bands AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, {b} AS band, {_band_key_sql(b)} AS key FROM embeddings"
-      for b in range(_EMB_LSH_BANDS)
-  )}
-),
-cands AS (
-  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-  FROM bands a JOIN bands c
-    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
-),
-dots AS (
-  SELECT id_a, id_b,
-    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS na,
-    CAST(SUM(CAST(CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE) AS nb
-  FROM cands
-  JOIN embeddings va ON va.vec_id = id_a
-  JOIN embeddings vb ON vb.vec_id = id_b,
-  UNNEST(generate_series(1, len(va.embedding))) AS t(i)
-  GROUP BY id_a, id_b
-)
-SELECT id_a, id_b, ROUND(dot / SQRT(na * nb), 6) AS cosine_sim
-FROM dots
-WHERE dot / SQRT(na * nb) >= 0.45
-"""
-
-
 def _lsh_verified_pairs(
     emb: DataFrame, threshold: float, n_bands: int, band_bits: int
 ) -> DataFrame:
@@ -660,30 +631,6 @@ def _lsh_verified_pairs(
     )
 
 
-@query("emb_near_dup_lsh", oracle=EMB_NEAR_DUP_LSH_ORACLE)
-def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic scale twin of ``emb_near_dup_pairs``: banded sign
-    LSH (random-hyperplane family with axis-aligned hyperplanes so the
-    oracle replicates the SAME algorithm deterministically), exact
-    decimal-fold cosine verify on the surviving candidates only.
-
-    Plan shape at 100 TB: one narrow map computes all band keys, a
-    posexplode fans out 12 (band, key) rows per vector, the self-join on
-    (band, key) generates candidates per LSH cell (Σ|cell|², never n²),
-    DISTINCT collapses multi-band hits, and only candidate pairs pay the
-    64-dim exact verify. Identical topology to the MinHash text-dedup
-    path (operators/minhash.py) — bucket, dedup, verify.
-
-    Regime note: this is the documented WORST-CASE twin — at the
-    deliberately weak 0.45 threshold on near-orthogonal synthetic
-    vectors, 12x4 sign-LSH prunes only ~2x, so the exact all-pairs twin
-    is faster at bench SF. The production regime is
-    ``emb_near_dup_lsh_strict`` (cos>=0.8, 8x8 bands, candidate volume
-    ~3% of n^2 — measured by ``emb_lsh_candidate_stats``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return _lsh_verified_pairs(emb, 0.45, _EMB_LSH_BANDS, _EMB_LSH_BAND_BITS)
-
-
 EMB_NEAR_DUP_LSH_STRICT_ORACLE = f"""
 WITH bands AS (
   {" UNION ALL ".join(
@@ -730,8 +677,17 @@ def emb_near_dup_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold") and exactly what the driver's oracle verifies; the
     bench row measures the production plan's cost: candidate
     generation at ~3% of n^2 plus a verify over that small survivor
-    set, instead of the loose twin's deliberate ~2x-pruning worst
-    case."""
+    set.
+
+    Regime-mismatch lesson (from the retired ``emb_near_dup_lsh``
+    negative example, a loose cos>=0.45 / 12x4 twin carried r3-r10):
+    sign-LSH pruning collapses when the threshold sits in the bulk of
+    the cosine distribution — at 0.45 on near-orthogonal synthetic
+    vectors a band matches with probability ~(1/2)^4, so candidates
+    prune only ~2x and the exact all-pairs scan is FASTER. Size bands
+    to the threshold (``emb_lsh_candidate_stats`` measures both
+    configurations' candidate ratios cross-engine); below ~cos 0.6,
+    use the exact path or MinHash over text shingles instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _lsh_verified_pairs(emb, 0.8, 8, 8)
 
@@ -774,9 +730,11 @@ def emb_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair volume of two sign-LSH configurations as a fraction
     of all n(n-1)/2 pairs, cross-engine checked.
 
-    - ``bands12x4_loose`` is the production config behind
-      ``emb_near_dup_lsh`` (12 bands x 4 bits) — sized for the weak
-      cos>=0.45 demo regime, prunes only ~2x there by design;
+    - ``bands12x4_loose`` (12 bands x 4 bits) is the NEGATIVE example:
+      sized for a weak cos>=0.45 regime, it prunes only ~2x there by
+      design — the measured evidence behind retiring the loose
+      ``emb_near_dup_lsh`` query (r11) and behind the rule that bands
+      must be sized to the threshold;
     - ``bands8x8_strict`` is the high-threshold config (8 bands x 8
       bits) for the cos>=0.85 regime real embedding near-dups live in:
       random near-orthogonal pairs survive a band with ~(1/2)^8, so

@@ -1714,6 +1714,155 @@ def events_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kmv_new_vs_returning",
+    oracle="""
+WITH cells AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM cells
+),
+dsk AS (SELECT day, h FROM ranked WHERE rn <= 128),
+days AS (SELECT DISTINCT day FROM cells),
+prev_h AS (
+  SELECT DISTINCT d.day, s.h FROM days d JOIN dsk s ON s.day < d.day
+),
+prev_ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM prev_h
+),
+psk AS (SELECT day, h FROM prev_ranked WHERE rn <= 128),
+union_h AS (
+  SELECT day, h FROM psk UNION SELECT day, h FROM dsk
+),
+union_ranked AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM union_h
+),
+usk AS (SELECT day, h FROM union_ranked WHERE rn <= 128),
+dstat AS (SELECT day, COUNT(*) AS sz, MAX(h) AS kth FROM dsk GROUP BY day),
+pstat AS (SELECT day, COUNT(*) AS sz, MAX(h) AS kth FROM psk GROUP BY day),
+ustat AS (SELECT day, COUNT(*) AS sz, MAX(h) AS kth FROM usk GROUP BY day),
+nd AS (SELECT day, COUNT(*) AS n FROM cells GROUP BY day),
+fs AS (SELECT h, MIN(day) AS day FROM cells GROUP BY h),
+nn AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY day)
+SELECT nd.day,
+       nd.n AS n_day_exact,
+       COALESCE(nn.n_new, 0) AS n_new_exact,
+       ROUND(CASE WHEN dstat.sz < 128 THEN CAST(dstat.sz AS DOUBLE)
+                  ELSE 571957152676052992.0 / dstat.kth END, 6) AS est_day,
+       ROUND(COALESCE(
+           CASE WHEN pstat.sz < 128 THEN CAST(pstat.sz AS DOUBLE)
+                ELSE 571957152676052992.0 / pstat.kth END, 0.0), 6)
+         AS est_prev_cum,
+       ROUND(CASE WHEN ustat.sz < 128 THEN CAST(ustat.sz AS DOUBLE)
+                  ELSE 571957152676052992.0 / ustat.kth END, 6) AS est_cum,
+       ROUND(CASE WHEN ustat.sz < 128 THEN CAST(ustat.sz AS DOUBLE)
+                  ELSE 571957152676052992.0 / ustat.kth END
+             - COALESCE(
+                 CASE WHEN pstat.sz < 128 THEN CAST(pstat.sz AS DOUBLE)
+                      ELSE 571957152676052992.0 / pstat.kth END, 0.0), 6)
+         + 0.0 AS est_new
+FROM nd JOIN dstat USING (day) JOIN ustat USING (day)
+LEFT JOIN pstat USING (day) LEFT JOIN nn USING (day)
+ORDER BY nd.day
+""",
+)
+def events_kmv_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day NEW-distinct-user estimation from stored KMV sketches
+    ALONE — the set-DIFFERENCE member of the sketch family (union:
+    ``events_kmv_daily_rollup``; intersection:
+    ``events_kmv_intersection_qa``): |day_d \\ history_d| is estimated
+    as est(history ∪ day) − est(history), where the cumulative history
+    sketch per day is itself merged from the PRIOR DAYS' STORED
+    SKETCHES (k-min closure), never from a history rescan. This is the
+    production "how many new users did today bring" query at 100 TB:
+    the persisted |days| × k sketch relation answers it for any day —
+    the raw-event pass happens once per day at ingest (or continuously
+    via ``streaming.jobs.stream_kmv_daily_maintain``, whose streamed
+    state is bit-identical to these sketches by the closure property).
+
+    Exact anchors ride along for QA: ``n_day_exact`` (distinct users
+    that day) and ``n_new_exact`` (first-seen-day counts via one
+    min-day pass over the distinct grain) — so a driver row localizes
+    whether a mismatch is in the sketches or the estimates. All
+    estimates are closed-form doubles over exact 52-bit ints (the
+    family doctrine); est_new gets the ROUND(6)+0.0 negative-zero
+    guard since the difference can land at exactly zero.
+
+    Plan: ONE scan to the distinct (day, h) grain (one-slot persisted;
+    the sketch build and the first-seen pass share it), the per-day
+    top-k is the two-stage window of operators/kmv.kmv_sketch_by, and
+    the cumulative merge is a |days|²·k self-join over the SKETCH
+    relation (≤ 31²×128 rows here — bounded by calendar days × k, not
+    by data)."""
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_estimate_from_sketch,
+        kmv_hash,
+        kmv_sketch_by,
+        kmv_union,
+    )
+
+    K = 128
+    ev = load_table(spark, sf_dir, "events")
+    hs = one_slot_persist(
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            kmv_hash(F.col("user_id").cast("string")).alias("h"),
+        ).distinct(),
+        slot="events-kmv-nvr-hs",
+        key=(sf_dir,),
+    )
+    daily = kmv_sketch_by(hs, "day", K)  # (day, kmv, n)
+    sketches = daily.select("day", "kmv")
+    # cumulative prior-history sketch per day, merged from the stored
+    # daily sketches alone: k-min over the union of earlier days' kmvs
+    prev = (
+        sketches.alias("a")
+        .join(sketches.alias("b"), F.col("b.day") < F.col("a.day"))
+        .select(F.col("a.day").alias("day"), F.explode("b.kmv").alias("h"))
+        .distinct()
+        .groupBy("day")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, K).alias(
+                "kmv_prev"
+            )
+        )
+    )
+    first_seen = hs.groupBy("h").agg(F.min("day").alias("day"))
+    new_exact = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_exact")
+    )
+    empty = F.array().cast("array<long>")
+    est_prev = kmv_estimate_from_sketch(F.col("kmv_p"), K)
+    est_union = kmv_estimate_from_sketch(F.col("ku"), K)
+    return (
+        daily.join(prev, "day", "left")
+        .join(new_exact, "day", "left")
+        .withColumn("kmv_p", F.coalesce(F.col("kmv_prev"), empty))
+        .withColumn("ku", kmv_union(F.col("kmv_p"), F.col("kmv"), K))
+        .select(
+            "day",
+            F.col("n").alias("n_day_exact"),
+            F.coalesce("n_new_exact", F.lit(0)).alias("n_new_exact"),
+            F.round(kmv_estimate_from_sketch(F.col("kmv"), K), 6).alias(
+                "est_day"
+            ),
+            F.round(est_prev, 6).alias("est_prev_cum"),
+            F.round(est_union, 6).alias("est_cum"),
+            (F.round(est_union - est_prev, 6) + F.lit(0.0)).alias(
+                "est_new"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "events_ab_test_value_ztest",
     oracle="""
 WITH per_user AS (

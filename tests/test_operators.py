@@ -877,6 +877,26 @@ def test_kmv_sketch_properties(spark):
     ).collect()[0]
     assert r2.szu == 60 and r2.est_inter == 10.0
 
+    # mergeable-form estimator (sketch alone, no carried n): equals
+    # the n-carrying estimator wherever n is the true distinct count —
+    # exact (== size) while unsaturated, closed form at saturation
+    from lakehouse_architecture_spark.operators.kmv import (
+        kmv_estimate_from_sketch,
+    )
+
+    r3 = one.select(
+        kmv_estimate_from_sketch(F.col("kmv_a"), K).alias("sat"),
+        kmv_estimate_from_sketch(
+            F.slice(F.col("kmv_a"), 1, 5), K
+        ).alias("unsat"),
+        kmv_estimate_from_sketch(
+            F.array().cast("array<long>"), K
+        ).alias("empty"),
+    ).collect()[0]
+    assert r3.sat == r.est16  # saturated: same closed form
+    assert r3.unsat == 5.0  # unsaturated sketch IS the distinct set
+    assert r3.empty == 0.0
+
 
 def test_split_corrupt_survives_later_splits(spark, tmp_path):
     """Regression (r10): the corrupt side must stay actionable after

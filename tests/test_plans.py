@@ -202,7 +202,7 @@ def test_tfidf_partial_topk_before_shuffle(spark, sf_dir):
 def test_emb_lsh_no_cartesian(spark, sf_dir):
     """Sign-LSH candidate generation must be a keyed join on
     (band, key) — never a cartesian of the corpus."""
-    plan = _plan(spark, sf_dir, "emb_near_dup_lsh")
+    plan = _plan(spark, sf_dir, "emb_near_dup_lsh_strict")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
