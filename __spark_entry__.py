@@ -36,85 +36,87 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-10 priority (the cache-bounding round). Standing-row staleness
-# after r9 (CORRECTNESS_r01..r09, latest round per query): 15 rows last
-# checked r5 (all TPC-H), 46 r6, 44 r7, 43 r8, 50 r9. Window
+# Round-11 priority (the rotation-completion round). Standing-row
+# staleness after r10 (CORRECTNESS_r01..r10, latest round per query):
+# 36 rows last checked r6, 35 r7, 39 r8, 40 r9, 50 r10. Window
 # arithmetic, 50 slots: 2 sentinels
-# + 15 r5-stale TPC-H rows (the rotation the r9 verdict ordered —
-#   after this window no standing row is older than r6)
-# + 25 r10-touched/new (every query whose plan gained a one-slot /
-#   identity-keyed persist this round, plus the two new KMV sketch
-#   queries)
-# + 8 oldest r6-stale rows = 50 exactly (asserted by
-#   tests/test_oracle_gate.py::test_driver_window_composition).
-# The 35 remaining r6-stale rows lead r11.
+# + 2 r11-touched/new (the new KMV difference query's first driver
+#   row; emb_pq_quantization_qa after the codegen-size rework — it is
+#   also an r7-stale row, so it does double duty)
+# + all 36 r6-stale rows (the rotation the r10 verdict ordered —
+#   after this window no standing row is older than r7)
+# + 10 oldest r7-stale rows, session-state-sensitive families first
+#   (iterative fixpoints, catalog/table round-trips, stateful rollup)
+# = 50 exactly (asserted by
+# tests/test_oracle_gate.py::test_driver_window_composition).
+# The 24 remaining r7-stale rows lead r12; after r12 the whole board
+# can hold a <=2-round-old guarantee.
 _PRIORITY = [
-    # (a) r5-stale TPC-H (standing row five rounds old)
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_late_supplier",
-    # (b) r10-touched: plain .cache() sites replaced by bounded
-    # one-slot persists (operators/caching), span/gram slots now
-    # identity-keyed — same logical plans, new persist choreography
-    "parts_coorder_triangles",
-    "orders_bloom_prune_stats",
-    "lineitem_key_skew_profile",
-    "minhash_lsh_near_dups",
-    "minhash_estimate_qa",
-    "minhash_recall_curve",
-    "docs_ngram_jaccard_pairs",
-    "docs_incremental_near_dups",
-    "simhash_near_pairs",
-    "customers_fuzzy_name_stats",
-    "customers_entity_resolution",
-    "events_chi2_type_dow",
-    "events_stickiness_ratio",
-    "events_hll_intersection_qa",
-    "emb_semantic_dedup",
-    "emb_knn_ivf",
-    "docs_dup_components",
-    "docs_dedup_keep_best",
-    "docs_dup_cluster_size_histogram",
-    "docs_curation_funnel",
-    "docs_shared_span_pairs",
-    "docs_copied_span_profile",
-    "docs_incremental_copied_spans",
-    "events_kmv_intersection_qa",  # NEW in r10: first driver row
-    "events_kmv_daily_rollup",  # NEW in r10: first driver row
-    # (c) 9 oldest r6-stale rows (session-state-sensitive families
-    # first: persisted corpus index, catalog/temp-view round-trips,
-    # write-path guards)
-    "docs_incremental_near_dups_indexed",
-    "events_hll_sketch_rollup",
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    "sql_catalog_roundtrip",
-    "not_exists_insert_guard",
-    "sql_insert_not_exists",
-    "quantiles_exact",
-    # r11 leads (36 r6-stale incl. scalar_subquery_above_avg and
-    # pivot_status_by_priority, which yielded their slots to the two
-    # new KMV queries): agg_cube_flags, agg_grouping_sets,
-    # agg_rollup_status_priority, agg_stats_by_status,
-    # case_when_conditional_agg, correlated_min_per_group_join,
-    # dedup_latest_order_per_customer, distinct_segments,
-    # docs_rare_token_ratio, events_daily_new_vs_returning,
-    # events_signup_to_purchase_1h, events_trailing_24h_volume,
-    # join_* (7), q22_dormant_customers, scalar_date_funcs,
-    # scalar_string_funcs, setop_* (4), sql_probe_orders,
-    # sql_revenue_by_nation, topk_orders, window_* (5)
+    # (a) r11-touched/new
+    "events_kmv_new_vs_returning",  # NEW in r11: first driver row
+    "emb_pq_quantization_qa",  # r11 codegen-size rework (also r7-stale)
+    # (b) the 36 r6-stale rows
+    "agg_cube_flags",
+    "agg_grouping_sets",
+    "agg_rollup_status_priority",
+    "agg_stats_by_status",
+    "case_when_conditional_agg",
+    "correlated_min_per_group_join",
+    "dedup_latest_order_per_customer",
+    "distinct_segments",
+    "docs_rare_token_ratio",
+    "events_daily_new_vs_returning",
+    "events_signup_to_purchase_1h",
+    "events_trailing_24h_volume",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_presence",
+    "join_inner_orders_customer",
+    "join_left_anti_inactive_customers",
+    "join_left_outer_order_counts",
+    "join_left_semi_active_customers",
+    "join_right_outer_part_lineitems",
+    "pivot_status_by_priority",
+    "q22_dormant_customers",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_above_avg",
+    "setop_except_all_dup_aware",
+    "setop_except_no_order_customers",
+    "setop_intersect_keys",
+    "setop_union_all_parties",
+    "sql_probe_orders",
+    "sql_revenue_by_nation",
+    "topk_orders",
+    "window_lag_order_gaps",
+    "window_lead_ntile",
+    "window_moving_avg_frame",
+    "window_rank_orders",
+    "window_running_spend",
+    # (c) 10 oldest r7-stale rows (state-sensitive first: fixpoint
+    # iterations, catalog/bucketed-table round-trips, exactly-once
+    # rollup state, sketch accuracy)
+    "docs_bpe_encode_stats",
+    "docs_bpe_merge_qa",
+    "docs_learned_filter_apply",
+    "events_cms_topk_accuracy",
+    "sql_bucketed_colocated_join",
+    "sql_recursive_cte_calendar",
+    "parts_coorder_pagerank",
+    "orders_incremental_rollup_state",
+    "emb_top_pc_power_iteration",
+    "scd2_customer_history",
+    # r12 leads (24 remaining r7-stale): docs_length_histogram,
+    # docs_packing_manifest, docs_quality_classifier_qa,
+    # docs_source_shingle_overlap, docs_token_freq_spectrum,
+    # docs_vocab_growth_by_source, docs_weighted_sample_topk,
+    # emb_dim_variance_topk, events_cusum_daily_drift,
+    # events_seasonal_anomaly, events_session_length_percentiles,
+    # events_user_volume_concentration, lineitem_ols2_price_qty_discount,
+    # lineitem_ols_price_on_qty, lineitem_price_percentiles_by_flag,
+    # lineitem_salted_agg_by_flag, orders_expectation_report,
+    # orders_monthly_growth, orders_open_backlog_by_day,
+    # orders_pareto_concentration, scalar_array_funcs,
+    # scalar_bitwise_funcs, scalar_null_semantics, snapshot_diff_counts
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -128,62 +130,122 @@ _FAMILY_ORDER = [
     "catalog_sql",
     "advanced",
 ]
-# Queries pushed past the driver's check horizon this round: all have
-# standing green rows from r6/r7/r8 (or are r5-stale TPC-H rows named
-# in the r10-leads comment above) and their code is unchanged in r9, so
-# the window is spent on the hugeint fixes and the r4/r5-stale rotation
-# above. Names that also appear in _PRIORITY are deduped there first.
+# Queries pushed past the driver's check horizon this round:
+# everything outside the 50-slot window above. All have standing green
+# driver rows no older than r7 (the r6-stale block is IN the window),
+# and none was touched in r11, so the window is spent on the rotation
+# plus the round's two changed/new queries. Regenerated each round as
+# registry − sentinels − priority.
 _SECOND_TIER = {
-    "agg_cube_flags",
-    "agg_grouping_sets",
-    "agg_rollup_status_priority",
-    "agg_stats_by_status",
+    "agg_argmax_by_status",
+    "approx_distinct_and_quantile",
     "asof_join_purchase_click",
     "basket_brand_pairs",
-    "case_when_conditional_agg",
-    "correlated_min_per_group_join",
-    "dedup_latest_order_per_customer",
-    "distinct_segments",
+    "customers_entity_resolution",
+    "customers_fuzzy_name_stats",
+    "docs_chunk_manifest",
+    "docs_copied_span_profile",
     "docs_curation_funnel",
     "docs_dedup_keep_best",
     "docs_dedup_savings_report",
     "docs_dup_cluster_size_histogram",
+    "docs_dup_components",
     "docs_dup_profile_by_source",
+    "docs_exact_dedupe_count",
+    "docs_exact_dup_groups",
+    "docs_fingerprint",
+    "docs_hash_split_counts",
+    "docs_incremental_copied_spans",
+    "docs_incremental_near_dups",
     "docs_incremental_near_dups_indexed",
-    "docs_rare_token_ratio",
+    "docs_lang_id",
+    "docs_length_histogram",
+    "docs_mixture_resample",
+    "docs_ngram_jaccard_pairs",
+    "docs_novelty_score",
+    "docs_packing_manifest",
+    "docs_pii_scrub",
+    "docs_quality_classifier_qa",
+    "docs_quality_score",
+    "docs_repetition_score",
+    "docs_shared_span_pairs",
+    "docs_shingle_stats",
+    "docs_source_shingle_overlap",
+    "docs_stratified_sample",
+    "docs_test_contamination",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
+    "docs_token_freq_spectrum",
+    "docs_token_stats",
+    "docs_top_terms",
+    "docs_vocab_growth_by_source",
+    "docs_weighted_sample_topk",
+    "emb_centroid_norm_by_label",
+    "emb_dim_variance_topk",
+    "emb_int8_quantization",
     "emb_ivf_probe_stats",
     "emb_kmeans_clusters",
     "emb_knn_bruteforce",
+    "emb_knn_bruteforce_decimal",
     "emb_knn_ivf",
     "emb_knn_ivf_md5",
+    "emb_knn_lsh",
     "emb_lsh_candidate_stats",
     "emb_near_dup_lsh_strict",
     "emb_near_dup_pairs",
+    "emb_norms",
+    "emb_semantic_dedup",
+    "events_ab_test_value_ztest",
     "events_anomaly_mad",
-    "events_daily_new_vs_returning",
+    "events_anomaly_zscore",
+    "events_chi2_type_dow",
+    "events_cusum_daily_drift",
+    "events_daily_active_users",
     "events_dow_hour_heatmap",
+    "events_funnel",
+    "events_gapfilled_hourly",
+    "events_hll_accuracy_qa",
+    "events_hll_intersection_qa",
     "events_hll_sketch_rollup",
-    "events_signup_to_purchase_1h",
-    "events_trailing_24h_volume",
+    "events_hourly_by_type",
+    "events_kmv_daily_rollup",
+    "events_kmv_intersection_qa",
+    "events_ohlc_downsample",
+    "events_props_extract",
+    "events_retention_cohorts",
+    "events_seasonal_anomaly",
+    "events_session_length_percentiles",
+    "events_sessionization",
+    "events_stickiness_ratio",
+    "events_tumbling_window",
     "events_type_transitions",
+    "events_type_value_stats",
     "events_user_lifetime",
+    "events_user_volume_concentration",
     "events_value_p95_by_type",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_presence",
-    "join_inner_orders_customer",
-    "join_left_anti_inactive_customers",
-    "join_left_outer_order_counts",
-    "join_left_semi_active_customers",
-    "join_right_outer_part_lineitems",
     "lineitem_discount_band_profile",
+    "lineitem_key_skew_profile",
+    "lineitem_ols2_price_qty_discount",
+    "lineitem_ols_price_on_qty",
+    "lineitem_price_percentiles_by_flag",
+    "lineitem_salted_agg_by_flag",
     "lineitem_unpivot_measure_stats",
     "minhash_estimate_qa",
+    "minhash_lsh_near_dups",
     "minhash_recall_curve",
+    "minhash_signatures_sample",
     "not_exists_insert_guard",
+    "orders_bloom_prune_stats",
     "orders_cohort_monthly_value",
+    "orders_expectation_report",
     "orders_interarrival_stats",
+    "orders_monthly_growth",
+    "orders_open_backlog_by_day",
+    "orders_pareto_concentration",
     "orders_rfm_segments",
-    "pivot_status_by_priority",
+    "orders_trend_by_segment",
+    "parts_coorder_triangles",
+    "profile_orders_columns",
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_priority_counts",
@@ -196,7 +258,7 @@ _SECOND_TIER = {
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_sole_late_supplier",
-    "q22_dormant_customers",
+    "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -205,27 +267,26 @@ _SECOND_TIER = {
     "q9_product_profit",
     "quantiles_exact",
     "range_join_price_bands",
-    "scalar_date_funcs",
+    "ri_dangling_lineitems",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
     "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_above_avg",
-    "setop_except_all_dup_aware",
-    "setop_except_no_order_customers",
-    "setop_intersect_keys",
-    "setop_union_all_parties",
+    "scalar_null_semantics",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "snapshot_diff_counts",
     "sql_catalog_roundtrip",
     "sql_insert_not_exists",
-    "sql_probe_orders",
-    "sql_revenue_by_nation",
+    "stats_corr_price_qty",
     "stats_skew_kurtosis_qty",
     "supplier_fulfillment_latency",
-    "topk_orders",
+    "validate_lineitem_fk_invalid",
+    "validate_lineitem_fk_summary",
+    "validate_orders_invalid",
+    "validate_orders_rejection_summary",
+    "validate_orders_split_stats",
     "window_first_last_dense",
-    "window_lag_order_gaps",
-    "window_lead_ntile",
-    "window_moving_avg_frame",
-    "window_rank_orders",
-    "window_running_spend",
+    "window_percent_rank_cume",
 }
 
 

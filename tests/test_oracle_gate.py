@@ -219,43 +219,56 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r10-touched surfaces (plain .cache() -> bounded one-slot persists,
-    # identity-keyed span/gram slots) must all have a fresh driver row
-    touched_r10 = {
-        "parts_coorder_triangles",
-        "orders_bloom_prune_stats",
-        "lineitem_key_skew_profile",
-        "minhash_lsh_near_dups",
-        "minhash_estimate_qa",
-        "minhash_recall_curve",
-        "docs_ngram_jaccard_pairs",
-        "docs_incremental_near_dups",
-        "simhash_near_pairs",
-        "customers_fuzzy_name_stats",
-        "customers_entity_resolution",
-        "events_chi2_type_dow",
-        "events_stickiness_ratio",
-        "events_hll_intersection_qa",
-        "emb_semantic_dedup",
-        "emb_knn_ivf",
-        "docs_dup_components",
-        "docs_dedup_keep_best",
-        "docs_dup_cluster_size_histogram",
-        "docs_curation_funnel",
-        "docs_shared_span_pairs",
-        "docs_copied_span_profile",
-        "docs_incremental_copied_spans",
-        "events_kmv_intersection_qa",  # new operator: first driver row
-        "events_kmv_daily_rollup",
+    # r11-touched surfaces (the new KMV difference query; the PQ QA
+    # after the codegen-size rework) must have a fresh driver row
+    touched_r11 = {
+        "events_kmv_new_vs_returning",  # new operator: first driver row
+        "emb_pq_quantization_qa",
     }
-    assert touched_r10 <= window, sorted(touched_r10 - window)
-    # the rotation the r9 verdict ordered: the 15 r5-stale TPC-H rows
-    # all get fresh rows this round
-    stale_r5 = {f"q{i}_" for i in (4, 5, 6, 7, 8, 9)} | {
-        f"q{i}_" for i in range(13, 22)
+    assert touched_r11 <= window, sorted(touched_r11 - window)
+    # the rotation the r10 verdict ordered: ALL 36 r6-stale rows get
+    # fresh driver rows this round — after this window no standing row
+    # is older than r7 (list computed from CORRECTNESS_r01..r10)
+    stale_r6 = {
+        "agg_cube_flags",
+        "agg_grouping_sets",
+        "agg_rollup_status_priority",
+        "agg_stats_by_status",
+        "case_when_conditional_agg",
+        "correlated_min_per_group_join",
+        "dedup_latest_order_per_customer",
+        "distinct_segments",
+        "docs_rare_token_ratio",
+        "events_daily_new_vs_returning",
+        "events_signup_to_purchase_1h",
+        "events_trailing_24h_volume",
+        "join_cross_region_pairs",
+        "join_full_outer_nation_presence",
+        "join_inner_orders_customer",
+        "join_left_anti_inactive_customers",
+        "join_left_outer_order_counts",
+        "join_left_semi_active_customers",
+        "join_right_outer_part_lineitems",
+        "pivot_status_by_priority",
+        "q22_dormant_customers",
+        "scalar_date_funcs",
+        "scalar_string_funcs",
+        "scalar_subquery_above_avg",
+        "setop_except_all_dup_aware",
+        "setop_except_no_order_customers",
+        "setop_intersect_keys",
+        "setop_union_all_parties",
+        "sql_probe_orders",
+        "sql_revenue_by_nation",
+        "topk_orders",
+        "window_lag_order_gaps",
+        "window_lead_ntile",
+        "window_moving_avg_frame",
+        "window_rank_orders",
+        "window_running_spend",
     }
-    for prefix in stale_r5:
-        assert any(n.startswith(prefix) for n in window), prefix
+    assert len(stale_r6) == 36
+    assert stale_r6 <= window, sorted(stale_r6 - window)
 
 
 def test_readme_query_count_matches_registry():
