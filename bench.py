@@ -131,6 +131,32 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r11 q5 watch verdict (the r10 item: q5_local_supplier_volume "
+    "read 1.41x its r9 level, at the edge of the noise band, with an "
+    "A/B ordered if it read >1.25x again): resolved as session noise "
+    "without the A/B trigger firing — the r11 closing bench reads q5 "
+    "at 0.891 s vs r9's 0.804 (1.11x), with the entire headline "
+    "moving DOWN uniformly in the same session (15.7 s vs r10's 19.9 "
+    "and r9's 17.0) on majority-untouched code; q5's plan (broadcast "
+    "dims, single fact scan) is byte-unchanged since r6. Standing "
+    "doctrine holds: compare driver-recorded rounds only.",
+    "r11 PQ codegen-size adjudication (the r10 closing-ledger watch "
+    "item: emb_pq_quantization_qa's literal-codebook projection falls "
+    "back to interpreted mode): measured, real, and fixed — the fully "
+    "unrolled 8x16x8 distance expression exceeds janino's method-size "
+    "limit (compile ERROR each run), leaving a ~3000-node tree "
+    "evaluated interpreted. Restructured to a literal "
+    "array<array<double>> codebook + transform/zip_with/aggregate "
+    "fold: interleaved A/B at sf0.1, 5 alternating reps one session, "
+    "bit-identical results — unrolled 8.34 s vs HOF 1.36 s medians "
+    "per encode+aggregate pass, spreads 1.23 vs 0.14. The "
+    "dot_fixed-vs-zip_with lesson generalizes: past the codegen "
+    "method-size limit, compact HOF trees beat unrolled scalar ones. "
+    "Also r11: the extras list gains events_kmv_new_vs_returning "
+    "(~1.2 s warm at sf0.1), so the extras total is expected ~1-2 s "
+    "above the r10 standing 63.5 s on membership alone; the retired "
+    "emb_near_dup_lsh was never benched, so its removal changes "
+    "nothing in the totals.",
     "r10 triangles drift adjudication (the r9 watch item: "
     "parts_coorder_triangles 4.55 -> 6.88 s on untouched code, +51%, "
     "outside the noise band while TPC-H improved in the same session). "
