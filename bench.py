@@ -55,8 +55,10 @@ EXTRA = [
     "events_hll_sketch_rollup",
     "events_kmv_intersection_qa",
     "events_kmv_daily_rollup",
-    # r11 addition: the set-difference member of the KMV family
+    # r11 additions: the set-difference member of the KMV family and
+    # the mergeable histogram quantile rollup
     "events_kmv_new_vs_returning",
+    "events_value_quantile_rollup",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",

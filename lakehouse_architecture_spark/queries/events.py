@@ -1863,6 +1863,188 @@ def events_kmv_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_quantile_rollup",
+    oracle="""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS vc
+  FROM events
+),
+hist AS (
+  SELECT day,
+         CASE WHEN vc <= 0 THEN 0 ELSE length(bin(vc)) END AS bucket,
+         COUNT(*) AS cnt
+  FROM base GROUP BY 1, 2
+),
+merged AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hist GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM merged),
+cum AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum_cnt FROM merged
+),
+meta AS (
+  SELECT (SELECT COUNT(DISTINCT day) FROM hist) AS n_days,
+         (SELECT COUNT(*) FROM hist) AS n_hist_rows
+),
+qs AS (
+  SELECT q_label, CAST(q AS DOUBLE) AS q
+  FROM (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+    AS t(q_label, q)
+),
+ranks AS (
+  SELECT q_label, q, n_total,
+         CAST(CEIL(q * n_total) AS BIGINT) AS rank_target
+  FROM qs, tot
+),
+pick AS (
+  SELECT r.q_label, MIN(c.bucket) AS bucket
+  FROM ranks r JOIN cum c ON c.cum_cnt >= r.rank_target
+  GROUP BY r.q_label
+),
+vcc AS (SELECT vc, COUNT(*) AS cnt FROM base GROUP BY vc),
+vcum AS (SELECT vc, SUM(cnt) OVER (ORDER BY vc) AS cum_cnt FROM vcc),
+exact AS (
+  SELECT r.q_label, MIN(v.vc) AS exact_cents
+  FROM ranks r JOIN vcum v ON v.cum_cnt >= r.rank_target
+  GROUP BY r.q_label
+)
+SELECT r.q_label, r.q, r.n_total, r.rank_target,
+       p.bucket,
+       CASE WHEN p.bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) << (p.bucket - 1) END AS lower_cents,
+       CASE WHEN p.bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << p.bucket) - 1 END AS upper_cents,
+       e.exact_cents,
+       CASE WHEN p.bucket = 0 THEN e.exact_cents <= 0
+            ELSE e.exact_cents >= (CAST(1 AS BIGINT) << (p.bucket - 1))
+             AND e.exact_cents <= (CAST(1 AS BIGINT) << p.bucket) - 1
+       END AS within_bucket,
+       m.n_days, m.n_hist_rows
+FROM ranks r JOIN pick p USING (q_label) JOIN exact e USING (q_label)
+CROSS JOIN meta m
+ORDER BY r.q
+""",
+)
+def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile rollup from stored per-day histograms — the
+    QUANTILE sibling of the KMV/HLL sketch rollups: the persisted
+    artifact is the per-(day, bucket) count histogram (buckets are
+    powers of two over integer cents — ``length(bin(vc))``, exact and
+    bit-identical cross-engine, never libm log2), and period quantiles
+    come from SUMMING the stored histograms — counts are exactly
+    mergeable, so the merged histogram equals the histogram of the
+    whole period and the bucket answer is deterministic. The estimate
+    carries its own error contract: the true quantile provably lies in
+    [lower_cents, upper_cents] (a factor-2 bracket by construction),
+    and the exact rank statistic rides along as the QA anchor with a
+    ``within_bucket`` certificate genuinely evaluated on both engines.
+
+    Streaming twin for free: per-(day, bucket) counts are plain
+    per-key count state, so ``streaming.jobs.stream_rollup_maintain``
+    already maintains this artifact exactly-once at batch cost — no
+    new protocol needed (the KMV/HLL rollups need their own merge
+    because sketches are not plain sums).
+
+    Compared-surface doctrine: EVERYTHING emitted is an exact integer,
+    a literal double (q), or a boolean — rank targets mirror the exact
+    arithmetic form CEIL(q * n) literally on both engines (the r7
+    rank-rounding lesson); bucket bounds are integer shifts, never
+    POWER. Plan: one scan to (day, bucket) counts (the stored
+    relation, |days| × ~16 rows here), a ≤|buckets|-row cumulative
+    window, and the exact anchor aggregates at the CENTS-VALUE grain —
+    bounded by the value DOMAIN (~50k distinct cents), not by row
+    count, so the anchor survives 100 TB where a row-grain global sort
+    would not; the 3-row quantile spec joins via tiny-side broadcast."""
+    day = F.col("ts").cast("date").alias("day")
+    vc = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vc")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(day, vc)
+    bucket = (
+        F.when(F.col("vc") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("vc"))))
+        .alias("bucket")
+    )
+    # the stored artifact: |days| x ~16 rows — one-slot persisted so
+    # the merged/cum/meta consumers share ONE raw scan instead of
+    # re-scanning events per consumer (the exact anchor's value-grain
+    # pass below is the only other raw scan in the plan)
+    hist = one_slot_persist(
+        base.groupBy("day", bucket).agg(F.count(F.lit(1)).alias("cnt")),
+        slot="events-vq-hist",
+        key=(sf_dir,),
+    )
+    merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    tot = merged.agg(F.sum("cnt").alias("n_total"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bucket", F.sum("cnt").over(w_b).alias("cum_cnt")
+    )
+    meta = hist.agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count(F.lit(1)).alias("n_hist_rows"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)],
+        "q_label string, q double",
+    )
+    ranks = qs.crossJoin(tot).withColumn(
+        "rank_target", F.ceil(F.col("q") * F.col("n_total")).cast("long")
+    )
+    pick = (
+        ranks.select("q_label", "rank_target")
+        .join(cum, cum["cum_cnt"] >= F.col("rank_target"))
+        .groupBy("q_label")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    vcc = base.groupBy("vc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_v = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vcc.select("vc", F.sum("cnt").over(w_v).alias("cum_cnt"))
+    exact = (
+        ranks.select("q_label", "rank_target")
+        .join(vcum, vcum["cum_cnt"] >= F.col("rank_target"))
+        .groupBy("q_label")
+        .agg(F.min("vc").alias("exact_cents"))
+    )
+    # the PySpark shiftleft wrapper pins numBits to a Python int, but
+    # the underlying ShiftLeft expression takes any column — go via SQL
+    lower = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    upper = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1
+    return (
+        ranks.join(pick, "q_label")
+        .join(exact, "q_label")
+        .crossJoin(meta)
+        .select(
+            "q_label",
+            "q",
+            "n_total",
+            "rank_target",
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(lower)
+            .alias("lower_cents"),
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(upper)
+            .alias("upper_cents"),
+            "exact_cents",
+            F.when(F.col("bucket") == 0, F.col("exact_cents") <= 0)
+            .otherwise(
+                (F.col("exact_cents") >= lower)
+                & (F.col("exact_cents") <= upper)
+            )
+            .alias("within_bucket"),
+            "n_days",
+            "n_hist_rows",
+        )
+        .orderBy("q")
+    )
+
+
+@query(
     "events_ab_test_value_ztest",
     oracle="""
 WITH per_user AS (

@@ -223,6 +223,7 @@ def test_driver_window_composition():
     # after the codegen-size rework) must have a fresh driver row
     touched_r11 = {
         "events_kmv_new_vs_returning",  # new operator: first driver row
+        "events_value_quantile_rollup",  # new operator: first driver row
         "emb_pq_quantization_qa",
     }
     assert touched_r11 <= window, sorted(touched_r11 - window)
