@@ -751,6 +751,64 @@ def test_stream_kmv_maintain_matches_batch_sketch(spark, tmp_path):
     assert len(streamed["d2"]) == 1 and len(streamed["d3"]) == 1
 
 
+def test_stream_rollup_maintains_quantile_histogram(spark, tmp_path):
+    """The events_value_quantile_rollup docstring's 'streaming twin
+    for free' claim, tested: per-(day, bucket) histogram counts are
+    plain per-key count state, so stream_rollup_maintain maintains the
+    stored artifact exactly — the streamed n_rows per key must equal
+    the batch-computed histogram over the same rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_rollup_maintain,
+    )
+
+    src = tmp_path / "vq_src"
+    src.mkdir()
+    state = str(tmp_path / "vq_state")
+    ckpt = str(tmp_path / "vq_ckpt")
+    # pre-bucketed rows, as the ingest job would emit them
+    rows1 = [("d1", 3, 1.0), ("d1", 3, 2.0), ("d1", 5, 1.0), ("d2", 3, 4.0)]
+    rows2 = [("d1", 3, 8.0), ("d2", 7, 1.0)]
+    schema = "day string, bucket int, v double"
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"day": d, "bucket": b, "v": v})
+            for d, b, v in rows1
+        )
+    )
+    q = stream_rollup_maintain(
+        spark, str(src), schema, state, ["day", "bucket"], "v",
+        checkpoint_dir=ckpt,
+    ).start()
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps({"day": d, "bucket": b, "v": v})
+            for d, b, v in rows2
+        )
+    )
+    q2 = stream_rollup_maintain(
+        spark, str(src), schema, state, ["day", "bucket"], "v",
+        checkpoint_dir=ckpt,
+    ).start()
+    q2.awaitTermination(120)
+    streamed = {
+        (r.day, r.bucket): r.n_rows
+        for r in spark.read.parquet(state).collect()
+    }
+    batch = {
+        (r.day, r.bucket): r.cnt
+        for r in spark.createDataFrame(rows1 + rows2, schema)
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_kmv_batch_replay_exactly_once(spark, tmp_path):
     """Replay of a committed KMV batch must be a no-op, and a crash
     mid-publish (old state moved to the deterministic backup, staged
