@@ -140,8 +140,20 @@ NOTES: list[str] = [
     "at 0.891 s vs r9's 0.804 (1.11x), with the entire headline "
     "moving DOWN uniformly in the same session (15.7 s vs r10's 19.9 "
     "and r9's 17.0) on majority-untouched code; q5's plan (broadcast "
-    "dims, single fact scan) is byte-unchanged since r6. Standing "
-    "doctrine holds: compare driver-recorded rounds only.",
+    "dims, single fact scan) is byte-unchanged since r6. Correction "
+    "to the r10 record while closing it: recomputing BENCH_r10/r09 "
+    "ratios, the full >1.25x mover set was EIGHT queries, not five — "
+    "q6_forecast_revenue 1.43x (the actual largest, omitted from the "
+    "r10 list), q5 1.41x, docs_ngram_jaccard_pairs 1.34x, "
+    "docs_token_stats 1.33x, events_funnel 1.32x, q3 1.29x, "
+    "docs_exact_dup_groups 1.27x, minhash_lsh_near_dups 1.25x; "
+    "emb_near_dup_pairs (1.19x) was listed but sub-threshold. The "
+    "same conclusion covers all eight: every one returned to (or "
+    "below) its r9 level in the r11 closing session (q6 0.254 vs r9 "
+    "0.256, q3 0.744 vs 0.711, docs_token_stats 0.234 vs 0.243, "
+    "events_funnel 0.257 vs 0.299) on untouched plans — uniform "
+    "session drift, not per-query regressions. Standing doctrine "
+    "holds: compare driver-recorded rounds only.",
     "r11 PQ codegen-size adjudication (the r10 closing-ledger watch "
     "item: emb_pq_quantization_qa's literal-codebook projection falls "
     "back to interpreted mode): measured, real, and fixed — the fully "
