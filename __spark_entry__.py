@@ -40,22 +40,23 @@ _SENTINELS = [
 # staleness after r10 (CORRECTNESS_r01..r10, latest round per query):
 # 36 rows last checked r6, 35 r7, 39 r8, 40 r9, 50 r10. Window
 # arithmetic, 50 slots: 2 sentinels
-# + 3 r11-touched/new (first driver rows for the new KMV difference
-#   and histogram-quantile-rollup queries; emb_pq_quantization_qa
-#   after the codegen-size rework — it is also an r7-stale row, so it
-#   does double duty)
+# + 4 r11-touched/new (first driver rows for the new KMV difference,
+#   histogram-quantile-rollup and fuzzy-d2 queries;
+#   emb_pq_quantization_qa after the codegen-size rework — it is also
+#   an r7-stale row, so it does double duty)
 # + all 36 r6-stale rows (the rotation the r10 verdict ordered —
 #   after this window no standing row is older than r7)
-# + 9 oldest r7-stale rows, session-state-sensitive families first
+# + 8 oldest r7-stale rows, session-state-sensitive families first
 #   (iterative fixpoints, catalog/table round-trips, stateful rollup)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 25 remaining r7-stale rows lead r12; after r12 the whole board
+# The 26 remaining r7-stale rows lead r12; after r12 the whole board
 # can hold a <=2-round-old guarantee.
 _PRIORITY = [
     # (a) r11-touched/new
     "events_kmv_new_vs_returning",  # NEW in r11: first driver row
     "events_value_quantile_rollup",  # NEW in r11: first driver row
+    "customers_fuzzy_pairs_d2",  # NEW in r11: first driver row
     "emb_pq_quantization_qa",  # r11 codegen-size rework (also r7-stale)
     # (b) the 36 r6-stale rows
     "agg_cube_flags",
@@ -94,7 +95,7 @@ _PRIORITY = [
     "window_moving_avg_frame",
     "window_rank_orders",
     "window_running_spend",
-    # (c) 9 oldest r7-stale rows (state-sensitive first: fixpoint
+    # (c) 8 oldest r7-stale rows (state-sensitive first: fixpoint
     # iterations, catalog/bucketed-table round-trips, exactly-once
     # rollup state, sketch accuracy)
     "docs_bpe_encode_stats",
@@ -105,9 +106,9 @@ _PRIORITY = [
     "sql_recursive_cte_calendar",
     "parts_coorder_pagerank",
     "orders_incremental_rollup_state",
-    "emb_top_pc_power_iteration",
-    # r12 leads (25 remaining r7-stale): scd2_customer_history (its
-    # slot yielded to the new quantile-rollup query), docs_length_histogram,
+    # r12 leads (26 remaining r7-stale): scd2_customer_history and
+    # emb_top_pc_power_iteration (their slots yielded to the new
+    # quantile-rollup and fuzzy-d2 queries), docs_length_histogram,
     # docs_packing_manifest, docs_quality_classifier_qa,
     # docs_source_shingle_overlap, docs_token_freq_spectrum,
     # docs_vocab_growth_by_source, docs_weighted_sample_topk,
@@ -136,7 +137,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r7 (the r6-stale block is IN the window),
 # and none was touched in r11, so the window is spent on the rotation
-# plus the round's three changed/new queries. Regenerated each round
+# plus the round's four changed/new queries. Regenerated each round
 # as registry − sentinels − priority.
 _SECOND_TIER = {
     "agg_argmax_by_status",
@@ -197,6 +198,7 @@ _SECOND_TIER = {
     "emb_near_dup_pairs",
     "emb_norms",
     "emb_semantic_dedup",
+    "emb_top_pc_power_iteration",
     "events_ab_test_value_ztest",
     "events_anomaly_mad",
     "events_anomaly_zscore",

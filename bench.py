@@ -56,7 +56,12 @@ EXTRA = [
     "events_kmv_intersection_qa",
     "events_kmv_daily_rollup",
     # r11 additions: the set-difference member of the KMV family and
-    # the mergeable histogram quantile rollup
+    # the mergeable histogram quantile rollup. customers_fuzzy_pairs_d2
+    # is deliberately NOT benched: on this corpus's zero-dense
+    # sequential names its candidate volume is the documented
+    # adversarial case (~19 s/rep at sf0.1 for 4M verified pairs), so
+    # an extras row would time the data pathology, not the plan;
+    # customers_fuzzy_name_stats times the blocking family.
     "events_kmv_new_vs_returning",
     "events_value_quantile_rollup",
     "emb_lsh_candidate_stats",

@@ -1223,6 +1223,65 @@ def customers_fuzzy_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customers_fuzzy_pairs_d2",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+p AS (
+  SELECT levenshtein(a.c_name, b.c_name) AS dist
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+n AS (SELECT COUNT(*) AS n_rows FROM c)
+SELECT p.dist, CAST(COUNT(*) AS BIGINT) AS n_pairs, n.n_rows,
+       n.n_rows * (n.n_rows - 1) // 2 AS n_total_pairs
+FROM p, n
+GROUP BY p.dist, n.n_rows
+ORDER BY p.dist
+""",
+)
+def customers_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching at the SymSpell PRODUCTION radius
+    (operators/fuzzy.fuzzy_pairs_d2): per-distance counts of every
+    customer-name pair within Levenshtein distance 2, found by
+    deletion-<=2 neighborhood blocking (1 + L + L(L-1)/2 variants per
+    string, deduped per (id, var)), verified by the JVM levenshtein
+    INSIDE the streamed variant self-join. The oracle is the BRUTE
+    FORCE — an O(n²) levenshtein over all pairs — so count equality IS
+    the completeness proof for the blocking (two substitutions are the
+    hard case: only a del2 x del2 bucket can match them). Measured on
+    this deliberately adversarial corpus (zero-dense sequential names,
+    Σ|bucket|² = 65M at sf0.1): 19 s for 4.08M verified pairs at
+    sf0.1; the brute force the oracle runs is 112M levenshtein calls
+    there, which is why the oracle is sf0.01-gated (1.1M calls) and
+    this query must stay OUT of sf0.1 magnitude probes — the Spark
+    side scales, the oracle deliberately does not.
+
+    Completes the fuzzy tier of the dedup ladder: exact (md5) <
+    fuzzy-d1 (`customers_fuzzy_name_stats`) < fuzzy-d2 (this, the
+    SymSpell default) < token-set (Jaccard) < semantic (MinHash /
+    SimHash / embedding LSH). Scale shape per the operator docstring:
+    variant relation shuffled once on the key, pinned sort-merge
+    self-join, early verify in the codegen stage, ids-only distinct."""
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d2
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs_d2(cust, "c_name", "c_custkey")
+    n = cust.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        pairs.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(n)
+        .select(
+            "dist",
+            "n_pairs",
+            "n_rows",
+            F.expr("n_rows * (n_rows - 1) div 2").alias("n_total_pairs"),
+        )
+        .orderBy("dist")
+    )
+
+
+@query(
     "customers_entity_resolution",
     oracle="""
 WITH RECURSIVE v AS (

@@ -496,6 +496,48 @@ def test_fuzzy_pairs_d1_complete_and_verified(spark):
     assert capped.count() == 0
 
 
+def test_fuzzy_pairs_d2_complete_vs_bruteforce(spark):
+    """d<=2 deletion-neighborhood blocking must find EXACTLY the
+    brute-force Levenshtein<=2 pair set — including the hard case (two
+    substitutions, matchable only through a del2 x del2 bucket) and
+    repeated-character strings whose deletion choices collapse."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d2
+
+    rows = [
+        (1, "abcd"),
+        (2, "axcy"),   # two substitutions of abcd: d=2, del2-only case
+        (3, "abc"),    # one deletion of abcd: d=1
+        (4, "ab"),     # two deletions of abcd: d=2
+        (5, "aabbcc"), # repeated chars: collapsing variants
+        (6, "abbc"),   # aabbcc minus 2 chars: d=2
+        (7, "zzzzzz"), # far from everything
+        (8, "abcd"),   # exact duplicate of 1: d=0
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs_d2(df, "name", "id").collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.dist
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 2  # the del2-x-del2 completeness case
+    assert got[(1, 8)] == 0
+    assert got[(5, 6)] == 2
+
+
 def test_simple_ols_matches_numpy(spark):
     import numpy as np
 
