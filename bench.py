@@ -138,6 +138,17 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r11 closing ledger (final tree, 202 queries/202 oracles): pytest "
+    "454/454; full plain sf0.01 sweeps green at every registry size "
+    "this round (200, 201, 202/202); fresh-seed full sweeps green on "
+    "seeds 811, 929 (200/200 + late additions individually) and "
+    "1111 (201/201), plus a FINAL-TREE seed-811 sweep 202/202; "
+    "driver-order 50-query window 50/50 four times (last including "
+    "all four new/changed rows); sf0.1 magnitude probe of the "
+    "non-excluded changed surfaces green (exclusions and why: "
+    "customers_fuzzy_pairs_d2's deliberate O(n^2) brute-force "
+    "oracle); closing bench headline 15.6 s / pipeline 8.7 s / "
+    "extras 58.1 s over 62 extras, 0 errors.",
     "r11 q5 watch verdict (the r10 item: q5_local_supplier_volume "
     "read 1.41x its r9 level, at the edge of the noise band, with an "
     "A/B ordered if it read >1.25x again): resolved as session noise "
