@@ -40,23 +40,24 @@ _SENTINELS = [
 # staleness after r10 (CORRECTNESS_r01..r10, latest round per query):
 # 36 rows last checked r6, 35 r7, 39 r8, 40 r9, 50 r10. Window
 # arithmetic, 50 slots: 2 sentinels
-# + 4 r11-touched/new (first driver rows for the new KMV difference,
-#   histogram-quantile-rollup and fuzzy-d2 queries;
+# + 5 r11-touched/new (first driver rows for the new KMV difference,
+#   histogram-quantile-rollup, fuzzy-d2 and k-core queries;
 #   emb_pq_quantization_qa after the codegen-size rework — it is also
 #   an r7-stale row, so it does double duty)
 # + all 36 r6-stale rows (the rotation the r10 verdict ordered —
 #   after this window no standing row is older than r7)
-# + 8 oldest r7-stale rows, session-state-sensitive families first
+# + 7 oldest r7-stale rows, session-state-sensitive families first
 #   (iterative fixpoints, catalog/table round-trips, stateful rollup)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 26 remaining r7-stale rows lead r12; after r12 the whole board
+# The 27 remaining r7-stale rows lead r12; after r12 the whole board
 # can hold a <=2-round-old guarantee.
 _PRIORITY = [
     # (a) r11-touched/new
     "events_kmv_new_vs_returning",  # NEW in r11: first driver row
     "events_value_quantile_rollup",  # NEW in r11: first driver row
     "customers_fuzzy_pairs_d2",  # NEW in r11: first driver row
+    "parts_coorder_kcore",  # NEW in r11: first driver row
     "emb_pq_quantization_qa",  # r11 codegen-size rework (also r7-stale)
     # (b) the 36 r6-stale rows
     "agg_cube_flags",
@@ -95,20 +96,20 @@ _PRIORITY = [
     "window_moving_avg_frame",
     "window_rank_orders",
     "window_running_spend",
-    # (c) 8 oldest r7-stale rows (state-sensitive first: fixpoint
+    # (c) 7 oldest r7-stale rows (state-sensitive first: fixpoint
     # iterations, catalog/bucketed-table round-trips, exactly-once
-    # rollup state, sketch accuracy)
+    # rollup state)
     "docs_bpe_encode_stats",
     "docs_bpe_merge_qa",
     "docs_learned_filter_apply",
-    "events_cms_topk_accuracy",
     "sql_bucketed_colocated_join",
     "sql_recursive_cte_calendar",
     "parts_coorder_pagerank",
     "orders_incremental_rollup_state",
-    # r12 leads (26 remaining r7-stale): scd2_customer_history and
-    # emb_top_pc_power_iteration (their slots yielded to the new
-    # quantile-rollup and fuzzy-d2 queries), docs_length_histogram,
+    # r12 leads (27 remaining r7-stale): scd2_customer_history,
+    # emb_top_pc_power_iteration and events_cms_topk_accuracy (their
+    # slots yielded to the new quantile-rollup, fuzzy-d2 and k-core
+    # queries), docs_length_histogram,
     # docs_packing_manifest, docs_quality_classifier_qa,
     # docs_source_shingle_overlap, docs_token_freq_spectrum,
     # docs_vocab_growth_by_source, docs_weighted_sample_topk,
@@ -137,7 +138,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r7 (the r6-stale block is IN the window),
 # and none was touched in r11, so the window is spent on the rotation
-# plus the round's four changed/new queries. Regenerated each round
+# plus the round's five changed/new queries. Regenerated each round
 # as registry − sentinels − priority.
 _SECOND_TIER = {
     "agg_argmax_by_status",
@@ -203,6 +204,7 @@ _SECOND_TIER = {
     "events_anomaly_mad",
     "events_anomaly_zscore",
     "events_chi2_type_dow",
+    "events_cms_topk_accuracy",
     "events_cusum_daily_drift",
     "events_daily_active_users",
     "events_dow_hour_heatmap",

@@ -62,6 +62,9 @@ EXTRA = [
     # adversarial case (~19 s/rep at sf0.1 for 4M verified pairs), so
     # an extras row would time the data pathology, not the plan;
     # customers_fuzzy_name_stats times the blocking family.
+    # parts_coorder_kcore is also NOT benched: a driver-bounded
+    # peeling loop times the iteration count, not a data-sized plan
+    # (the BPE/pagerank doctrine).
     "events_kmv_new_vs_returning",
     "events_value_quantile_rollup",
     "emb_lsh_candidate_stats",

@@ -538,6 +538,44 @@ def test_fuzzy_pairs_d2_complete_vs_bruteforce(spark):
     assert got[(5, 6)] == 2
 
 
+def test_kcore_peel_known_graph(spark):
+    """Peeling on a hand graph with a known core: a 4-clique {1,2,3,4}
+    plus a pendant chain 4-5-6 and a triangle {5,6,7} hanging off it.
+    The 3-core is exactly the clique (the triangle's nodes have degree
+    2 within it once the chain is peeled); the 2-core keeps the
+    triangle too; the 5-core is empty."""
+    from lakehouse_architecture_spark.operators.kcore import kcore_peel
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # clique
+            (4, 5), (5, 6),                                   # chain
+            (5, 7), (6, 7),                                   # triangle
+        ],
+        "src long, dst long",
+    )
+
+    def core_nodes(k):
+        r = kcore_peel(edges, k)
+        assert r["converged"]
+        nodes = {
+            x
+            for row in r["edges"].collect()
+            for x in (row.src, row.dst)
+        }
+        return nodes, r["n_edges"], r["rounds"]
+
+    n3, e3, rounds3 = core_nodes(3)
+    assert n3 == {1, 2, 3, 4} and e3 == 6
+    assert rounds3 >= 2  # the triangle only dies after the chain does
+    n2, e2, rounds2 = core_nodes(2)
+    # every node has degree >= 2, so the whole graph IS its 2-core and
+    # the very first peel is the no-change round
+    assert n2 == {1, 2, 3, 4, 5, 6, 7} and e2 == 10 and rounds2 == 1
+    n5, e5, _ = core_nodes(5)
+    assert n5 == set() and e5 == 0
+
+
 def test_simple_ols_matches_numpy(spark):
     import numpy as np
 

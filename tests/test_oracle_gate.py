@@ -225,6 +225,7 @@ def test_driver_window_composition():
         "events_kmv_new_vs_returning",  # new operator: first driver row
         "events_value_quantile_rollup",  # new operator: first driver row
         "customers_fuzzy_pairs_d2",  # new operator: first driver row
+        "parts_coorder_kcore",  # new operator: first driver row
         "emb_pq_quantization_qa",
     }
     assert touched_r11 <= window, sorted(touched_r11 - window)
