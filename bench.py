@@ -141,17 +141,20 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
-    "r11 closing ledger (final tree, 202 queries/202 oracles): pytest "
-    "454/454; full plain sf0.01 sweeps green at every registry size "
-    "this round (200, 201, 202/202); fresh-seed full sweeps green on "
-    "seeds 811, 929 (200/200 + late additions individually) and "
-    "1111 (201/201), plus a FINAL-TREE seed-811 sweep 202/202; "
-    "driver-order 50-query window 50/50 four times (last including "
-    "all four new/changed rows); sf0.1 magnitude probe of the "
+    "r11 closing ledger -- final tree, 203 queries/203 oracles: "
+    "pytest 456/456; full plain sf0.01 sweeps green at every registry "
+    "size this round (200, 201, 202, 203/203); fresh-seed full sweeps "
+    "green on seeds 811 + 929 + 1111, including FINAL-TREE full "
+    "sweeps on 811 (202/202) and 929 (203/203), with each late "
+    "addition also gated individually on all three seeds; "
+    "driver-order 50-query window 50/50 five times (last including "
+    "all five new/changed rows); sf0.1 magnitude probe of the "
     "non-excluded changed surfaces green (exclusions and why: "
-    "customers_fuzzy_pairs_d2's deliberate O(n^2) brute-force "
-    "oracle); closing bench headline 15.6 s / pipeline 8.7 s / "
-    "extras 58.1 s over 62 extras, 0 errors.",
+    "customers_fuzzy_pairs_d2's deliberate O(n^2) brute-force oracle; "
+    "parts_coorder_kcore's driver-bounded loop is unbenched by the "
+    "BPE doctrine but its Spark side runs 22 s/6 rounds at sf0.1); "
+    "closing bench headline 15.6 s / pipeline 8.7 s / extras 58.1 s "
+    "over 62 extras, 0 errors.",
     "r11 q5 watch verdict (the r10 item: q5_local_supplier_volume "
     "read 1.41x its r9 level, at the edge of the noise band, with an "
     "A/B ordered if it read >1.25x again): resolved as session noise "
