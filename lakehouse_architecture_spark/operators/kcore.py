@@ -8,13 +8,14 @@ degree < k until a fixpoint. Distributed shape per round: one
 degree aggregate (both edge orientations unioned, one shuffle) and two
 left-semi joins filtering the edge relation to surviving endpoints —
 the edge relation only ever SHRINKS, so round cost is bounded by the
-current subgraph, and each round's result is eagerly
-``localCheckpoint``-ed (the iterative-loop doctrine shared with
-PageRank/BPE: the count action materializes the round anyway, and
-truncating lineage keeps round r's plan from stacking r semi-joins
-deep). Rounds are data-bounded (the peel terminates in at most the
-longest degeneracy-ordering chain; single digits on every corpus
-measured), and the loop is driver-bounded by ``max_rounds``.
+current subgraph, and each round materializes via
+``operators.iterative.loop_round`` (lineage truncation + explicit
+release of the superseded round's blocks; pass ``checkpoint_dir`` for
+the executor-loss-safe reliable variant on real clusters — see that
+module's durability caveat). Rounds are data-bounded (the peel
+terminates in at most the longest degeneracy-ordering chain; single
+digits on every corpus measured), and the loop is driver-bounded by
+``max_rounds``.
 
 Fixpoint idempotence is the cross-engine contract: peeling past
 convergence changes nothing, so an oracle that unrolls a FIXED number
@@ -33,9 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.iterative import loop_round
+
 
 def kcore_peel(
-    edges: DataFrame, k: int, max_rounds: int = 16
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Peel ``edges`` (undirected, ``src < dst``, distinct) to the
     k-core fixpoint.
@@ -45,9 +51,13 @@ def kcore_peel(
     convergence round), or ``max_rounds`` with ``converged=False`` if
     the loop was cut off early — callers comparing against an unrolled
     oracle should emit both so a depth shortfall reads as an honest
-    mismatch, not a silent wrong answer.
+    mismatch, not a silent wrong answer. ``checkpoint_dir`` selects
+    reliable round checkpoints for cluster runs (identical cores,
+    executor-loss-safe; see operators/iterative.py).
     """
-    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    cur = loop_round(
+        edges.select("src", "dst"), checkpoint_dir=checkpoint_dir
+    )
     prev_cnt = cur.count()
     rounds = 0
     converged = False
@@ -59,13 +69,14 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("node")
-        nxt = (
+        nxt = loop_round(
             cur.join(
                 keep.withColumnRenamed("node", "src"), "src", "left_semi"
             )
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
+            prev=cur,
+            checkpoint_dir=checkpoint_dir,
         )
         cnt = nxt.count()
         rounds += 1
@@ -82,4 +93,109 @@ def kcore_peel(
         "rounds": rounds,
         "converged": converged,
         "n_edges": prev_cnt,
+    }
+
+
+def core_numbers(
+    edges: DataFrame,
+    max_rounds: int = 32,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Per-node core numbers (the full degeneracy decomposition) of an
+    undirected graph — core(v) = the largest k such that v survives in
+    the k-core. Where :func:`kcore_peel` answers ONE fixed k, this
+    answers every k at once: the curation-ranking production form
+    ("how deep in the dense backbone is each node").
+
+    Algorithm: the h-index fixpoint (Lü/Chen/Ren/Zhou/Zhang/Stanley
+    2016, "The H-index of a network node and its relation to degree
+    and coreness", Nature Communications — public result): start from
+    c_0(v) = deg(v) and iterate c_{t+1}(v) = H{c_t(u) : u in N(v)}
+    (the largest h with at least h neighbors valued >= h); the
+    sequence is per-node monotone non-increasing and converges to the
+    exact core number. A k-at-a-time peel would nest a full
+    :func:`kcore_peel` fixpoint per distinct k (hundreds of Spark
+    jobs on a dense graph); the h-index form is ONE join + ONE
+    node-partitioned window + ONE aggregate per round, and the round
+    count is the graph's correction depth (19 on the sf0.01 co-order
+    graph), independent of how many distinct core levels exist.
+
+    Distributed shape per round: neighbor values via an edge-keyed
+    join (2|E| rows, both orientations), the H-index via a
+    row_number window PARTITIONED BY node over those rows (descending
+    value; ties are order-insensitive for the H statistic, so the
+    result is deterministic) — never a per-node collect_list, so
+    executor memory is flat in max degree. Rounds materialize via
+    :func:`operators.iterative.loop_round` (block release +
+    ``checkpoint_dir`` reliable option).
+
+    Fixpoint idempotence is the cross-engine contract, exactly as in
+    :func:`kcore_peel`: iterating past convergence changes nothing,
+    so a DuckDB oracle that unrolls R >= the true convergence round
+    reads the same core numbers, and a depth shortfall surfaces as
+    converged=false on both engines.
+
+    Returns ``{"cores": DataFrame(node, c), "rounds", "converged",
+    "n_nodes"}``; ``c`` is exact (long).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst")
+    adj = loop_round(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionAll(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        ),
+        checkpoint_dir=checkpoint_dir,
+    )
+    # cur_cp is the round's CHECKPOINTED relation (the freeable leaf);
+    # cur is at most a projection over it
+    cur_cp = loop_round(
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        checkpoint_dir=checkpoint_dir,
+    )
+    cur = cur_cp
+    n_nodes = cur_cp.count()
+    w = Window.partitionBy("node").orderBy(F.col("cv").desc())
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        nb = adj.join(
+            cur.select(F.col("node").alias("nbr"), F.col("c").alias("cv")),
+            "nbr",
+        ).select("node", "cv")
+        hidx = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("cv") >= F.col("rn"), F.col("rn"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("c")
+            )
+        )
+        nxt = loop_round(
+            hidx.join(
+                cur.select("node", F.col("c").alias("c_prev")), "node"
+            ),
+            prev=cur_cp,
+            checkpoint_dir=checkpoint_dir,
+        )
+        changed = nxt.filter(F.col("c") != F.col("c_prev")).count()
+        rounds += 1
+        cur_cp = nxt
+        cur = nxt.select("node", "c")
+        if changed == 0:
+            converged = True
+            break
+    return {
+        "cores": cur,
+        "rounds": rounds,
+        "converged": converged,
+        "n_nodes": n_nodes,
     }

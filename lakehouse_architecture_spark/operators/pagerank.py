@@ -15,9 +15,11 @@ Per iteration (classic damped PageRank, Brin & Page 1998):
 expressed as ONE edge-keyed join + ONE dst-keyed aggregate — the same
 two-shuffle cost class as any relational iteration; the dangling mass
 (rank parked on nodes with no out-edges) is a 1-row aggregate
-broadcast back, never a per-node collect. Ranks localCheckpoint each
-round (the components/PCA/BPE lineage discipline), so plan depth stays
-flat across iterations. With sum(pr_0) = n the update conserves total
+broadcast back, never a per-node collect. Ranks materialize each round
+via operators.iterative.loop_round (lineage truncation + release of
+the superseded round's blocks; ``checkpoint_dir`` selects the
+executor-loss-safe reliable variant for cluster runs), so plan depth
+and executor storage both stay flat across iterations. With sum(pr_0) = n the update conserves total
 mass at n exactly (modulo float addition), which the QA query pins as
 an oracle boolean alongside the convergence residual.
 
@@ -31,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.iterative import loop_round
+
 
 def pagerank(
     edges: DataFrame,
@@ -38,6 +42,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Rank nodes of the directed graph ``edges`` (for an undirected
     co-occurrence graph, pass both orientations of each pair).
@@ -56,24 +61,29 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    nodes = (
+    nodes = loop_round(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir=checkpoint_dir,
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # out-degree rides with the rank relation so the per-iteration join
     # is rank->edges only (nodes without out-edges carry deg 0 and
     # contribute via the dangling term instead)
-    state = (
+    state = loop_round(
         nodes.join(deg, nodes.node == deg.src, "left")
         .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .withColumn("pr", F.lit(1.0))
-        .localCheckpoint(eager=True)
+        .withColumn("pr", F.lit(1.0)),
+        prev=nodes,
+        checkpoint_dir=checkpoint_dir,
     )
     delta_max = float("nan")
+    # state_cp is the round's CHECKPOINTED relation (the thing whose
+    # blocks loop_round can free once the next round materializes);
+    # state is at most a projection over it
+    state_cp = state
     for _ in range(iters):
         dangling = (
             state.filter(F.col("deg") == 0)
@@ -109,13 +119,14 @@ def pagerank(
                 ).alias("pr"),
                 F.col("pr").alias("pr_prev"),
             )
-            .localCheckpoint(eager=True)
         )
+        new = loop_round(new, prev=state_cp, checkpoint_dir=checkpoint_dir)
         delta_max = float(
             new.agg(
                 F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
             ).collect()[0].d
         )
+        state_cp = new
         state = new.drop("pr_prev")
     return {
         "ranks": state.select("node", "pr"),

@@ -2363,3 +2363,206 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_value_quantile_rollup_by_type",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS vc,
+         CAST(ts AS DATE) AS day
+  FROM events
+),
+hist AS (
+  SELECT event_type, day,
+         CASE WHEN vc <= 0 THEN 0 ELSE length(bin(vc)) END AS bucket,
+         COUNT(*) AS cnt
+  FROM base GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_total
+  FROM merged GROUP BY event_type
+),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+           AS cum_cnt
+  FROM merged
+),
+qs AS (
+  SELECT q_label, CAST(q AS DOUBLE) AS q
+  FROM (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+    AS t(q_label, q)
+),
+ranks AS (
+  SELECT t.event_type, q_label, q, n_total,
+         CAST(CEIL(q * n_total) AS BIGINT) AS rank_target
+  FROM qs, tot t
+),
+pick AS (
+  SELECT r.event_type, r.q_label, MIN(c.bucket) AS bucket
+  FROM ranks r
+  JOIN cum c
+    ON c.event_type = r.event_type AND c.cum_cnt >= r.rank_target
+  GROUP BY r.event_type, r.q_label
+),
+vcc AS (
+  SELECT event_type, vc, COUNT(*) AS cnt FROM base GROUP BY 1, 2
+),
+vcum AS (
+  SELECT event_type, vc,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum_cnt
+  FROM vcc
+),
+exact AS (
+  SELECT r.event_type, r.q_label, MIN(v.vc) AS exact_cents
+  FROM ranks r
+  JOIN vcum v
+    ON v.event_type = r.event_type AND v.cum_cnt >= r.rank_target
+  GROUP BY r.event_type, r.q_label
+)
+SELECT r.event_type, r.q_label, r.q, r.n_total, r.rank_target,
+       p.bucket,
+       CASE WHEN p.bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) << (p.bucket - 1) END AS lower_cents,
+       CASE WHEN p.bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << p.bucket) - 1 END AS upper_cents,
+       e.exact_cents,
+       CASE WHEN p.bucket = 0 THEN e.exact_cents <= 0
+            ELSE e.exact_cents >= (CAST(1 AS BIGINT) << (p.bucket - 1))
+             AND e.exact_cents <= (CAST(1 AS BIGINT) << p.bucket) - 1
+       END AS within_bucket
+FROM ranks r
+JOIN pick p USING (event_type, q_label)
+JOIN exact e USING (event_type, q_label)
+ORDER BY r.event_type, r.q
+""",
+)
+def events_value_quantile_rollup_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP mergeable quantile rollup — the production shape of
+    `events_value_quantile_rollup` ("p95 by event type from stored
+    state alone"): the persisted artifact generalizes to the
+    (event_type, day, bucket) count grain, and per-type period
+    quantiles come from SUMMING the stored histograms per type — the
+    same exactly-mergeable-counts argument, now one independent
+    bracket + certificate per (type, quantile). The exact-from-raw
+    twin `events_value_p95_by_type` answers the same question by a
+    full-pass percentile; this proves the answer from the mergeable
+    artifact with a factor-2 bracket and an exact rank anchor riding
+    along (within_bucket genuinely evaluated on both engines, 15/15
+    true here). The streaming maintenance is unchanged: per-key count
+    state over a wider key (`streaming.jobs.stream_rollup_maintain` is
+    generic over group columns).
+
+    Compared-surface doctrine as the global twin: every emitted column
+    is an exact integer, a literal double (q), or a boolean; rank
+    targets mirror CEIL(q * n_type) literally; bucket bounds are
+    integer shifts. Plan: one scan to the stored relation (now
+    |types| x |days| x ~16 rows), per-type cumulative windows
+    PARTITIONED BY event_type (parallel across types, each partition
+    domain-bounded: ~16 buckets / ~50k distinct cents per type —
+    never a row-grain global sort), and the 3-row quantile spec joins
+    via tiny-side broadcast."""
+    day = F.col("ts").cast("date").alias("day")
+    vc = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vc")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", day, vc)
+    bucket = (
+        F.when(F.col("vc") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("vc"))))
+        .alias("bucket")
+    )
+    # the stored artifact at the per-group grain; one-slot persisted so
+    # merged/cum share one raw scan (the exact anchor's value-grain
+    # pass is the only other raw scan)
+    hist = one_slot_persist(
+        base.groupBy("event_type", "day", bucket).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        slot="events-vq-hist-by-type",
+        key=(sf_dir,),
+    )
+    merged = hist.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").alias("n_total"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "event_type", "bucket", F.sum("cnt").over(w_b).alias("cum_cnt")
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)],
+        "q_label string, q double",
+    )
+    ranks = qs.crossJoin(tot).withColumn(
+        "rank_target", F.ceil(F.col("q") * F.col("n_total")).cast("long")
+    )
+    pick = (
+        ranks.select("event_type", "q_label", "rank_target")
+        .join(
+            cum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type"))
+            & (F.col("cum_cnt") >= F.col("rank_target")),
+        )
+        .groupBy("event_type", "q_label")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    vcc = base.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_v = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vcc.select(
+        "event_type", "vc", F.sum("cnt").over(w_v).alias("cum_cnt")
+    )
+    exact = (
+        ranks.select("event_type", "q_label", "rank_target")
+        .join(
+            vcum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type"))
+            & (F.col("cum_cnt") >= F.col("rank_target")),
+        )
+        .groupBy("event_type", "q_label")
+        .agg(F.min("vc").alias("exact_cents"))
+    )
+    lower = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    upper = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1
+    return (
+        ranks.join(pick, ["event_type", "q_label"])
+        .join(exact, ["event_type", "q_label"])
+        .select(
+            "event_type",
+            "q_label",
+            "q",
+            "n_total",
+            "rank_target",
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(lower)
+            .alias("lower_cents"),
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(upper)
+            .alias("upper_cents"),
+            "exact_cents",
+            F.when(F.col("bucket") == 0, F.col("exact_cents") <= 0)
+            .otherwise(
+                (F.col("exact_cents") >= lower)
+                & (F.col("exact_cents") <= upper)
+            )
+            .alias("within_bucket"),
+        )
+        .orderBy("event_type", "q")
+    )

@@ -576,6 +576,96 @@ def test_kcore_peel_known_graph(spark):
     assert n5 == set() and e5 == 0
 
 
+def test_core_numbers_known_graph(spark):
+    """h-index fixpoint on the same hand graph: the 4-clique's nodes
+    have core number 3 (they survive the 3-core), the triangle/chain
+    nodes 2 (the whole graph is its own 2-core but only the clique
+    survives at 3) — exactly the per-node refinement of the peel test
+    above, and consistency with kcore_peel is the Lü et al. theorem."""
+    from lakehouse_architecture_spark.operators.kcore import core_numbers
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # clique
+            (4, 5), (5, 6),                                   # chain
+            (5, 7), (6, 7),                                   # triangle
+        ],
+        "src long, dst long",
+    )
+    r = core_numbers(edges)
+    assert r["converged"] and r["n_nodes"] == 7
+    got = {row.node: row.c for row in r["cores"].collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 2}
+
+
+def test_iterative_reliable_checkpoint_identical(spark, tmp_path):
+    """The cluster-safe reliable-checkpoint path (checkpoint_dir set:
+    rounds write files instead of unreplicated executor blocks) must
+    produce IDENTICAL results to local mode — peel cores, core
+    numbers, and ranks are all pinned here."""
+    from lakehouse_architecture_spark.operators.kcore import (
+        core_numbers,
+        kcore_peel,
+    )
+    from lakehouse_architecture_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (5, 6), (5, 7), (6, 7),
+        ],
+        "src long, dst long",
+    )
+    cdir = str(tmp_path / "ckpt")
+
+    local = kcore_peel(edges, 3)
+    rel = kcore_peel(edges, 3, checkpoint_dir=cdir)
+    assert sorted(map(tuple, local["edges"].collect())) == sorted(
+        map(tuple, rel["edges"].collect())
+    )
+    assert (local["rounds"], local["converged"]) == (
+        rel["rounds"],
+        rel["converged"],
+    )
+
+    cn_local = core_numbers(edges)
+    cn_rel = core_numbers(edges, checkpoint_dir=cdir)
+    assert sorted(map(tuple, cn_local["cores"].collect())) == sorted(
+        map(tuple, cn_rel["cores"].collect())
+    )
+
+    both = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+    pr_local = pagerank(both, iters=3)
+    pr_rel = pagerank(both, iters=3, checkpoint_dir=cdir)
+    got_l = {r.node: r.pr for r in pr_local["ranks"].collect()}
+    got_r = {r.node: r.pr for r in pr_rel["ranks"].collect()}
+    assert got_l == got_r  # bit-identical: same plan, same fold order
+
+
+def test_loop_round_frees_previous_round(spark):
+    """loop_round(new, prev=old) releases old's executor-storage
+    blocks once new is materialized (the ADVICE r11 accumulation
+    hazard): old's checkpointed RDD leaves getRDDStorageInfo, and the
+    new round stays fully usable."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.iterative import loop_round
+
+    def stored_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    base = spark.range(1000).withColumn("x", F.col("id") * 2)
+    r1 = loop_round(base)
+    id1 = r1._jdf.queryExecution().analyzed().rdd().id()
+    assert id1 in stored_ids()
+    r2 = loop_round(r1.withColumn("y", F.col("x") + 1), prev=r1)
+    assert id1 not in stored_ids()
+    assert r2.count() == 1000 and r2.filter(F.col("y") != F.col("x") + 1).count() == 0
+
+
 def test_simple_ols_matches_numpy(spark):
     import numpy as np
 
