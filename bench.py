@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -64,9 +65,20 @@ EXTRA = [
     # customers_fuzzy_name_stats times the blocking family.
     # parts_coorder_kcore is also NOT benched: a driver-bounded
     # peeling loop times the iteration count, not a data-sized plan
-    # (the BPE/pagerank doctrine).
+    # (the BPE/pagerank doctrine) — parts_coorder_core_numbers (r12)
+    # inherits the same exemption.
     "events_kmv_new_vs_returning",
     "events_value_quantile_rollup",
+    # r12 additions: the d2 fuzzy plan is now TIMED, twice over —
+    # docs_prefix_fuzzy_pairs_d2 runs the uncapped plan on a natural
+    # corpus (max bucket 4, so the wall is the variant explode + one
+    # keyed shuffle + SMJ, not a pathology), and
+    # customers_fuzzy_pairs_d2_capped runs the max_bucket=16 regime on
+    # the adversarial corpus (sum|bucket|^2 65M -> 1.13M). The full
+    # uncapped customer-name row stays bench-exempt as before.
+    "docs_prefix_fuzzy_pairs_d2",
+    "customers_fuzzy_pairs_d2_capped",
+    "events_value_quantile_rollup_by_type",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",
@@ -141,6 +153,18 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r12/fuzzy-d2-timed: the r11 verdict's order 3 closed by "
+    "measurement — docs_prefix_fuzzy_pairs_d2 times the UNCAPPED d2 "
+    "plan on a natural corpus (doc-text 25-char prefixes: max bucket "
+    "4, sum|bucket|^2 = 1.1x|variants| at sf0.1; ~3.0 s warm) and "
+    "customers_fuzzy_pairs_d2_capped times the max_bucket=16 regime "
+    "on the adversarial corpus (sum|bucket|^2 65M -> 1.13M, 57x; "
+    "~5.3 s warm). The capped row's recall is oracle-measured and "
+    "brutal on purpose (4.4% d1 / 0.11% d2 at sf0.01): on zero-dense "
+    "names the true-match buckets ARE the big buckets, so max_bucket "
+    "is a boilerplate filter for sparse-match corpora, not a fix for "
+    "pathological near-dup density — the natural-corpus row keeps "
+    "100% recall by construction (its buckets never exceed 4).",
     "r11 closing ledger -- final tree, 203 queries/203 oracles: "
     "pytest 456/456; full plain sf0.01 sweeps green at every registry "
     "size this round (200, 201, 202, 203/203); fresh-seed full sweeps "
@@ -455,12 +479,16 @@ def run_pipeline_e2e(spark, sf_dir: str) -> dict:
 
 
 def _note_id(note: str) -> str:
-    """Stable identity for a round conclusion: the headline before the
-    first colon, falling back to the first 60 chars when that prefix is
-    too short to identify a note (several notes share a bare "r7:" /
-    "r6:" lead-in — a round tag is not an identity). Notes are written
-    headline-first, so edits to the BODY replace the old note on merge
-    while a new headline still reads as a new note."""
+    """Stable identity for a round conclusion. Preferred form (r12+):
+    an explicit ``rN/slug:`` tag leading the note — the tag IS the
+    identity, so rewording the headline after it replaces the note on
+    merge instead of accumulating a duplicate, and two short notes can
+    never collide. Legacy notes fall back to the old rule (headline
+    before the first colon, else first 60 chars), kept so existing
+    BENCH_DETAIL notes keep their identities across the transition."""
+    m = re.match(r"(r\d+[a-z0-9_-]*/[a-z0-9_-]+):", note)
+    if m:
+        return m.group(1)
     prefix = note.split(":", 1)[0]
     return prefix[:80] if len(prefix) >= 20 else note[:60]
 

@@ -45,6 +45,7 @@ inputs outside those writers must call ``release_slots_for_path(dir)``
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame
@@ -102,8 +103,20 @@ def one_slot_persist(
 def _path_overlaps(key_elem: object, path: str) -> bool:
     """True when a key element names ``path`` or a directory related to
     it by containment (either direction — a rewrite under a keyed dir
-    stales the slot, and a rewrite of a parent stales keys below it)."""
+    stales the slot, and a rewrite of a parent stales keys below it).
+    Only PATH-LIKE key elements participate (absolute, or explicitly
+    relative with ``./``/``../``): keys also carry non-path strings
+    (table names, corpus labels), and a bare label that happens to
+    equal or prefix a relative write target must not spuriously
+    release an unrelated slot. :func:`release_slots_for_path`
+    normalizes its argument to absolute, and slot keys in this repo
+    carry absolute paths, so the restriction costs nothing real."""
     if not isinstance(key_elem, str) or not key_elem:
+        return False
+    if not (
+        key_elem.startswith(("/", "./", "../"))
+        or (os.sep != "/" and key_elem.startswith(os.sep))
+    ):
         return False
     a = key_elem.rstrip("/")
     b = path.rstrip("/")
@@ -115,9 +128,12 @@ def release_slots_for_path(path: str) -> int:
     overlapping ``path`` — the cache-invalidation hook for writers that
     rewrite files in place (staged-swap MERGE/overwrite/CDC call this
     via ``_refresh_swapped_path``, next to the catalog refresh that
-    invalidates Spark's own plan cache). Keyless slots (``key=None``)
+    invalidates Spark's own plan cache). The incoming path is
+    normalized to absolute so a relative write target still matches
+    the absolute paths slot keys carry. Keyless slots (``key=None``)
     are left alone: they never warm-hit, so they cannot serve stale
     data. Returns the number of slots released."""
+    path = os.path.abspath(path)
     released = 0
     with _LOCK:
         for name, (key, df) in list(_SLOTS.items()):

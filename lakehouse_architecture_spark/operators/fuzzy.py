@@ -180,6 +180,7 @@ def fuzzy_pairs_d2(
     text_col: str,
     id_col: str,
     max_bucket: int | None = None,
+    variants: DataFrame | None = None,
 ) -> DataFrame:
     """Verified pairs (id_a, id_b, dist) with Levenshtein distance
     <= 2, id_a < id_b — COMPLETE for d<=2 by the deletion-neighborhood
@@ -189,8 +190,15 @@ def fuzzy_pairs_d2(
     for the levenshtein), collision pairs die in the codegen stage,
     and the (id_a, id_b, dist) distinct holds ids only — callers join
     names back from the dimension if they need them. ``max_bucket``
-    trades bounded recall for bounded buckets, as in the d1 tier."""
-    v = deletion_variants_d2(df, text_col, id_col)
+    trades bounded recall for bounded buckets, as in the d1 tier.
+    ``variants`` lets a caller that already built (and persisted) the
+    deletion-<=2 relation — e.g. to report bucket statistics alongside
+    the pairs — pass it in instead of paying the explode twice."""
+    v = (
+        variants
+        if variants is not None
+        else deletion_variants_d2(df, text_col, id_col)
+    )
     if max_bucket is not None:
         keep = (
             v.groupBy("var")

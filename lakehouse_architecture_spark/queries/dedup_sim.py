@@ -1282,6 +1282,230 @@ def customers_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customers_fuzzy_pairs_d2_capped",
+    oracle="""
+WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+v0 AS (
+  SELECT id, name, i
+  FROM c, UNNEST(generate_series(0, len(name))) AS t(i)
+),
+v1 AS (
+  SELECT id, name, i, j
+  FROM v0, UNNEST(list_prepend(0,
+    CASE WHEN i >= 1 AND i < len(name)
+         THEN generate_series(i + 1, len(name))
+         ELSE [] END)) AS u(j)
+),
+v AS (
+  SELECT DISTINCT id, name,
+    CASE WHEN i = 0 AND j = 0 THEN name
+         WHEN j = 0 THEN substr(name, 1, i - 1) || substr(name, i + 1)
+         ELSE substr(name, 1, i - 1)
+              || substr(name, i + 1, j - i - 1)
+              || substr(name, j + 1)
+    END AS var
+  FROM v1
+),
+kc AS (SELECT var, COUNT(*) AS n FROM v GROUP BY var),
+keep AS (SELECT var FROM kc WHERE n <= 16),
+vk AS (SELECT v.id, v.name, v.var FROM v JOIN keep USING (var)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         levenshtein(a.name, b.name) AS dist
+  FROM vk a JOIN vk b ON a.var = b.var AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM kc) AS n_keys_total,
+         (SELECT COUNT(*) FROM kc WHERE n > 16) AS n_keys_dropped,
+         (SELECT COUNT(*) FROM v) AS n_variants
+)
+SELECT p.dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       s.n_keys_total, s.n_keys_dropped, s.n_variants
+FROM pairs p, stats s
+GROUP BY p.dist, s.n_keys_total, s.n_keys_dropped, s.n_variants
+ORDER BY p.dist
+""",
+)
+def customers_fuzzy_pairs_d2_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BOUNDED-BUCKET production regime of SymSpell-d2 fuzzy
+    matching: `customers_fuzzy_pairs_d2` with ``max_bucket=16`` — the
+    stop-shingle contract from the MinHash family applied to deletion
+    variants (variant keys shared by more than 16 entities are
+    boilerplate, drop them; bounded recall loss for a bounded join).
+    This is the query whose WALL reflects the capped PLAN rather than
+    the corpus pathology: on this corpus' zero-dense sequential names
+    the uncapped join is the documented adversarial case
+    (Σ|bucket|² = 65M at sf0.1, ~19 s/rep), while the cap collapses it
+    to 1.13M (57x) — so this row IS benched where the full-d2 row is
+    bench-exempt.
+
+    The recall trade is measured CROSS-ENGINE, not asserted: the
+    DuckDB oracle replicates the capped blocking exactly (same
+    deletion neighborhood, same (id, var) dedup, same <=16 keep rule),
+    so the per-distance capped counts here are oracle-pinned, and
+    recall reads directly against the full-d2 row's brute-force-proved
+    counts in the same registry. The measured verdict is BRUTAL and
+    that is the point: at sf0.01 the cap keeps 850/19500 dist-1 pairs
+    (4.4%) and 200/184596 dist-2 pairs (0.11%), because on sequential
+    digit names the TRUE-match buckets are themselves the huge ones
+    (the whole corpus is one near-dup family) — ``max_bucket`` is a
+    boilerplate-key filter for corpora where matches are sparse, NOT a
+    fix for pathological near-dup density. The natural-corpus row
+    (`docs_prefix_fuzzy_pairs_d2`: max bucket 4, Σ|bucket|² ~
+    1.1x|variants|) is where the uncapped plan is benched and keeps
+    100% recall by construction. Dropped-key stats ride along so the
+    row also documents how much the cap removed (1650/85500 keys =
+    1.9% at sf0.01 — few keys, nearly all the mass).
+
+    Scale shape: identical to the full tier (variants shuffled once on
+    the key, pinned sort-merge self-join, verify inside the streamed
+    join, ids-only distinct) with the one addition that makes it
+    100-TB-safe on ANY corpus: Σ|bucket|² <= 16·|variants| by
+    construction, linear in corpus size."""
+    from lakehouse_architecture_spark.operators.fuzzy import (
+        deletion_variants_d2,
+        fuzzy_pairs_d2,
+    )
+
+    B = 16
+    cust = load_table(spark, sf_dir, "customer")
+    v = one_slot_persist(
+        deletion_variants_d2(cust, "c_name", "c_custkey"),
+        slot="dedup-sim-fuzzy-d2-variants",
+        key=(sf_dir,),
+    )
+    kc = v.groupBy("var").agg(F.count(F.lit(1)).alias("n"))
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_keys_total"),
+        F.sum(F.when(F.col("n") > B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_dropped"),
+    ).crossJoin(v.agg(F.count(F.lit(1)).alias("n_variants")))
+    pairs = fuzzy_pairs_d2(
+        cust, "c_name", "c_custkey", max_bucket=B, variants=v
+    )
+    return (
+        pairs.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(stats)
+        .select(
+            "dist",
+            "n_pairs",
+            "n_keys_total",
+            "n_keys_dropped",
+            "n_variants",
+        )
+        .orderBy("dist")
+    )
+
+
+@query(
+    "docs_prefix_fuzzy_pairs_d2",
+    oracle="""
+WITH c AS (SELECT doc_id AS id, substr(text, 1, 25) AS name
+           FROM documents),
+v0 AS (
+  SELECT id, name, i
+  FROM c, UNNEST(generate_series(0, len(name))) AS t(i)
+),
+v1 AS (
+  SELECT id, name, i, j
+  FROM v0, UNNEST(list_prepend(0,
+    CASE WHEN i >= 1 AND i < len(name)
+         THEN generate_series(i + 1, len(name))
+         ELSE [] END)) AS u(j)
+),
+v AS (
+  SELECT DISTINCT id,
+    CASE WHEN i = 0 AND j = 0 THEN name
+         WHEN j = 0 THEN substr(name, 1, i - 1) || substr(name, i + 1)
+         ELSE substr(name, 1, i - 1)
+              || substr(name, i + 1, j - i - 1)
+              || substr(name, j + 1)
+    END AS var
+  FROM v1
+),
+pairs AS (
+  SELECT levenshtein(a.name, b.name) AS dist
+  FROM c a JOIN c b ON a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM c) AS n_entities,
+         (SELECT COUNT(*) FROM v) AS n_variants,
+         (SELECT MAX(n) FROM
+            (SELECT COUNT(*) AS n FROM v GROUP BY var)) AS max_bucket_n
+)
+SELECT p.dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       s.n_entities, s.n_variants, s.max_bucket_n
+FROM pairs p, stats s
+GROUP BY p.dist, s.n_entities, s.n_variants, s.max_bucket_n
+ORDER BY p.dist
+""",
+)
+def docs_prefix_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-d2 fuzzy matching on a NATURAL corpus — document-text
+    25-char prefixes (word sequences over a real vocabulary), the
+    record-linkage shape the fuzzy tier actually deploys against:
+    near-identical entries are SPARSE (262 dist-0 + 13 dist-2 pairs
+    among 5000 entities at sf0.1), so deletion-variant buckets stay
+    tiny (max 4; Σ|bucket|² = 1.1x|variants|) and the UNCAPPED plan is
+    both complete AND benchable — this is the row whose bench wall
+    times the d2 PLAN (variant explode, one shuffle on the key, pinned
+    sort-merge self-join, verify in the streamed join) instead of the
+    zero-dense customer-name pathology that keeps
+    `customers_fuzzy_pairs_d2` bench-exempt. Blocking stats (variant
+    count, max bucket) ride along, so the row itself certifies which
+    regime the corpus is in.
+
+    The oracle proves completeness the same way as the customer-name
+    row: a brute-force O(n²) levenshtein over all prefix pairs (125k
+    calls at sf0.01) — count equality per distance IS the proof that
+    deletion-neighborhood blocking missed nothing; the oracle also
+    rebuilds the variant relation to pin the blocking stats
+    cross-engine. Every emitted column is an exact integer.
+
+    Scale: Σ|bucket|² ~ |variants| on sparse-match corpora, so the
+    join is linear in corpus size; the prefix projection is the
+    fingerprint doctrine (compare keys, not documents)."""
+    from lakehouse_architecture_spark.operators.fuzzy import (
+        deletion_variants_d2,
+        fuzzy_pairs_d2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 25).alias("prefix")
+    )
+    v = one_slot_persist(
+        deletion_variants_d2(docs, "prefix", "doc_id"),
+        slot="dedup-sim-docs-prefix-d2-variants",
+        key=(sf_dir,),
+    )
+    stats = v.agg(F.count(F.lit(1)).alias("n_variants")).crossJoin(
+        v.groupBy("var")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_bucket_n"))
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_entities")))
+    pairs = fuzzy_pairs_d2(docs, "prefix", "doc_id", variants=v)
+    return (
+        pairs.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(stats)
+        .select(
+            "dist",
+            "n_pairs",
+            "n_entities",
+            "n_variants",
+            "max_bucket_n",
+        )
+        .orderBy("dist")
+    )
+
+
+@query(
     "customers_entity_resolution",
     oracle="""
 WITH RECURSIVE v AS (

@@ -1797,9 +1797,12 @@ def events_kmv_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE scan to the distinct (day, h) grain (one-slot persisted;
     the sketch build and the first-seen pass share it), the per-day
     top-k is the two-stage window of operators/kmv.kmv_sketch_by, and
-    the cumulative merge is a |days|²·k self-join over the SKETCH
-    relation (≤ 31²×128 rows here — bounded by calendar days × k, not
-    by data)."""
+    the cumulative merge is a single cumulative-window fold over the
+    SKETCH relation (|days| rows x k-long arrays, one window
+    partition — bounded by calendar days x k, not by data; a
+    multi-year calendar would shard the fold by month over stored
+    monthly prefix sketches, the same mergeability that makes the
+    daily sketches storable in the first place)."""
     from lakehouse_architecture_spark.operators.kmv import (
         kmv_estimate_from_sketch,
         kmv_hash,
@@ -1821,17 +1824,25 @@ def events_kmv_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = daily.select("day", "kmv")
     # cumulative prior-history sketch per day, merged from the stored
     # daily sketches alone: k-min over the union of earlier days' kmvs
-    prev = (
-        sketches.alias("a")
-        .join(sketches.alias("b"), F.col("b.day") < F.col("a.day"))
-        .select(F.col("a.day").alias("day"), F.explode("b.kmv").alias("h"))
-        .distinct()
-        .groupBy("day")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("h")), 1, K).alias(
-                "kmv_prev"
-            )
-        )
+    # as a CUMULATIVE WINDOW FOLD over the sketch relation (r12: the
+    # r11 ADVICE shape — the former days x days sketch self-join
+    # exploded O(days² · k) join rows; this fold does the same merges
+    # inside one |days|-row window partition with no join at all, and
+    # stays calendar-bounded: |days| rows x <= |days| · k array cells)
+    w_hist = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = sketches.select(
+        "day",
+        F.slice(
+            F.sort_array(
+                F.array_distinct(
+                    F.flatten(F.collect_list("kmv").over(w_hist))
+                )
+            ),
+            1,
+            K,
+        ).alias("kmv_prev"),
     )
     first_seen = hs.groupBy("h").agg(F.min("day").alias("day"))
     new_exact = first_seen.groupBy("day").agg(
