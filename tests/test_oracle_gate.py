@@ -219,59 +219,56 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r11-touched surfaces (the new KMV difference query; the PQ QA
-    # after the codegen-size rework) must have a fresh driver row
-    touched_r11 = {
-        "events_kmv_new_vs_returning",  # new operator: first driver row
-        "events_value_quantile_rollup",  # new operator: first driver row
-        "customers_fuzzy_pairs_d2",  # new operator: first driver row
-        "parts_coorder_kcore",  # new operator: first driver row
-        "emb_pq_quantization_qa",
+    # r12 new/touched surfaces must have a fresh driver row: the four
+    # first-driver-row queries plus the four whose plans this round's
+    # reworks changed (loop_round lifecycle in kcore/pagerank, the KMV
+    # cumulative-window fold, the fuzzy_pairs_d2 variants parameter)
+    touched_r12 = {
+        "parts_coorder_core_numbers",  # new: first driver row
+        "events_value_quantile_rollup_by_type",  # new: first driver row
+        "customers_fuzzy_pairs_d2_capped",  # new: first driver row
+        "docs_prefix_fuzzy_pairs_d2",  # new: first driver row
+        "parts_coorder_kcore",
+        "parts_coorder_pagerank",
+        "events_kmv_new_vs_returning",
+        "customers_fuzzy_pairs_d2",
     }
-    assert touched_r11 <= window, sorted(touched_r11 - window)
-    # the rotation the r10 verdict ordered: ALL 36 r6-stale rows get
-    # fresh driver rows this round — after this window no standing row
-    # is older than r7 (list computed from CORRECTNESS_r01..r10)
-    stale_r6 = {
-        "agg_cube_flags",
-        "agg_grouping_sets",
-        "agg_rollup_status_priority",
-        "agg_stats_by_status",
-        "case_when_conditional_agg",
-        "correlated_min_per_group_join",
-        "dedup_latest_order_per_customer",
-        "distinct_segments",
-        "docs_rare_token_ratio",
-        "events_daily_new_vs_returning",
-        "events_signup_to_purchase_1h",
-        "events_trailing_24h_volume",
-        "join_cross_region_pairs",
-        "join_full_outer_nation_presence",
-        "join_inner_orders_customer",
-        "join_left_anti_inactive_customers",
-        "join_left_outer_order_counts",
-        "join_left_semi_active_customers",
-        "join_right_outer_part_lineitems",
-        "pivot_status_by_priority",
-        "q22_dormant_customers",
-        "scalar_date_funcs",
-        "scalar_string_funcs",
-        "scalar_subquery_above_avg",
-        "setop_except_all_dup_aware",
-        "setop_except_no_order_customers",
-        "setop_intersect_keys",
-        "setop_union_all_parties",
-        "sql_probe_orders",
-        "sql_revenue_by_nation",
-        "topk_orders",
-        "window_lag_order_gaps",
-        "window_lead_ntile",
-        "window_moving_avg_frame",
-        "window_rank_orders",
-        "window_running_spend",
+    assert touched_r12 <= window, sorted(touched_r12 - window)
+    # the rotation the r11 verdict ordered: ALL 27 remaining r7-stale
+    # rows get fresh driver rows this round — after this window no
+    # standing row is older than r8 (list computed from
+    # CORRECTNESS_r01..r11)
+    stale_r7 = {
+        "docs_length_histogram",
+        "docs_packing_manifest",
+        "docs_quality_classifier_qa",
+        "docs_source_shingle_overlap",
+        "docs_token_freq_spectrum",
+        "docs_vocab_growth_by_source",
+        "docs_weighted_sample_topk",
+        "emb_dim_variance_topk",
+        "emb_top_pc_power_iteration",
+        "events_cms_topk_accuracy",
+        "events_cusum_daily_drift",
+        "events_seasonal_anomaly",
+        "events_session_length_percentiles",
+        "events_user_volume_concentration",
+        "lineitem_ols2_price_qty_discount",
+        "lineitem_ols_price_on_qty",
+        "lineitem_price_percentiles_by_flag",
+        "lineitem_salted_agg_by_flag",
+        "orders_expectation_report",
+        "orders_monthly_growth",
+        "orders_open_backlog_by_day",
+        "orders_pareto_concentration",
+        "scalar_array_funcs",
+        "scalar_bitwise_funcs",
+        "scalar_null_semantics",
+        "scd2_customer_history",
+        "snapshot_diff_counts",
     }
-    assert len(stale_r6) == 36
-    assert stale_r6 <= window, sorted(stale_r6 - window)
+    assert len(stale_r7) == 27
+    assert stale_r7 <= window, sorted(stale_r7 - window)
 
 
 def test_readme_query_count_matches_registry():
