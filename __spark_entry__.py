@@ -40,23 +40,25 @@ _SENTINELS = [
 # after r11 (CORRECTNESS_r01..r11, latest round per query): 27 rows
 # last checked r7, 39 r8, 40 r9, 48 r10, 50 r11. Window arithmetic,
 # 50 slots: 2 sentinels
-# + 4 r12 NEW queries (first driver rows: core-number decomposition,
-#   per-type quantile rollup, the two fuzzy-d2 regime rows)
+# + 5 r12 NEW queries (first driver rows: core-number decomposition,
+#   per-type quantile rollup, the two fuzzy-d2 regime rows, the bigram
+#   cross-entropy quality scorer)
 # + 4 r12-TOUCHED queries (kcore + pagerank after the loop_round
 #   checkpoint-lifecycle rework; events_kmv_new_vs_returning after the
 #   cumulative-window-fold rework; customers_fuzzy_pairs_d2 after the
 #   fuzzy_pairs_d2 variants-parameter change)
 # + all 27 remaining r7-stale rows (the rotation the r11 verdict
 #   ordered — after this window no standing row is older than r8)
-# + 13 oldest r8-stale rows, session-state-sensitive families first
+# + 12 oldest r8-stale rows, session-state-sensitive families first
 #   (iterative k-means, sampling determinism, the validation split
 #   family, sketch sampling)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 26 remaining r8-stale rows lead r13; after r13 the board holds
+# The 27 remaining r8-stale rows lead r13; after r13 the board holds
 # a steady <=4-round refresh cadence with nothing older than r9.
 _PRIORITY = [
     # (a) r12 new: first driver rows
+    "docs_bigram_cross_entropy",
     "parts_coorder_core_numbers",
     "events_value_quantile_rollup_by_type",
     "customers_fuzzy_pairs_d2_capped",
@@ -94,7 +96,7 @@ _PRIORITY = [
     "scalar_null_semantics",
     "scd2_customer_history",
     "snapshot_diff_counts",
-    # (d) 13 oldest r8-stale rows (state-sensitive first: iterative
+    # (d) 12 oldest r8-stale rows (state-sensitive first: iterative
     # k-means, seeded sampling, the validation split family whose five
     # queries share rejection-rule state, sketch/fingerprint sampling;
     # events_value_p95_by_type also re-checks beside its new rollup
@@ -111,7 +113,6 @@ _PRIORITY = [
     "minhash_signatures_sample",
     "simhash_fingerprints",
     "docs_mixture_resample",
-    "docs_stratified_sample",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -173,6 +174,7 @@ _SECOND_TIER = {
     "docs_repetition_score",
     "docs_shared_span_pairs",
     "docs_shingle_stats",
+    "docs_stratified_sample",
     "docs_test_contamination",
     "docs_tfidf_top_terms",
     "docs_token_entropy",

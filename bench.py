@@ -79,6 +79,7 @@ EXTRA = [
     "docs_prefix_fuzzy_pairs_d2",
     "customers_fuzzy_pairs_d2_capped",
     "events_value_quantile_rollup_by_type",
+    "docs_bigram_cross_entropy",
     "emb_lsh_candidate_stats",
     "docs_chunk_manifest",
     "docs_curation_funnel",

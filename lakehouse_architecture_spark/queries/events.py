@@ -2519,9 +2519,11 @@ def events_value_quantile_rollup_by_type(
         "rank_target", F.ceil(F.col("q") * F.col("n_total")).cast("long")
     )
     pick = (
-        ranks.select("event_type", "q_label", "rank_target")
+        cum.withColumnRenamed("event_type", "et")
         .join(
-            cum.withColumnRenamed("event_type", "et"),
+            F.broadcast(
+                ranks.select("event_type", "q_label", "rank_target")
+            ),
             (F.col("et") == F.col("event_type"))
             & (F.col("cum_cnt") >= F.col("rank_target")),
         )
@@ -2540,9 +2542,11 @@ def events_value_quantile_rollup_by_type(
         "event_type", "vc", F.sum("cnt").over(w_v).alias("cum_cnt")
     )
     exact = (
-        ranks.select("event_type", "q_label", "rank_target")
+        vcum.withColumnRenamed("event_type", "et")
         .join(
-            vcum.withColumnRenamed("event_type", "et"),
+            F.broadcast(
+                ranks.select("event_type", "q_label", "rank_target")
+            ),
             (F.col("et") == F.col("event_type"))
             & (F.col("cum_cnt") >= F.col("rank_target")),
         )
@@ -2552,8 +2556,8 @@ def events_value_quantile_rollup_by_type(
     lower = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
     upper = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1
     return (
-        ranks.join(pick, ["event_type", "q_label"])
-        .join(exact, ["event_type", "q_label"])
+        ranks.join(F.broadcast(pick), ["event_type", "q_label"])
+        .join(F.broadcast(exact), ["event_type", "q_label"])
         .select(
             "event_type",
             "q_label",

@@ -22,6 +22,7 @@ from lakehouse_architecture_spark.operators.dedup import (
     duplicate_groups,
     normalize_text,
 )
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table
 
@@ -849,4 +850,99 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(sample_ok)).alias("sample_matches_reference"),
         )
         .orderBy("source")
+    )
+
+
+PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, str_split({SQL_NORM}, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT u.tok) AS vsz
+  FROM toks, UNNEST(t) AS u(tok) WHERE u.tok <> ''
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(LN((c12.c12 + 1.0) / (c1.c1 + v.vsz))) / COUNT(*), 6)
+         AS cross_entropy
+FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("docs_bigram_cross_entropy", oracle=PPL_ORACLE)
+def docs_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy — the CCNet-style
+    perplexity quality filter (Wenzek et al. 2020, "CCNet: Extracting
+    high quality monolingual datasets from web crawl data"): train an
+    add-one-smoothed bigram model on the corpus itself, score every
+    document by its average negative log-likelihood under it, and
+    low-likelihood documents (gibberish, boilerplate soup, wrong-
+    language fragments) surface as the high-entropy tail. The
+    SEQUENCE-sensitive member of the quality family: token entropy
+    (`docs_token_entropy`) sees a bag of words, this sees word ORDER —
+    a shuffled document keeps its unigram entropy but loses its bigram
+    likelihood.
+
+    Cross-engine float doctrine (the token_entropy precedent): every
+    log argument is a ratio of EXACT INTEGER counts ((c12+1)/(c1+V),
+    both engines dividing as doubles), so the only divergence sources
+    are 1-ulp libm log differences and summation order, both ~1e-13
+    absolute over a ~100-term sum — round(6) makes the compared value
+    identical. Documents with fewer than two tokens have no bigrams
+    and are absent on both engines by the same rule.
+
+    Plan at scale: the bigram relation is built once from the token
+    arrays (order-preserving transform over the array index — never a
+    posexplode + self-join) and one-slot persisted; the model is two
+    map-side-combinable counts over it (bounded by VOCABULARY², and in
+    practice by observed bigrams ~ corpus tokens); scoring re-joins
+    the same persisted relation against the model on (w1, w2) and w1
+    — two hash-partitioned joins, vocabulary-bounded build sides at
+    any corpus size; the vocab size broadcasts as a 1-row relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    bg = one_slot_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1), "
+                    "(w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2"),
+        slot="text-bigram-rel",
+        key=(sf_dir,),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vsz = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(logp) / F.count(F.lit(1)), 6
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
     )

@@ -809,6 +809,56 @@ def test_stream_rollup_maintains_quantile_histogram(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_rollup_maintains_per_type_histogram(spark, tmp_path):
+    """events_value_quantile_rollup_by_type's streaming claim: the
+    SAME job maintains the per-GROUP histogram artifact — the key list
+    just widens to (event_type, day, bucket). Streamed counts must
+    equal the batch histogram at the 3-part grain."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.streaming.jobs import (
+        stream_rollup_maintain,
+    )
+
+    src = tmp_path / "vqt_src"
+    src.mkdir()
+    state = str(tmp_path / "vqt_state")
+    ckpt = str(tmp_path / "vqt_ckpt")
+    rows = [
+        ("click", "d1", 3, 1.0),
+        ("click", "d1", 3, 2.0),
+        ("view", "d1", 3, 1.0),
+        ("click", "d2", 5, 4.0),
+        ("view", "d2", 5, 8.0),
+    ]
+    schema = "event_type string, day string, bucket int, v double"
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"event_type": t, "day": d, "bucket": b, "v": v})
+            for t, d, b, v in rows
+        )
+    )
+    q = stream_rollup_maintain(
+        spark, str(src), schema, state,
+        ["event_type", "day", "bucket"], "v", checkpoint_dir=ckpt,
+    ).start()
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_type, r.day, r.bucket): r.n_rows
+        for r in spark.read.parquet(state).collect()
+    }
+    batch = {
+        (r.event_type, r.day, r.bucket): r.cnt
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_kmv_batch_replay_exactly_once(spark, tmp_path):
     """Replay of a committed KMV batch must be a no-op, and a crash
     mid-publish (old state moved to the deterministic backup, staged
