@@ -154,6 +154,16 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r12/lev-byte-vs-char: fresh-seed gate catch — Spark levenshtein "
+    "counts CHARACTERS, DuckDB's counts BYTES, so multibyte text in a "
+    "compared string diverges cross-engine (seed-1207 corpus: a CJK "
+    "prefix pair at char-distance 2 / byte-distance 4+ made the Spark "
+    "side report one more d2 pair than the brute-force oracle). Fix: "
+    "docs_prefix_fuzzy_pairs_d2 defines its linkage key over the "
+    "normalized-ASCII form (operators/dedup.normalize_text), where "
+    "the definitions coincide; customer-name fuzzy rows were never "
+    "exposed (ASCII by construction). Doctrine: any cross-engine "
+    "levenshtein surface must compare single-byte-only strings.",
     "r12/fuzzy-d2-timed: the r11 verdict's order 3 closed by "
     "measurement — docs_prefix_fuzzy_pairs_d2 times the UNCAPPED d2 "
     "plan on a natural corpus (doc-text 25-char prefixes: max bucket "

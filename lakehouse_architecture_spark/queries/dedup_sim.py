@@ -1405,8 +1405,13 @@ def customers_fuzzy_pairs_d2_capped(
 @query(
     "docs_prefix_fuzzy_pairs_d2",
     oracle="""
-WITH c AS (SELECT doc_id AS id, substr(text, 1, 25) AS name
-           FROM documents),
+WITH c AS (
+  SELECT doc_id AS id,
+         substr(TRIM(regexp_replace(regexp_replace(LOWER(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+                1, 25) AS name
+  FROM documents
+),
 v0 AS (
   SELECT id, name, i
   FROM c, UNNEST(generate_series(0, len(name))) AS t(i)
@@ -1468,6 +1473,16 @@ def docs_prefix_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the variant relation to pin the blocking stats
     cross-engine. Every emitted column is an exact integer.
 
+    The linkage key is the NORMALIZED-ASCII prefix
+    (operators/dedup.normalize_text, the dedup family's canonical
+    form) — not just for canonicalization: Spark's levenshtein counts
+    CHARACTERS while DuckDB's counts BYTES, so any multibyte text in
+    the compared strings silently diverges cross-engine (a fresh-seed
+    corpus with CJK marker tokens caught exactly this: a char-distance
+    2 pair at byte-distance 4+). Normalization strips the compared
+    domain to single-byte characters, where the two definitions
+    coincide.
+
     Scale: Σ|bucket|² ~ |variants| on sparse-match corpora, so the
     join is linear in corpus size; the prefix projection is the
     fingerprint doctrine (compare keys, not documents)."""
@@ -1476,8 +1491,13 @@ def docs_prefix_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy_pairs_d2,
     )
 
+    from lakehouse_architecture_spark.operators.dedup import (
+        normalize_text,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 25).alias("prefix")
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 25).alias("prefix"),
     )
     v = one_slot_persist(
         deletion_variants_d2(docs, "prefix", "doc_id"),
