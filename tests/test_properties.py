@@ -530,3 +530,57 @@ def test_grouped_ols_centered_large_offset_exact(spark):
         slope, intercept_at_base = got[g]
         assert abs(slope - b) < 1e-9, (g, slope, b)
         assert abs(intercept_at_base - a) < 1e-9, (g, intercept_at_base, a)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _bruteforce_core_numbers(edges: set) -> dict:
+    """Reference degeneracy decomposition by repeated peeling: for
+    k = 1, 2, ... peel to the k-core fixpoint; a node's core number is
+    the largest k whose core still contains it."""
+    nodes = {x for e in edges for x in e}
+    core = {v: 0 for v in nodes}
+    cur = set(edges)
+    k = 1
+    while cur:
+        while True:  # peel to the k-core fixpoint
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        for v in {x for e in cur for x in e}:
+            core[v] = k
+        k += 1
+    return core
+
+
+@_settings
+@given(_edges)
+def test_core_numbers_match_bruteforce_peel(spark, edges):
+    """The h-index fixpoint (operators/kcore.core_numbers) must equal
+    the definitional peel-per-k decomposition on arbitrary small
+    graphs — the Lü et al. 2016 theorem, exercised beyond the one
+    hand-built example. Also pins consistency with kcore_peel by
+    construction (both reduce to the same peel reference)."""
+    from lakehouse_architecture_spark.operators.kcore import core_numbers
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    want = _bruteforce_core_numbers(und)
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+    res = core_numbers(df)
+    assert res["converged"]
+    got = {r.node: r.c for r in res["cores"].collect()}
+    assert got == want
