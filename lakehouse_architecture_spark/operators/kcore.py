@@ -161,8 +161,18 @@ def core_numbers(
     rounds = 0
     converged = False
     while rounds < max_rounds:
+        # shuffle_hash pin: both relations are lineage-truncated
+        # LogicalRDDs with unknown compile-time stats, and AQE's
+        # runtime estimate happily broadcasts the ADJACENCY side when
+        # its compressed shuffle bytes squeeze under the threshold —
+        # a driver OOM at bench SF and the wrong plan at any scale
+        # (2|E| rows). Shuffled-hash streams the edge relation and
+        # builds only the node-values partition, the shape that holds
+        # at 100 TB where the node relation outgrows broadcast too.
         nb = adj.join(
-            cur.select(F.col("node").alias("nbr"), F.col("c").alias("cv")),
+            cur.select(
+                F.col("node").alias("nbr"), F.col("c").alias("cv")
+            ).hint("shuffle_hash"),
             "nbr",
         ).select("node", "cv")
         hidx = (

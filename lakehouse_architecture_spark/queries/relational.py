@@ -2402,7 +2402,7 @@ ORDER BY core_k"""
     return "".join(parts)
 
 
-@query("parts_coorder_core_numbers", oracle=_core_numbers_oracle(26))
+@query("parts_coorder_core_numbers", oracle=_core_numbers_oracle(48))
 def parts_coorder_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL degeneracy decomposition of the part co-order graph
     (operators/kcore.core_numbers): the exact per-node core number via
@@ -2413,14 +2413,15 @@ def parts_coorder_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     answering EVERY k at once). A peel-per-k would nest a full k-core
     fixpoint per distinct core level (~40 levels x ~6 rounds of Spark
     jobs here); the h-index form converges in one correction-depth loop
-    (19 rounds on this corpus) costing one edge-keyed join + one
+    (19 rounds at sf0.01, 38 at sf0.1 — the 48-round budget covers
+    both with margin) costing one edge-keyed join + one
     node-partitioned window + one aggregate per round.
 
     Cross-engine contract: the h-index iteration is DETERMINISTIC
     (window ties are order-insensitive for the H statistic) and
-    idempotent past its fixpoint, so the DuckDB oracle unrolls 26
-    fixed sweeps and reads c26 — identical to the early-stopping Spark
-    loop whenever convergence is <= 26, and an honest converged=false
+    idempotent past its fixpoint, so the DuckDB oracle unrolls 48
+    fixed sweeps and reads c48 — identical to the early-stopping Spark
+    loop whenever convergence is <= 48, and an honest converged=false
     on BOTH engines if it ever is not. Consistency with the peel is a
     theorem (nodes with core_k >= 80 are exactly the k=80 core's
     nodes), making this the fifth member of the graph family
@@ -2457,7 +2458,7 @@ def parts_coorder_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="relational-tri-edges",
         key=(sf_dir,),
     )
-    res = core_numbers(und, max_rounds=26)
+    res = core_numbers(und, max_rounds=48)
     return (
         res["cores"]
         .groupBy(F.col("c").alias("core_k"))
