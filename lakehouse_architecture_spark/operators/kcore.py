@@ -96,6 +96,48 @@ def kcore_peel(
     }
 
 
+def _hindex_round(adj: DataFrame, cur: DataFrame) -> DataFrame:
+    """One h-index sweep: re-value every node as the H-index of its
+    neighbors' current values, carrying the previous value alongside
+    as ``c_prev`` (the loop's convergence count reads it for free).
+
+    Plan shape (asserted by tests/test_plans.py): the neighbor-values
+    join pins shuffle_hash — both loop relations are lineage-truncated
+    LogicalRDDs with unknown compile-time stats, and AQE's runtime
+    estimate happily broadcasts the ADJACENCY side when its compressed
+    shuffle bytes squeeze under the threshold — a driver OOM at bench
+    SF and the wrong plan at any scale (2|E| rows). Shuffled-hash
+    streams the edge relation and builds only the node-values
+    partition, the shape that holds at 100 TB where the node relation
+    outgrows broadcast too. The H-index itself is a row_number window
+    partitioned by node (ties are order-insensitive for the H
+    statistic), never a per-node collect_list."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.col("cv").desc())
+    nb = adj.join(
+        cur.select(
+            F.col("node").alias("nbr"), F.col("c").alias("cv")
+        ).hint("shuffle_hash"),
+        "nbr",
+    ).select("node", "cv")
+    hidx = (
+        nb.withColumn("rn", F.row_number().over(w))
+        .groupBy("node")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cv") >= F.col("rn"), F.col("rn"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    return hidx.join(
+        cur.select("node", F.col("c").alias("c_prev")), "node"
+    )
+
+
 def core_numbers(
     edges: DataFrame,
     max_rounds: int = 32,
@@ -138,8 +180,6 @@ def core_numbers(
     Returns ``{"cores": DataFrame(node, c), "rounds", "converged",
     "n_nodes"}``; ``c`` is exact (long).
     """
-    from pyspark.sql import Window
-
     e = edges.select("src", "dst")
     adj = loop_round(
         e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
@@ -157,42 +197,11 @@ def core_numbers(
     )
     cur = cur_cp
     n_nodes = cur_cp.count()
-    w = Window.partitionBy("node").orderBy(F.col("cv").desc())
     rounds = 0
     converged = False
     while rounds < max_rounds:
-        # shuffle_hash pin: both relations are lineage-truncated
-        # LogicalRDDs with unknown compile-time stats, and AQE's
-        # runtime estimate happily broadcasts the ADJACENCY side when
-        # its compressed shuffle bytes squeeze under the threshold —
-        # a driver OOM at bench SF and the wrong plan at any scale
-        # (2|E| rows). Shuffled-hash streams the edge relation and
-        # builds only the node-values partition, the shape that holds
-        # at 100 TB where the node relation outgrows broadcast too.
-        nb = adj.join(
-            cur.select(
-                F.col("node").alias("nbr"), F.col("c").alias("cv")
-            ).hint("shuffle_hash"),
-            "nbr",
-        ).select("node", "cv")
-        hidx = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .groupBy("node")
-            .agg(
-                F.coalesce(
-                    F.max(
-                        F.when(F.col("cv") >= F.col("rn"), F.col("rn"))
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("c")
-            )
-        )
         nxt = loop_round(
-            hidx.join(
-                cur.select("node", F.col("c").alias("c_prev")), "node"
-            ),
+            _hindex_round(adj, cur),
             prev=cur_cp,
             checkpoint_dir=checkpoint_dir,
         )

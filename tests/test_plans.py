@@ -485,3 +485,36 @@ def test_copied_span_profile_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_copied_span_profile")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hindex_round_pins_shuffle_hash_no_broadcast_of_adj(spark):
+    """The core-numbers round join must SHUFFLE-HASH with the
+    node-values side as build — the r12 sf0.1 probe showed AQE
+    broadcasting the 2|E|-row adjacency side (lineage-truncated loop
+    relations carry no compile-time stats), OOMing the driver. The
+    hint must survive in the compiled plan."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.kcore import _hindex_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    cur = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    plan = _hindex_round(adj, cur)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # the H-index is a window + aggregate, never a collect_list
+    assert "collect_list" not in plan
+
+
+def test_fuzzy_d2_join_is_sort_merge(spark, sf_dir):
+    """The d2 variant self-join must stay sort-merge (the pinned merge
+    hint): an AQE broadcast of the multi-million-row variant relation
+    OOMed at bench SF, and SMJ is the only shape that survives scale."""
+    plan = _plan(spark, sf_dir, "customers_fuzzy_pairs_d2")
+    assert "SortMergeJoin" in plan
