@@ -37,6 +37,16 @@ DEFAULT_CONF: dict[str, str] = {
     # Dynamic partition overwrite is what makes the MERGE fallback touch
     # only the partitions present in the update set.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Local-mode heap sizing: in local[N] the ONE driver JVM hosts all
+    # N executor threads, but Spark's default heap is 1 GiB — at
+    # local[32] that is ~30 MB per task slot, and a single wide
+    # sort-merge task (e.g. the uncapped fuzzy-d2 self-join at sf0.1)
+    # dies in Java heap space. 8 GiB is still conservative for the
+    # target box and is simply ignored on a real cluster, where
+    # spark.executor.memory is set by the deployment (driver.memory
+    # only takes effect at JVM launch — a session that getOrCreate()s
+    # into an already-running JVM keeps that JVM's heap).
+    "spark.driver.memory": "8g",
     # Runtime row-level bloom pruning: a selective filter on one join
     # side builds a bloom filter that prunes the other side's scan —
     # only fires past the creation-side size thresholds, i.e. exactly
