@@ -154,6 +154,7 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    'r12/heap-ab: same-session A/B of the 8 GiB heap against the 1 GiB closing bench — headline 16.825 -> 17.670 s (+5%), pipeline 9.276 -> 9.602 s, extras 72.8 -> 73.0 s, median per-query ratio 1.14 with movers in BOTH directions (0.74x-1.44x): the heap change is inside the documented session-noise band with no systematic effect at bench SF (it exists to stop task-level OOMs on wide SMJ tasks, not to speed anything). BENCH_DETAIL now carries the 8g numbers; compare r13 against these.',
     "r12/magnitude-sweep: FIRST full-registry sf0.1 run — all 208 queries executed at 10x gate scale in one session (MAGNITUDE_r12.json: per-query wall + row counts; 464 s total, 0 errors). The sweep is what caught the core-numbers AQE-broadcast OOM and depth shortfall, and the 1 GiB local-heap default (uncapped fuzzy-d2's SMJ task OOMed the JVM; fixed by spark.driver.memory=8g in DEFAULT_CONF). Post-fix heavy tail is all documented shapes: iterative loops (core_numbers 57.9 s/38 rounds, pagerank 14.2, kcore 8.7, BPE encode 16.9, power-iteration 10.3), the exact-anchor QA queries (approx_distinct_and_quantile 27.3 s — exact percentile + countDistinct expand on 3 groups IS the documented anchor cost), and recursive-CTE calendar 14.7 s.",
     'r12/local-heap: DEFAULT_CONF now sets spark.driver.memory=8g — local[N] hosts all N executor threads in the one driver JVM, and the 1 GiB JVM default left ~30 MB per task slot at local[32]; a single wide SMJ task (uncapped fuzzy-d2 at sf0.1) OOMed the whole JVM in the r12 magnitude sweep. Ignored on a real cluster and by already-running JVMs. BENCH ENVIRONMENT CHANGE: r13+ bench sessions run with the 8 GiB heap, so cross-round timing comparisons against r12 and earlier carry this delta (expect lower GC pressure, not plan changes; the r12 closing bench itself ran on the old 1 GiB heap).',
     'r12/closing-ledger: final tree, 208 queries/208 oracles (+5 this round: core-number degeneracy decomposition, per-type histogram-quantile rollup, the two fuzzy-d2 regime rows, bigram cross-entropy). pytest 468/468 on the final tree; full plain sf0.01 sweeps green on THREE corpora (driver data 208/208, fresh seed 1207 208/208, fresh seed 4242 208/208 — seed 1207 caught the levenshtein byte-vs-char divergence before any driver row could); driver-order 50-query window walk 50/50 three times, last on the final tree; sf0.1 magnitude probes of the changed surfaces green (core_numbers 80.5 s/38 rounds converged after the shuffle_hash + depth fixes the probe itself forced; the four new benched rows ran inside the full bench, 0 errors). Closing bench: headline 16.825 s, pipeline e2e 9.276 s (watch closed as noise), extras 72.8 s over 66 rows. All four r11 ADVICE items closed (loop block release, tagged bench notes, path-like cache-release guard, KMV window fold); all eight r11 verdict orders closed.',
