@@ -154,6 +154,7 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    'r12/sf01-oracle-sweep: FIRST full-registry oracle sweep at sf0.1 — 206/206 queries VALUE-VERIFIED against DuckDB at 10x the gate scale (ORACLE_SF01_r12.json: per-query status + spark/duck walls; plain 8g session, 300 s per-oracle interrupt watchdog, 0 failures, 0 timeouts). The only 2 skips are the documented quadratic-oracle rows (customers_fuzzy_pairs_d2: 112M-levenshtein brute force; customers_entity_resolution: recursive transitive closure over the zero-dense d1 graph, measured >60 s and unbounded — its sf0.01 row stays the correctness evidence) — both Spark sides run green in MAGNITUDE_r12.json. Upgrade over the magnitude sweep: executes-at-scale -> CORRECT-at-scale for the whole board.',
     'r12/heap-ab: same-session A/B of the 8 GiB heap against the 1 GiB closing bench — headline 16.825 -> 17.670 s (+5%), pipeline 9.276 -> 9.602 s, extras 72.8 -> 73.0 s, median per-query ratio 1.14 with movers in BOTH directions (0.74x-1.44x): the heap change is inside the documented session-noise band with no systematic effect at bench SF (it exists to stop task-level OOMs on wide SMJ tasks, not to speed anything). BENCH_DETAIL now carries the 8g numbers; compare r13 against these.',
     "r12/magnitude-sweep: FIRST full-registry sf0.1 run — all 208 queries executed at 10x gate scale in one session (MAGNITUDE_r12.json: per-query wall + row counts; 464 s total, 0 errors). The sweep is what caught the core-numbers AQE-broadcast OOM and depth shortfall, and the 1 GiB local-heap default (uncapped fuzzy-d2's SMJ task OOMed the JVM; fixed by spark.driver.memory=8g in DEFAULT_CONF). Post-fix heavy tail is all documented shapes: iterative loops (core_numbers 57.9 s/38 rounds, pagerank 14.2, kcore 8.7, BPE encode 16.9, power-iteration 10.3), the exact-anchor QA queries (approx_distinct_and_quantile 27.3 s — exact percentile + countDistinct expand on 3 groups IS the documented anchor cost), and recursive-CTE calendar 14.7 s.",
     'r12/local-heap: DEFAULT_CONF now sets spark.driver.memory=8g — local[N] hosts all N executor threads in the one driver JVM, and the 1 GiB JVM default left ~30 MB per task slot at local[32]; a single wide SMJ task (uncapped fuzzy-d2 at sf0.1) OOMed the whole JVM in the r12 magnitude sweep. Ignored on a real cluster and by already-running JVMs. BENCH ENVIRONMENT CHANGE: r13+ bench sessions run with the 8 GiB heap, so cross-round timing comparisons against r12 and earlier carry this delta (expect lower GC pressure, not plan changes; the r12 closing bench itself ran on the old 1 GiB heap).',
