@@ -49,16 +49,17 @@ _SENTINELS = [
 #   fuzzy_pairs_d2 variants-parameter change)
 # + all 27 remaining r7-stale rows (the rotation the r11 verdict
 #   ordered — after this window no standing row is older than r8)
-# + 12 oldest r8-stale rows, session-state-sensitive families first
+# + 11 oldest r8-stale rows, session-state-sensitive families first
 #   (iterative k-means, sampling determinism, the validation split
 #   family, sketch sampling)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 27 remaining r8-stale rows lead r13; after r13 the board holds
+# The 28 remaining r8-stale rows lead r13; after r13 the board holds
 # a steady <=4-round refresh cadence with nothing older than r9.
 _PRIORITY = [
     # (a) r12 new: first driver rows
     "docs_bigram_cross_entropy",
+    "parts_coorder_ppr",
     "parts_coorder_core_numbers",
     "events_value_quantile_rollup_by_type",
     "customers_fuzzy_pairs_d2_capped",
@@ -96,7 +97,7 @@ _PRIORITY = [
     "scalar_null_semantics",
     "scd2_customer_history",
     "snapshot_diff_counts",
-    # (d) 12 oldest r8-stale rows (state-sensitive first: iterative
+    # (d) 11 oldest r8-stale rows (state-sensitive first: iterative
     # k-means, seeded sampling, the validation split family whose five
     # queries share rejection-rule state, sketch/fingerprint sampling;
     # events_value_p95_by_type also re-checks beside its new rollup
@@ -112,7 +113,6 @@ _PRIORITY = [
     "ri_dangling_lineitems",
     "minhash_signatures_sample",
     "simhash_fingerprints",
-    "docs_mixture_resample",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -166,6 +166,7 @@ _SECOND_TIER = {
     "docs_incremental_near_dups_indexed",
     "docs_lang_id",
     "docs_learned_filter_apply",
+    "docs_mixture_resample",
     "docs_ngram_jaccard_pairs",
     "docs_novelty_score",
     "docs_pii_scrub",

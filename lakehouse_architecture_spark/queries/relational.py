@@ -2466,3 +2466,132 @@ def parts_coorder_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("converged", F.lit(res["converged"]))
         .orderBy("core_k")
     )
+
+
+def _ppr_oracle(iters: int, n_seeds: int, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: the PPR update is a
+    LINEAR fixed-depth recurrence from the deterministic seed
+    distribution, so ``iters`` SQL stages replicate the Spark loop's
+    VALUES exactly (modulo double summation order, absorbed by
+    round(6)) — a stronger contract than the global pagerank row's
+    invariant certificates. Seeds = the ``n_seeds`` smallest part keys
+    in the graph, teleport uniform; the dangling term is carried for
+    formula fidelity even though this graph has no out-degree-0 nodes
+    (every node appears in both orientations), so it is exactly 0 on
+    both engines."""
+    d = damping
+    parts = [
+        f"""WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}
+),
+s AS MATERIALIZED (
+  SELECT n.node, COALESCE(dg.deg, 0) AS deg,
+         CASE WHEN n.node IN (SELECT node FROM seeds)
+              THEN 1.0 / {float(n_seeds)} ELSE 0.0 END AS sv
+  FROM nodes n LEFT JOIN deg dg ON dg.node = n.node
+),
+p0 AS MATERIALIZED (SELECT node, deg, sv, sv AS pr FROM s)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+dang{t} AS (
+  SELECT COALESCE(SUM(pr), 0.0) AS m FROM p{t - 1} WHERE deg = 0
+),
+inflow{t} AS (
+  SELECT e.dst AS node, SUM(p.pr / p.deg) AS inflow
+  FROM e JOIN p{t - 1} p ON p.node = e.src AND p.deg > 0
+  GROUP BY e.dst
+),
+p{t} AS MATERIALIZED (
+  SELECT p.node, p.deg, p.sv,
+         (1 - {d}) * p.sv
+         + {d} * (COALESCE(i.inflow, 0.0) + g.m * p.sv) AS pr
+  FROM p{t - 1} p LEFT JOIN inflow{t} i ON i.node = p.node, dang{t} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.node, p.sv > 0 AS is_seed, ROUND(p.pr, 6) AS ppr
+FROM p{iters} p
+ORDER BY p.node"""
+    )
+    return "".join(parts)
+
+
+@query("parts_coorder_ppr", oracle=_ppr_oracle(12, 5))
+def parts_coorder_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the part co-order graph
+    (operators/pagerank.personalized_pagerank, Haveliwala 2002):
+    teleport concentrated on a 5-part seed set (the smallest part keys
+    in the graph — deterministic cross-engine), rank mass diffusing
+    outward through co-order edges — the seed-expansion primitive
+    ("everything in the orbit of this trusted set") that turns the
+    graph family from descriptive analytics into a data-SELECTION
+    tool. Sixth member of the graph family.
+
+    Cross-engine contract: unlike the global pagerank row (invariant
+    certificates only — its fixpoint depends on pr_0 = 1 mass n), the
+    PPR iteration is a linear fixed-depth recurrence from the
+    deterministic seed distribution, so the DuckDB oracle unrolls the
+    SAME 12 iterations and the compared surface is the per-node VALUE
+    (round 6, absorbing double-summation-order and 1-ulp libm-free
+    arithmetic differences; every other column exact/boolean). All
+    nodes are emitted — no top-k cut whose boundary two
+    nearly-equal doubles could flip.
+
+    Scale shape: per iteration one edge-keyed join (|E| contribution
+    rows, map-side combinable dst aggregate) + a 1-row dangling
+    broadcast; rounds via loop_round. The seed relation broadcasts.
+    Deliberately NOT benched (driver-bounded iteration; the
+    BPE/pagerank doctrine)."""
+    from lakehouse_architecture_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = F.expr(
+        "flatten(transform(p, (x, i) -> "
+        "transform(slice(p, i + 2, size(p)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    und = one_slot_persist(
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("p"))
+        .select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct(),
+        slot="relational-tri-edges",
+        key=(sf_dir,),
+    )
+    e = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    r = personalized_pagerank(e, seeds, iters=12)
+    return (
+        r["ranks"]
+        .select(
+            "node",
+            (F.col("sv") > 0).alias("is_seed"),
+            F.round("pr", 6).alias("ppr"),
+        )
+        .orderBy("node")
+    )

@@ -1094,3 +1094,35 @@ def test_split_corrupt_survives_later_splits(spark, tmp_path):
     # the FIRST split's corrupt side still acts fine
     assert corrupt1.count() == 1
     assert corrupt1.collect()[0]._corrupt_record.startswith("not,an,int")
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """PPR on the hand graph: total mass stays exactly ~1 (the seeded
+    damped update is measure-preserving), seeds hold more mass than
+    their graph-distance-2 periphery, and a dangling node's mass
+    re-teleports to the seeds instead of leaking."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = personalized_pagerank(edges, seeds, iters=20)
+    got = {row.node: row.pr for row in r["ranks"].collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert r["n_seeds"] == 1 and r["n_nodes"] == 5
+    # mass decays with distance from the seed
+    assert got[1] > got[2] > got[4] > got[5]
+
+    # dangling case: 9 -> 10 only (10 has no out-edges)
+    edges2 = spark.createDataFrame([(9, 10)], "src long, dst long")
+    seeds2 = spark.createDataFrame([(9,)], "node long")
+    r2 = personalized_pagerank(edges2, seeds2, iters=30)
+    got2 = {row.node: row.pr for row in r2["ranks"].collect()}
+    assert abs(sum(got2.values()) - 1.0) < 1e-9
+    assert got2[9] > got2[10] > 0

@@ -225,6 +225,7 @@ def test_driver_window_composition():
     # cumulative-window fold, the fuzzy_pairs_d2 variants parameter)
     touched_r12 = {
         "docs_bigram_cross_entropy",  # new: first driver row
+        "parts_coorder_ppr",  # new: first driver row
         "parts_coorder_core_numbers",  # new: first driver row
         "events_value_quantile_rollup_by_type",  # new: first driver row
         "customers_fuzzy_pairs_d2_capped",  # new: first driver row
