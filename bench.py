@@ -154,11 +154,11 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
-    'r12/sf01-oracle-sweep: FIRST full-registry oracle sweep at sf0.1 — 206/206 queries VALUE-VERIFIED against DuckDB at 10x the gate scale (ORACLE_SF01_r12.json: per-query status + spark/duck walls; plain 8g session, 300 s per-oracle interrupt watchdog, 0 failures, 0 timeouts). The only 2 skips are the documented quadratic-oracle rows (customers_fuzzy_pairs_d2: 112M-levenshtein brute force; customers_entity_resolution: recursive transitive closure over the zero-dense d1 graph, measured >60 s and unbounded — its sf0.01 row stays the correctness evidence) — both Spark sides run green in MAGNITUDE_r12.json. Upgrade over the magnitude sweep: executes-at-scale -> CORRECT-at-scale for the whole board.',
+    'r12/sf01-oracle-sweep: FIRST full-registry oracle sweep at sf0.1 — every non-quadratic-oracle query VALUE-VERIFIED against DuckDB at 10x the gate scale (ORACLE_SF01_r12.json: per-query status + spark/duck walls; 8g session, 300 s per-oracle interrupt watchdog, 0 failures, 0 timeouts; regenerated at the final 209-query registry by tools/oracle_sf_sweep.py — 207/207). The only 2 skips are the documented quadratic-oracle rows (customers_fuzzy_pairs_d2: 112M-levenshtein brute force; customers_entity_resolution: recursive transitive closure over the zero-dense d1 graph, measured >60 s and unbounded — its sf0.01 row stays the correctness evidence) — both Spark sides run green in MAGNITUDE_r12.json. Upgrade over the magnitude sweep: executes-at-scale -> CORRECT-at-scale for the whole board.',
     'r12/heap-ab: same-session A/B of the 8 GiB heap against the 1 GiB closing bench — headline 16.825 -> 17.670 s (+5%), pipeline 9.276 -> 9.602 s, extras 72.8 -> 73.0 s, median per-query ratio 1.14 with movers in BOTH directions (0.74x-1.44x): the heap change is inside the documented session-noise band with no systematic effect at bench SF (it exists to stop task-level OOMs on wide SMJ tasks, not to speed anything). BENCH_DETAIL now carries the 8g numbers; compare r13 against these.',
     "r12/magnitude-sweep: FIRST full-registry sf0.1 run — all 208 queries executed at 10x gate scale in one session (MAGNITUDE_r12.json: per-query wall + row counts; 464 s total, 0 errors). The sweep is what caught the core-numbers AQE-broadcast OOM and depth shortfall, and the 1 GiB local-heap default (uncapped fuzzy-d2's SMJ task OOMed the JVM; fixed by spark.driver.memory=8g in DEFAULT_CONF). Post-fix heavy tail is all documented shapes: iterative loops (core_numbers 57.9 s/38 rounds, pagerank 14.2, kcore 8.7, BPE encode 16.9, power-iteration 10.3), the exact-anchor QA queries (approx_distinct_and_quantile 27.3 s — exact percentile + countDistinct expand on 3 groups IS the documented anchor cost), and recursive-CTE calendar 14.7 s.",
     'r12/local-heap: DEFAULT_CONF now sets spark.driver.memory=8g — local[N] hosts all N executor threads in the one driver JVM, and the 1 GiB JVM default left ~30 MB per task slot at local[32]; a single wide SMJ task (uncapped fuzzy-d2 at sf0.1) OOMed the whole JVM in the r12 magnitude sweep. Ignored on a real cluster and by already-running JVMs. BENCH ENVIRONMENT CHANGE: r13+ bench sessions run with the 8 GiB heap, so cross-round timing comparisons against r12 and earlier carry this delta (expect lower GC pressure, not plan changes; the r12 closing bench itself ran on the old 1 GiB heap).',
-    "r12/closing-ledger: final tree, 209 queries/209 oracles (+6 this round: core-number degeneracy decomposition, personalized PageRank, per-type histogram-quantile rollup, the two fuzzy-d2 regime rows, bigram cross-entropy). Final-tree evidence: pytest 470/470; full plain sf0.01 sweeps green on THREE corpora (driver data, fresh seeds 1207 + 4242, 208/208 each at the pre-PPR registry; seed 1207 caught the levenshtein byte-vs-char divergence before any driver row could); PPR itself gated on all three corpora; driver-order 50-query window walk 50/50 four times, last on the final tree with PPR in the window; MAGNITUDE_r12.json (all 208 pre-PPR queries run at sf0.1, 0 errors) + ORACLE_SF01_r12.json (206/206 value-verified at sf0.1) + PPR's own sf0.1 probe (37.3 s, 15% of mass on the 5 seeds). Closing bench (1 GiB heap): headline 16.825 s, pipeline e2e 9.276 s (watch closed as noise), extras 72.8 s; 8 GiB heap A/B inside the noise band. All four r11 ADVICE items and all eight r11 verdict orders closed.",
+    "r12/closing-ledger: final tree, 209 queries/209 oracles (+6 this round: core-number degeneracy decomposition, personalized PageRank, per-type histogram-quantile rollup, the two fuzzy-d2 regime rows, bigram cross-entropy). Final-tree evidence: pytest 470/470; full plain sf0.01 sweeps green on THREE corpora (driver data, fresh seeds 1207 + 4242, 208/208 each at the pre-PPR registry; seed 1207 caught the levenshtein byte-vs-char divergence before any driver row could); PPR itself gated on all three corpora; driver-order 50-query window walk 50/50 four times, last on the final tree with PPR in the window; MAGNITUDE_r12.json (ALL 209 queries run at sf0.1, 0 errors — regenerated by tools/magnitude_sweep.py on the final tree) + ORACLE_SF01_r12.json (207/207 value-verified at sf0.1, 0 failures/timeouts, regenerated by tools/oracle_sf_sweep.py on the final tree — PPR's 20k node scores among them). Closing bench (1 GiB heap): headline 16.825 s, pipeline e2e 9.276 s (watch closed as noise), extras 72.8 s; 8 GiB heap A/B inside the noise band. All four r11 ADVICE items and all eight r11 verdict orders closed.",
     'r12/core-numbers-probe: the sf0.1 magnitude probe caught two real scale defects in the new h-index loop before they shipped — (1) AQE broadcast the 2|E|-row ADJACENCY side of the per-round join (lineage-truncated LogicalRDDs have no compile-time stats, and the compressed shuffle bytes squeezed under the threshold), OOMing a plain 1g driver; pinned shuffle_hash with the node-values side as build, the shape that holds at 100 TB. (2) the 26-round budget sized on sf0.01 (depth 19) was too shallow for sf0.1 (depth 38, measured cross-engine); the loop and oracle now run a 48-sweep budget. Post-fix: sf0.1 converges in 80.5 s / 38 rounds, kmax 84, 0 errors; sf0.01 gate and fresh-seed gate both green.',
     "r12/pipeline-e2e-watch: the r11 verdict's order 7 (pipeline e2e rose two rounds running 9.045 -> 9.375 -> 10.742 s; A/B ordered if r12 read >12 s): resolved as session noise without the trigger firing — the r12 full bench reads pipeline e2e 9.276 s on untouched pipeline code, back at the r9/r10 level, while the headline also moved down (19.196 -> 16.825 s, median per-query ratio 0.79, max mover q1 at 1.10x) — uniform session drift, nothing code-driven. New benched rows this round: docs_prefix_fuzzy_pairs_d2 2.63 s, customers_fuzzy_pairs_d2_capped 5.60 s, events_value_quantile_rollup_by_type 3.35 s, docs_bigram_cross_entropy 1.24 s.",
     "r12/lev-byte-vs-char: fresh-seed gate catch — Spark levenshtein "
