@@ -40,9 +40,9 @@ _SENTINELS = [
 # after r11 (CORRECTNESS_r01..r11, latest round per query): 27 rows
 # last checked r7, 39 r8, 40 r9, 48 r10, 50 r11. Window arithmetic,
 # 50 slots: 2 sentinels
-# + 5 r12 NEW queries (first driver rows: core-number decomposition,
-#   per-type quantile rollup, the two fuzzy-d2 regime rows, the bigram
-#   cross-entropy quality scorer)
+# + 6 r12 NEW queries (first driver rows: core-number decomposition,
+#   personalized PageRank, per-type quantile rollup, the two fuzzy-d2
+#   regime rows, the bigram cross-entropy quality scorer)
 # + 4 r12-TOUCHED queries (kcore + pagerank after the loop_round
 #   checkpoint-lifecycle rework; events_kmv_new_vs_returning after the
 #   cumulative-window-fold rework; customers_fuzzy_pairs_d2 after the

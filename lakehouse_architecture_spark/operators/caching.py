@@ -104,21 +104,27 @@ def _path_overlaps(key_elem: object, path: str) -> bool:
     """True when a key element names ``path`` or a directory related to
     it by containment (either direction — a rewrite under a keyed dir
     stales the slot, and a rewrite of a parent stales keys below it).
-    Only PATH-LIKE key elements participate (absolute, or explicitly
-    relative with ``./``/``../``): keys also carry non-path strings
-    (table names, corpus labels), and a bare label that happens to
-    equal or prefix a relative write target must not spuriously
-    release an unrelated slot. :func:`release_slots_for_path`
-    normalizes its argument to absolute, and slot keys in this repo
-    carry absolute paths, so the restriction costs nothing real."""
+    Only PATH-LIKE key elements participate: keys also carry non-path
+    strings (table names, corpus labels), and a bare single-token
+    label that happens to equal a write target's basename must not
+    spuriously release an unrelated slot. Path-likeness = absolute,
+    explicitly relative (``./``/``../``), or CONTAINING a separator
+    (so a slot keyed with a bare relative dir like ``testdata/sf0.1``
+    is still releasable by a writer rewriting under it — the r12
+    ADVICE gap). Both sides are abspath-normalized at match time, so
+    relative and absolute spellings of the same directory compare
+    equal; a slash-bearing label that is not really a path can at
+    worst release a slot early (a lazy rebuild), never serve stale
+    data — the safe direction."""
     if not isinstance(key_elem, str) or not key_elem:
         return False
     if not (
         key_elem.startswith(("/", "./", "../"))
-        or (os.sep != "/" and key_elem.startswith(os.sep))
+        or "/" in key_elem
+        or os.sep in key_elem
     ):
         return False
-    a = key_elem.rstrip("/")
+    a = os.path.abspath(key_elem).rstrip("/")
     b = path.rstrip("/")
     return a == b or a.startswith(b + "/") or b.startswith(a + "/")
 

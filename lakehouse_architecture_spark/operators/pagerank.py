@@ -183,9 +183,16 @@ def personalized_pagerank(
         checkpoint_dir=checkpoint_dir,
     )
     n = nodes.count()
-    n_seeds = seeds.count()
+    # Normalize the seed set before it defines the teleport measure
+    # (r12 ADVICE): duplicates in ``seeds`` would duplicate node rows
+    # through the left join below, and a seed absent from the graph
+    # would silently shrink total teleport mass below 1 while still
+    # counting toward n_seeds. Dedup, then keep only seeds that are
+    # actual graph nodes, and recompute n_seeds from that set.
+    seed_set = seeds.select("node").distinct().join(nodes, "node", "semi")
+    n_seeds = seed_set.count()
     if n_seeds < 1:
-        raise ValueError("seeds must be non-empty")
+        raise ValueError("seeds must be non-empty and present in the graph")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     sv = F.when(
         F.col("seed_node").isNotNull(), F.lit(1.0) / F.lit(float(n_seeds))
@@ -193,7 +200,7 @@ def personalized_pagerank(
     state = loop_round(
         nodes.join(deg, nodes.node == deg.src, "left")
         .join(
-            F.broadcast(seeds.select(F.col("node").alias("seed_node"))),
+            F.broadcast(seed_set.select(F.col("node").alias("seed_node"))),
             nodes.node == F.col("seed_node"),
             "left",
         )

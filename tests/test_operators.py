@@ -639,7 +639,13 @@ def test_iterative_reliable_checkpoint_identical(spark, tmp_path):
     pr_rel = pagerank(both, iters=3, checkpoint_dir=cdir)
     got_l = {r.node: r.pr for r in pr_local["ranks"].collect()}
     got_r = {r.node: r.pr for r in pr_rel["ranks"].collect()}
-    assert got_l == got_r  # bit-identical: same plan, same fold order
+    # Same plan either way, but double-sum merge order across shuffle
+    # partitions is not contractually deterministic (r12 ADVICE) —
+    # compare per-node with a tolerance far below any rank gap instead
+    # of bitwise.
+    assert set(got_l) == set(got_r)
+    for node, pr in got_l.items():
+        assert abs(pr - got_r[node]) < 1e-12, (node, pr, got_r[node])
 
 
 def test_loop_round_frees_previous_round(spark):
@@ -979,6 +985,27 @@ def test_release_slots_for_path(spark):
     _refresh_swapped_path(spark, "/tmp/sf-rel")
     assert "p-keyed" not in _SLOTS
 
+    # r12 ADVICE: a slot keyed with a BARE relative path (no ./ prefix)
+    # must still be releasable by a writer rewriting under it — both
+    # sides abspath-normalize at match time, so relative and absolute
+    # spellings of the same dir compare equal.
+    import os
+
+    bare = one_slot_persist(df1, slot="p-bare", key=("testdata/sfX", 8))
+    assert (
+        release_slots_for_path(
+            os.path.abspath("testdata/sfX/orders.parquet")
+        )
+        == 1
+    )
+    assert "p-bare" not in _SLOTS and not bare.storageLevel.useMemory
+
+    # ...but a slash-free label (table name, corpus tag) never
+    # participates, even when it equals the target's basename.
+    lbl = one_slot_persist(df1, slot="p-label", key=("sf-rel", 8))
+    assert release_slots_for_path("sf-rel") == 0
+    assert "p-label" in _SLOTS and lbl.storageLevel.useMemory
+
     release_slots("p-")
 
 
@@ -1126,3 +1153,23 @@ def test_personalized_pagerank_mass_and_locality(spark):
     got2 = {row.node: row.pr for row in r2["ranks"].collect()}
     assert abs(sum(got2.values()) - 1.0) < 1e-9
     assert got2[9] > got2[10] > 0
+
+    # r12 ADVICE: duplicate seed rows must not duplicate node rows or
+    # split teleport mass, and seeds absent from the graph must not
+    # silently shrink total mass below 1 — the seed set is deduped and
+    # semi-joined to the graph's nodes before defining the measure.
+    messy = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,)], "node long"
+    )
+    r3 = personalized_pagerank(edges, messy, iters=20)
+    got3 = {row.node: row.pr for row in r3["ranks"].collect()}
+    assert r3["n_seeds"] == 2  # 1 and 2; dup dropped, 99 not in graph
+    assert len(got3) == 5 == r3["ranks"].count()
+    assert abs(sum(got3.values()) - 1.0) < 1e-9
+
+    # an all-phantom seed set is an error, not a silent zero measure
+    import pytest as _pytest
+
+    phantom = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, phantom, iters=2)
