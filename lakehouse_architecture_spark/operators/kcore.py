@@ -96,32 +96,52 @@ def kcore_peel(
     }
 
 
-def _hindex_round(adj: DataFrame, cur: DataFrame) -> DataFrame:
-    """One h-index sweep: re-value every node as the H-index of its
-    neighbors' current values, carrying the previous value alongside
-    as ``c_prev`` (the loop's convergence count reads it for free).
+def _hindex_round(
+    adj: DataFrame, cur: DataFrame, broadcast_values: bool = False
+) -> DataFrame:
+    """One h-index sweep over the nodes appearing in ``adj``: re-value
+    each as the H-index of its neighbors' current values (``cur`` must
+    be the FULL value relation — neighbors may lie outside the sweep's
+    node subset). Returns ``(node, c)`` for exactly the swept nodes.
 
-    Plan shape (asserted by tests/test_plans.py): the neighbor-values
-    join pins shuffle_hash — both loop relations are lineage-truncated
-    LogicalRDDs with unknown compile-time stats, and AQE's runtime
-    estimate happily broadcasts the ADJACENCY side when its compressed
-    shuffle bytes squeeze under the threshold — a driver OOM at bench
-    SF and the wrong plan at any scale (2|E| rows). Shuffled-hash
-    streams the edge relation and builds only the node-values
-    partition, the shape that holds at 100 TB where the node relation
-    outgrows broadcast too. The H-index itself is a row_number window
-    partitioned by node (ties are order-insensitive for the H
-    statistic), never a per-node collect_list."""
+    Plan shape (asserted by tests/test_plans.py), two regimes chosen
+    by the CALLER (which knows |V| exactly from the loop's own count):
+
+    - ``broadcast_values=True`` — the node-values relation is
+      explicitly broadcast, so the 2|E|-row adjacency is never
+      exchanged: with ``adj`` pre-partitioned by ``node`` (see
+      :func:`core_numbers`), the value join, the window, and the
+      aggregate all run in place and the whole sweep is
+      exchange-free on the heavy side. Measured r13 at the sf0.1
+      co-order graph (2.39M adj rows): 0.8 s/sweep vs 1.45 s for the
+      shuffle variant. Correct whenever |V| fits a broadcast — the
+      caller caps it.
+    - ``broadcast_values=False`` — the scale fallback when the node
+      relation outgrows broadcast: the join pins shuffle_hash, because
+      both loop relations are lineage-truncated LogicalRDDs with
+      unknown compile-time stats, and AQE's runtime estimate happily
+      broadcasts the ADJACENCY side when its compressed shuffle bytes
+      squeeze under the threshold — a driver OOM at bench SF (the r12
+      incident) and the wrong plan at any scale (2|E| rows).
+      Shuffled-hash streams the edge relation and builds only the
+      node-values partition.
+
+    The H-index itself is a row_number window partitioned by node
+    (ties are order-insensitive for the H statistic), never a per-node
+    collect_list — executor memory stays flat in max degree. A
+    count-based reformulation (groupBy (node, value) + cumulative sum
+    over value-groups) was measured SLOWER (1.3 s/sweep: the partial
+    aggregate introduces its own exchange), so the sort window
+    stays."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("node").orderBy(F.col("cv").desc())
-    nb = adj.join(
-        cur.select(
-            F.col("node").alias("nbr"), F.col("c").alias("cv")
-        ).hint("shuffle_hash"),
-        "nbr",
-    ).select("node", "cv")
-    hidx = (
+    values = cur.select(F.col("node").alias("nbr"), F.col("c").alias("cv"))
+    values = (
+        F.broadcast(values) if broadcast_values else values.hint("shuffle_hash")
+    )
+    nb = adj.join(values, "nbr").select("node", "cv")
+    return (
         nb.withColumn("rn", F.row_number().over(w))
         .groupBy("node")
         .agg(
@@ -132,9 +152,6 @@ def _hindex_round(adj: DataFrame, cur: DataFrame) -> DataFrame:
             .cast("long")
             .alias("c")
         )
-    )
-    return hidx.join(
-        cur.select("node", F.col("c").alias("c_prev")), "node"
     )
 
 
@@ -163,13 +180,43 @@ def core_numbers(
     graph), independent of how many distinct core levels exist.
 
     Distributed shape per round: neighbor values via an edge-keyed
-    join (2|E| rows, both orientations), the H-index via a
-    row_number window PARTITIONED BY node over those rows (descending
-    value; ties are order-insensitive for the H statistic, so the
-    result is deterministic) — never a per-node collect_list, so
-    executor memory is flat in max degree. Rounds materialize via
+    join (both orientations), the H-index via a row_number window
+    PARTITIONED BY node over those rows (descending value; ties are
+    order-insensitive for the H statistic, so the result is
+    deterministic) — never a per-node collect_list, so executor
+    memory is flat in max degree. Rounds materialize via
     :func:`operators.iterative.loop_round` (block release +
     ``checkpoint_dir`` reliable option).
+
+    Per-round plan economics — MEASURED r13 at the sf0.1 co-order
+    graph (2.39M adjacency rows, 20k nodes, depth 38), because the
+    r12 hypothesis ("late near-converged sweeps dominate, delta-
+    iterate the frontier") turned out WRONG on real data:
+
+    - A round's fixed cost (loop_round materialization + the changed
+      count) is ~0.2 s; a full h-index sweep ~1.45 s — edge volume is
+      the cost, so a worklist LOOKED right.
+    - But the worklist LOST both ways it was built. As plain
+      semi-joins (adjacency ⋉ changed-set, then adjacency ⋉ frontier)
+      it re-shuffles the full adjacency twice per round — measured
+      1.5× SLOWER end-to-end (118 s vs 76 s). With the changed set
+      explicitly broadcast it broke even at best: the changed-set
+      trace (19551 … 80, 55, 42 … re-expanding to 7441 before
+      converging) shows the correction waves live in the DENSE CORE,
+      where a few thousand changed nodes are adjacent to a large
+      fraction of all edges — frontier node-counts shrink, frontier
+      EDGE volume does not, and the ~0.4 s/round frontier bookkeeping
+      ate the residue. The worklist was therefore removed.
+    - What actually pays: never exchange the heavy relation at all.
+      The adjacency is hash-partitioned by ``node`` ONCE before its
+      checkpoint (LogicalRDD preserves outputPartitioning, so every
+      round's window + aggregate run in place), and the per-round
+      value join BROADCASTS the node-values relation (node-grain,
+      known-|V|, capped) instead of shuffling 2|E| rows against it —
+      0.8 s/sweep measured, ~45% off the round cost. Above the
+      broadcast cap (cluster-scale graphs) the sweep falls back to
+      the pinned shuffle_hash join, where the node-side partition
+      build is the plan that holds at 100 TB.
 
     Fixpoint idempotence is the cross-engine contract, exactly as in
     :func:`kcore_peel`: iterating past convergence changes nothing,
@@ -181,12 +228,24 @@ def core_numbers(
     "n_nodes"}``; ``c`` is exact (long).
     """
     e = edges.select("src", "dst")
-    adj = loop_round(
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Hash-partition the adjacency by the window/aggregate key, then
+    # PERSIST it (not checkpoint): the adjacency is a stable relation
+    # read every round, so it has no growing lineage to truncate, and
+    # a checkpoint would actively hurt — LogicalRDD reports unknown
+    # outputPartitioning (observed: the window re-exchanges 2|E| rows
+    # every sweep), while an InMemoryRelation keeps its child plan's
+    # partitioning, so broadcast-join + window + aggregate all run in
+    # place. Unpersisted after convergence (the returned cores
+    # relation is self-contained in the final round's checkpoint).
+    adj = (
         e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .unionAll(
             e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
-        ),
-        checkpoint_dir=checkpoint_dir,
+        )
+        .repartition(n_part, "node")
+        .persist()
     )
     # cur_cp is the round's CHECKPOINTED relation (the freeable leaf);
     # cur is at most a projection over it
@@ -199,9 +258,21 @@ def core_numbers(
     n_nodes = cur_cp.count()
     rounds = 0
     converged = False
+    # Broadcasting the node-values relation per sweep is the win (see
+    # class docstring), but only while |V| comfortably fits a
+    # broadcast: ~2M (node, value) long-pairs ≈ 32 MB. Beyond that,
+    # the pinned shuffle_hash fallback is the cluster-scale plan.
+    bcast_values = n_nodes <= 2_000_000
     while rounds < max_rounds:
+        new_vals = _hindex_round(
+            adj, cur, broadcast_values=bcast_values
+        ).withColumnRenamed("c", "c_new")
         nxt = loop_round(
-            _hindex_round(adj, cur),
+            cur.join(new_vals, "node", "left").select(
+                "node",
+                F.coalesce("c_new", "c").cast("long").alias("c"),
+                F.col("c").alias("c_prev"),
+            ),
             prev=cur_cp,
             checkpoint_dir=checkpoint_dir,
         )
@@ -212,6 +283,9 @@ def core_numbers(
         if changed == 0:
             converged = True
             break
+    # cores is a projection over the (self-contained) checkpointed
+    # final round — the adjacency's cached blocks are dead weight now
+    adj.unpersist(blocking=False)
     return {
         "cores": cur,
         "rounds": rounds,

@@ -511,6 +511,29 @@ def test_hindex_round_pins_shuffle_hash_no_broadcast_of_adj(spark):
     # the H-index is a window + aggregate, never a collect_list
     assert "collect_list" not in plan
 
+    # the r13 fast path: with the node-values side explicitly
+    # broadcast and the adjacency node-partitioned + PERSISTED (a
+    # localCheckpoint would report unknown partitioning and force the
+    # window to re-exchange 2|E| rows every sweep — observed), the
+    # sweep must never exchange the adjacency: join, window, and
+    # aggregate all run on the preserved partitioning.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj_p = adj.repartition(n_part, "node").persist()
+    try:
+        adj_p.count()
+        bc = _hindex_round(adj_p, cur, broadcast_values=True)
+        bplan = bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bplan
+        assert "ShuffledHashJoin" not in bplan
+        # the window + aggregate above the join must reuse the
+        # cached partitioning: no exchange between the join and the
+        # plan root (exchanges below the join — the values-side
+        # groupBy, the cached plan's own repartition — are fine)
+        above_join = bplan.split("BroadcastHashJoin")[0]
+        assert "Exchange hashpartitioning" not in above_join, bplan
+    finally:
+        adj_p.unpersist(blocking=False)
+
 
 def test_fuzzy_d2_join_is_sort_merge(spark, sf_dir):
     """The d2 variant self-join must stay sort-merge (the pinned merge
