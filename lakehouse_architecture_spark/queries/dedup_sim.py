@@ -1526,6 +1526,93 @@ def docs_prefix_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_prefix_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE c AS (
+  SELECT doc_id AS id, substr({SQL_NORM}, 1, 25) AS name
+  FROM documents
+),
+v AS (
+  SELECT id, name,
+         CASE WHEN i = 0 THEN name
+              ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+         END AS var
+  FROM c, UNNEST(generate_series(0, len(name))) AS t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT CAST(component AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_sz
+FROM comp GROUP BY component ORDER BY canonical_id
+""",
+)
+def docs_prefix_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity resolution on the NATURAL corpus, with the full
+    per-cluster census exposed — the r12 verdict's at-scale order for
+    the ER family. `customers_entity_resolution` proves the pipeline
+    on the adversarial zero-dense name corpus, but its recursive
+    transitive-closure oracle is quadratic THERE (one giant near-dup
+    family), so its values have only ever been verified at sf0.01.
+    This row runs the same match -> cluster -> survivor chain
+    (SymSpell d1 blocking, levenshtein verify, min-label connected
+    components) over normalized document-text 25-char prefixes — the
+    corpus where near-identical entries are SPARSE (the
+    `docs_prefix_fuzzy_pairs_d2` regime: bucket sizes <= 4, a few
+    hundred pairs at sf0.1), so the closure oracle stays tractable at
+    the 10x sweep scale and every cluster's membership is
+    VALUE-verified cross-engine, not just counted.
+
+    Output is the per-cluster relation itself (canonical_id = min doc
+    id, cluster_sz), one row per resolved entity group, ordered — a
+    stronger comparison surface than the census-count row: a single
+    mis-grouped document changes some cluster's canonical or size.
+
+    Scale: the d1 variant join is bucket-bounded (Σ|bucket|² ~
+    |variants| on sparse corpora), components is diameter-bounded
+    label propagation, the census one aggregate — all linear-ish in
+    corpus size; nothing here is the oracle's recursive closure, which
+    exists only to certify the Spark side from a second engine."""
+    from lakehouse_architecture_spark.operators.components import (
+        connected_components,
+    )
+    from lakehouse_architecture_spark.operators.dedup import normalize_text
+    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d1
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 25).alias("prefix"),
+    )
+    pairs = fuzzy_pairs_d1(docs, "prefix", "doc_id").select("id_a", "id_b")
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.min("doc").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("cluster_sz"),
+        )
+        .select("canonical_id", "cluster_sz")
+        .orderBy("canonical_id")
+    )
+
+
+@query(
     "customers_entity_resolution",
     oracle="""
 WITH RECURSIVE v AS (
