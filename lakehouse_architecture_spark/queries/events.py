@@ -2581,3 +2581,155 @@ def events_value_quantile_rollup_by_type(
         )
         .orderBy("event_type", "q")
     )
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new_session) OVER
+           (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sid, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+  FROM sess GROUP BY user_id, sid
+),
+seg AS (
+  SELECT CAST(d AS DATE) AS day,
+         GREATEST(s_ms, epoch_ms(CAST(CAST(d AS DATE) AS TIMESTAMP)))
+           AS seg_s,
+         LEAST(e_ms, epoch_ms(CAST(CAST(d AS DATE) AS TIMESTAMP))
+                     + 86399999) AS seg_e
+  FROM iv, UNNEST(generate_series(
+         CAST(epoch_ms(s_ms) AS DATE),
+         CAST(epoch_ms(e_ms) AS DATE),
+         INTERVAL 1 DAY)) AS t(d)
+),
+pts AS (
+  SELECT day, seg_s AS t_ms, 1 AS s, 0 AS e FROM seg
+  UNION ALL
+  SELECT day, seg_e AS t_ms, 0 AS s, 1 AS e FROM seg
+),
+byts AS (
+  SELECT day, t_ms, SUM(s) AS s, SUM(e) AS e
+  FROM pts GROUP BY day, t_ms
+),
+run AS (
+  SELECT day,
+         SUM(s - e) OVER (PARTITION BY day ORDER BY t_ms
+                          ROWS UNBOUNDED PRECEDING) + e AS peak,
+         s
+  FROM byts
+)
+SELECT day, CAST(MAX(peak) AS BIGINT) AS max_concurrent,
+       CAST(SUM(s) AS BIGINT) AS n_session_segments
+FROM run GROUP BY day ORDER BY day
+""",
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK session concurrency by sweep-line over session
+    intervals — the interval-stabbing operator (capacity planning's
+    "how many users were on at once", licensing's max-seats, and the
+    load profile a serving fleet is sized against). Algorithmically a
+    different shape from everything else in the events family: the
+    answer is an ORDER-STATISTIC OVER TIME of overlapping intervals,
+    not a grouped aggregate — computed by the classic sweep: +1 at
+    each interval start, -1 after each end, running-sum, max.
+
+    Intervals are gap-based sessions (the `events_sessionization`
+    definition verbatim: 30-min inactivity, [min ts, max ts] per
+    session, inclusive ends — a session whose last event lands at
+    instant t is still active AT t, so the peak at t adds back the
+    ends that occur exactly there). Sessions crossing midnight are
+    SPLIT per day (generate the covered days, clip endpoints to day
+    bounds), which is what makes the operator scale: the running sum
+    is windowed PER DAY, so no single global prefix-scan partition —
+    days sweep in parallel, the 1000-executor shape for a year of
+    events. Segment counts ride along (a midnight-crossing session
+    counts once per covered day, documented by n_session_segments vs
+    the sessionization row's n_sessions).
+
+    Everything compared is an exact integer (ms endpoints, counts);
+    the oracle replicates the whole chain — session assembly, day
+    split, endpoint aggregation, running sum — in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        ts_ms.alias("ts_ms"),
+        F.when(
+            F.lag(ts_ms).over(w).isNull()
+            | ((ts_ms - F.lag(ts_ms).over(w)) > SESSION_GAP_MS),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_ms").alias("s_ms"), F.max("ts_ms").alias("e_ms")
+    )
+    day = F.explode(
+        F.sequence(
+            F.to_date(F.timestamp_millis(F.col("s_ms"))),
+            F.to_date(F.timestamp_millis(F.col("e_ms"))),
+        )
+    ).alias("day")
+    day_start = F.unix_millis(F.col("day").cast("timestamp"))
+    seg = iv.select("s_ms", "e_ms", day).select(
+        "day",
+        F.greatest("s_ms", day_start).alias("seg_s"),
+        F.least("e_ms", day_start + F.lit(86399999)).alias("seg_e"),
+    )
+    pts = seg.select(
+        "day", F.col("seg_s").alias("t_ms"), F.lit(1).alias("s"), F.lit(0).alias("e")
+    ).unionAll(
+        seg.select(
+            "day", F.col("seg_e").alias("t_ms"), F.lit(0).alias("s"), F.lit(1).alias("e")
+        )
+    )
+    byts = pts.groupBy("day", "t_ms").agg(
+        F.sum("s").alias("s"), F.sum("e").alias("e")
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("t_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = byts.select(
+        "day",
+        (F.sum(F.col("s") - F.col("e")).over(wd) + F.col("e")).alias("peak"),
+        "s",
+    )
+    return (
+        run.groupBy("day")
+        .agg(
+            F.max("peak").cast("long").alias("max_concurrent"),
+            F.sum("s").cast("long").alias("n_session_segments"),
+        )
+        .orderBy("day")
+    )
