@@ -36,83 +36,81 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-12 priority (the rotation's final leg). Standing-row staleness
-# after r11 (CORRECTNESS_r01..r11, latest round per query): 27 rows
-# last checked r7, 39 r8, 40 r9, 48 r10, 50 r11. Window arithmetic,
-# 50 slots: 2 sentinels
-# + 6 r12 NEW queries (first driver rows: core-number decomposition,
-#   personalized PageRank, per-type quantile rollup, the two fuzzy-d2
-#   regime rows, the bigram cross-entropy quality scorer)
-# + 4 r12-TOUCHED queries (kcore + pagerank after the loop_round
-#   checkpoint-lifecycle rework; events_kmv_new_vs_returning after the
-#   cumulative-window-fold rework; customers_fuzzy_pairs_d2 after the
-#   fuzzy_pairs_d2 variants-parameter change)
-# + all 27 remaining r7-stale rows (the rotation the r11 verdict
-#   ordered — after this window no standing row is older than r8)
-# + 11 oldest r8-stale rows, session-state-sensitive families first
-#   (iterative k-means, sampling determinism, the validation split
-#   family, sketch sampling)
+# Round-13 priority. Standing-row staleness after r12
+# (CORRECTNESS_r01..r12, latest round per query): 28 rows last checked
+# r8, 40 r9, 48 r10, 44 r11, 50 r12. Window arithmetic, 50 slots:
+# 2 sentinels
+# + 3 r13 NEW queries (first driver rows: docs_prefix_entity_resolution
+#   — the ER row value-verifiable at sf0.1; parts_coorder_link_prediction
+#   — capped common-neighbor candidate expansion;
+#   events_concurrent_sessions — the sweep-line peak-concurrency
+#   operator)
+# + 2 r13-TOUCHED queries (parts_coorder_core_numbers after the
+#   exchange-free sweep rework — persisted node-partitioned adjacency +
+#   broadcast values; parts_coorder_ppr after the seed dedup/semi-join
+#   hygiene fix)
+# + all 28 remaining r8-stale rows (the rotation the r12 verdict
+#   ordered — after this window no standing row is older than r9)
+# + 15 oldest r9-stale rows, state-sensitive families first (the
+#   cached-centroid IVF/LSH embedding family, the exact-anchor
+#   approx-QA row, sketch accuracy rows, z-test/anomaly stats)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 28 remaining r8-stale rows lead r13; after r13 the board holds
-# a steady <=4-round refresh cadence with nothing older than r9.
+# The 25 remaining r9-stale rows lead r14; the board keeps the
+# <=4-round refresh cadence.
 _PRIORITY = [
-    # (a) r12 new: first driver rows
-    "docs_bigram_cross_entropy",
-    "parts_coorder_ppr",
+    # (a) r13 new: first driver rows
+    "docs_prefix_entity_resolution",
+    "parts_coorder_link_prediction",
+    "events_concurrent_sessions",
+    # (b) r13-touched
     "parts_coorder_core_numbers",
-    "events_value_quantile_rollup_by_type",
-    "customers_fuzzy_pairs_d2_capped",
-    "docs_prefix_fuzzy_pairs_d2",
-    # (b) r12-touched
-    "parts_coorder_kcore",
-    "parts_coorder_pagerank",
-    "events_kmv_new_vs_returning",
-    "customers_fuzzy_pairs_d2",
-    # (c) the 27 remaining r7-stale rows
-    "docs_length_histogram",
-    "docs_packing_manifest",
-    "docs_quality_classifier_qa",
-    "docs_source_shingle_overlap",
-    "docs_token_freq_spectrum",
-    "docs_vocab_growth_by_source",
-    "docs_weighted_sample_topk",
-    "emb_dim_variance_topk",
-    "emb_top_pc_power_iteration",
-    "events_cms_topk_accuracy",
-    "events_cusum_daily_drift",
-    "events_seasonal_anomaly",
-    "events_session_length_percentiles",
-    "events_user_volume_concentration",
-    "lineitem_ols2_price_qty_discount",
-    "lineitem_ols_price_on_qty",
-    "lineitem_price_percentiles_by_flag",
-    "lineitem_salted_agg_by_flag",
-    "orders_expectation_report",
-    "orders_monthly_growth",
-    "orders_open_backlog_by_day",
-    "orders_pareto_concentration",
-    "scalar_array_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_null_semantics",
-    "scd2_customer_history",
-    "snapshot_diff_counts",
-    # (d) 11 oldest r8-stale rows (state-sensitive first: iterative
-    # k-means, seeded sampling, the validation split family whose five
-    # queries share rejection-rule state, sketch/fingerprint sampling;
-    # events_value_p95_by_type also re-checks beside its new rollup
-    # twin)
-    "emb_kmeans_clusters",
-    "events_value_p95_by_type",
-    "events_sessionization",
-    "validate_orders_invalid",
-    "validate_orders_rejection_summary",
-    "validate_orders_split_stats",
-    "validate_lineitem_fk_invalid",
-    "validate_lineitem_fk_summary",
-    "ri_dangling_lineitems",
-    "minhash_signatures_sample",
-    "simhash_fingerprints",
+    "parts_coorder_ppr",
+    # (c) the 28 remaining r8-stale rows
+    "docs_chunk_manifest",
+    "docs_exact_dedupe_count",
+    "docs_exact_dup_groups",
+    "docs_fingerprint",
+    "docs_hash_split_counts",
+    "docs_lang_id",
+    "docs_mixture_resample",
+    "docs_novelty_score",
+    "docs_pii_scrub",
+    "docs_quality_score",
+    "docs_repetition_score",
+    "docs_shingle_stats",
+    "docs_stratified_sample",
+    "docs_test_contamination",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
+    "docs_token_stats",
+    "docs_top_terms",
+    "emb_centroid_norm_by_label",
+    "emb_int8_quantization",
+    "emb_norms",
+    "events_gapfilled_hourly",
+    "events_ohlc_downsample",
+    "orders_trend_by_segment",
+    "q2_min_cost_supplier",
+    "scalar_math_funcs",
+    "stats_corr_price_qty",
+    "window_percent_rank_cume",
+    # (d) 15 oldest r9-stale rows (state-sensitive first)
+    "approx_distinct_and_quantile",
+    "emb_ivf_probe_stats",
+    "emb_knn_bruteforce",
+    "emb_knn_bruteforce_decimal",
+    "emb_knn_ivf_md5",
+    "emb_knn_lsh",
+    "emb_lsh_candidate_stats",
+    "emb_near_dup_lsh_strict",
+    "emb_near_dup_pairs",
+    "events_hll_accuracy_qa",
+    "events_ab_test_value_ztest",
+    "events_anomaly_mad",
+    "events_anomaly_zscore",
+    "basket_brand_pairs",
+    "agg_argmax_by_status",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -128,28 +126,27 @@ _FAMILY_ORDER = [
 ]
 # Queries pushed past the driver's check horizon this round:
 # everything outside the 50-slot window above. All have standing green
-# driver rows no older than r8 (the full r7-stale block is IN the
-# window), and none was touched in r12, so the window is spent on the
-# rotation plus the round's eight changed/new queries. Regenerated
+# driver rows no older than r9 (the full r8-stale block is IN the
+# window), and none was touched in r13, so the window is spent on the
+# rotation plus the round's five changed/new queries. Regenerated
 # each round as registry − sentinels − priority.
 _SECOND_TIER = {
-    "agg_argmax_by_status",
     "agg_cube_flags",
     "agg_grouping_sets",
     "agg_rollup_status_priority",
     "agg_stats_by_status",
-    "approx_distinct_and_quantile",
     "asof_join_purchase_click",
-    "basket_brand_pairs",
     "case_when_conditional_agg",
     "correlated_min_per_group_join",
     "customers_entity_resolution",
     "customers_fuzzy_name_stats",
+    "customers_fuzzy_pairs_d2",
+    "customers_fuzzy_pairs_d2_capped",
     "dedup_latest_order_per_customer",
     "distinct_segments",
+    "docs_bigram_cross_entropy",
     "docs_bpe_encode_stats",
     "docs_bpe_merge_qa",
-    "docs_chunk_manifest",
     "docs_copied_span_profile",
     "docs_curation_funnel",
     "docs_dedup_keep_best",
@@ -157,62 +154,45 @@ _SECOND_TIER = {
     "docs_dup_cluster_size_histogram",
     "docs_dup_components",
     "docs_dup_profile_by_source",
-    "docs_exact_dedupe_count",
-    "docs_exact_dup_groups",
-    "docs_fingerprint",
-    "docs_hash_split_counts",
     "docs_incremental_copied_spans",
     "docs_incremental_near_dups",
     "docs_incremental_near_dups_indexed",
-    "docs_lang_id",
     "docs_learned_filter_apply",
-    "docs_mixture_resample",
+    "docs_length_histogram",
     "docs_ngram_jaccard_pairs",
-    "docs_novelty_score",
-    "docs_pii_scrub",
-    "docs_quality_score",
+    "docs_packing_manifest",
+    "docs_prefix_fuzzy_pairs_d2",
+    "docs_quality_classifier_qa",
     "docs_rare_token_ratio",
-    "docs_repetition_score",
     "docs_shared_span_pairs",
-    "docs_shingle_stats",
-    "docs_stratified_sample",
-    "docs_test_contamination",
-    "docs_tfidf_top_terms",
-    "docs_token_entropy",
-    "docs_token_stats",
-    "docs_top_terms",
-    "emb_centroid_norm_by_label",
-    "emb_int8_quantization",
-    "emb_ivf_probe_stats",
-    "emb_knn_bruteforce",
-    "emb_knn_bruteforce_decimal",
+    "docs_source_shingle_overlap",
+    "docs_token_freq_spectrum",
+    "docs_vocab_growth_by_source",
+    "docs_weighted_sample_topk",
+    "emb_dim_variance_topk",
+    "emb_kmeans_clusters",
     "emb_knn_ivf",
-    "emb_knn_ivf_md5",
-    "emb_knn_lsh",
-    "emb_lsh_candidate_stats",
-    "emb_near_dup_lsh_strict",
-    "emb_near_dup_pairs",
-    "emb_norms",
     "emb_pq_quantization_qa",
     "emb_semantic_dedup",
-    "events_ab_test_value_ztest",
-    "events_anomaly_mad",
-    "events_anomaly_zscore",
+    "emb_top_pc_power_iteration",
     "events_chi2_type_dow",
+    "events_cms_topk_accuracy",
+    "events_cusum_daily_drift",
     "events_daily_active_users",
     "events_daily_new_vs_returning",
     "events_dow_hour_heatmap",
     "events_funnel",
-    "events_gapfilled_hourly",
-    "events_hll_accuracy_qa",
     "events_hll_intersection_qa",
     "events_hll_sketch_rollup",
     "events_hourly_by_type",
     "events_kmv_daily_rollup",
     "events_kmv_intersection_qa",
-    "events_ohlc_downsample",
+    "events_kmv_new_vs_returning",
     "events_props_extract",
     "events_retention_cohorts",
+    "events_seasonal_anomaly",
+    "events_session_length_percentiles",
+    "events_sessionization",
     "events_signup_to_purchase_1h",
     "events_stickiness_ratio",
     "events_trailing_24h_volume",
@@ -220,7 +200,10 @@ _SECOND_TIER = {
     "events_type_transitions",
     "events_type_value_stats",
     "events_user_lifetime",
+    "events_user_volume_concentration",
+    "events_value_p95_by_type",
     "events_value_quantile_rollup",
+    "events_value_quantile_rollup_by_type",
     "join_cross_region_pairs",
     "join_full_outer_nation_presence",
     "join_inner_orders_customer",
@@ -230,17 +213,27 @@ _SECOND_TIER = {
     "join_right_outer_part_lineitems",
     "lineitem_discount_band_profile",
     "lineitem_key_skew_profile",
+    "lineitem_ols2_price_qty_discount",
+    "lineitem_ols_price_on_qty",
+    "lineitem_price_percentiles_by_flag",
+    "lineitem_salted_agg_by_flag",
     "lineitem_unpivot_measure_stats",
     "minhash_estimate_qa",
     "minhash_lsh_near_dups",
     "minhash_recall_curve",
+    "minhash_signatures_sample",
     "not_exists_insert_guard",
     "orders_bloom_prune_stats",
     "orders_cohort_monthly_value",
+    "orders_expectation_report",
     "orders_incremental_rollup_state",
     "orders_interarrival_stats",
+    "orders_monthly_growth",
+    "orders_open_backlog_by_day",
+    "orders_pareto_concentration",
     "orders_rfm_segments",
-    "orders_trend_by_segment",
+    "parts_coorder_kcore",
+    "parts_coorder_pagerank",
     "parts_coorder_triangles",
     "pivot_status_by_priority",
     "profile_orders_columns",
@@ -257,7 +250,6 @@ _SECOND_TIER = {
     "q20_excess_shippers",
     "q21_sole_late_supplier",
     "q22_dormant_customers",
-    "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -266,30 +258,39 @@ _SECOND_TIER = {
     "q9_product_profit",
     "quantiles_exact",
     "range_join_price_bands",
+    "ri_dangling_lineitems",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
     "scalar_date_funcs",
-    "scalar_math_funcs",
+    "scalar_null_semantics",
     "scalar_string_funcs",
     "scalar_subquery_above_avg",
+    "scd2_customer_history",
     "setop_except_all_dup_aware",
     "setop_except_no_order_customers",
     "setop_intersect_keys",
     "setop_union_all_parties",
+    "simhash_fingerprints",
     "simhash_near_pairs",
+    "snapshot_diff_counts",
     "sql_bucketed_colocated_join",
     "sql_catalog_roundtrip",
     "sql_insert_not_exists",
     "sql_probe_orders",
     "sql_recursive_cte_calendar",
     "sql_revenue_by_nation",
-    "stats_corr_price_qty",
     "stats_skew_kurtosis_qty",
     "supplier_fulfillment_latency",
     "topk_orders",
+    "validate_lineitem_fk_invalid",
+    "validate_lineitem_fk_summary",
+    "validate_orders_invalid",
+    "validate_orders_rejection_summary",
+    "validate_orders_split_stats",
     "window_first_last_dense",
     "window_lag_order_gaps",
     "window_lead_ntile",
     "window_moving_avg_frame",
-    "window_percent_rank_cume",
     "window_rank_orders",
     "window_running_spend",
 }

@@ -219,58 +219,54 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r12 new/touched surfaces must have a fresh driver row: the four
-    # first-driver-row queries plus the four whose plans this round's
-    # reworks changed (loop_round lifecycle in kcore/pagerank, the KMV
-    # cumulative-window fold, the fuzzy_pairs_d2 variants parameter)
-    touched_r12 = {
-        "docs_bigram_cross_entropy",  # new: first driver row
-        "parts_coorder_ppr",  # new: first driver row
-        "parts_coorder_core_numbers",  # new: first driver row
-        "events_value_quantile_rollup_by_type",  # new: first driver row
-        "customers_fuzzy_pairs_d2_capped",  # new: first driver row
-        "docs_prefix_fuzzy_pairs_d2",  # new: first driver row
-        "parts_coorder_kcore",
-        "parts_coorder_pagerank",
-        "events_kmv_new_vs_returning",
-        "customers_fuzzy_pairs_d2",
+    # r13 new/touched surfaces must have a fresh driver row: the three
+    # first-driver-row queries plus the two whose plans this round's
+    # reworks changed (the exchange-free core-numbers sweep, the PPR
+    # seed-hygiene semi-join)
+    touched_r13 = {
+        "docs_prefix_entity_resolution",  # new: first driver row
+        "parts_coorder_link_prediction",  # new: first driver row
+        "events_concurrent_sessions",  # new: first driver row
+        "parts_coorder_core_numbers",
+        "parts_coorder_ppr",
     }
-    assert touched_r12 <= window, sorted(touched_r12 - window)
-    # the rotation the r11 verdict ordered: ALL 27 remaining r7-stale
+    assert touched_r13 <= window, sorted(touched_r13 - window)
+    # the rotation the r12 verdict ordered: ALL 28 remaining r8-stale
     # rows get fresh driver rows this round — after this window no
-    # standing row is older than r8 (list computed from
-    # CORRECTNESS_r01..r11)
-    stale_r7 = {
-        "docs_length_histogram",
-        "docs_packing_manifest",
-        "docs_quality_classifier_qa",
-        "docs_source_shingle_overlap",
-        "docs_token_freq_spectrum",
-        "docs_vocab_growth_by_source",
-        "docs_weighted_sample_topk",
-        "emb_dim_variance_topk",
-        "emb_top_pc_power_iteration",
-        "events_cms_topk_accuracy",
-        "events_cusum_daily_drift",
-        "events_seasonal_anomaly",
-        "events_session_length_percentiles",
-        "events_user_volume_concentration",
-        "lineitem_ols2_price_qty_discount",
-        "lineitem_ols_price_on_qty",
-        "lineitem_price_percentiles_by_flag",
-        "lineitem_salted_agg_by_flag",
-        "orders_expectation_report",
-        "orders_monthly_growth",
-        "orders_open_backlog_by_day",
-        "orders_pareto_concentration",
-        "scalar_array_funcs",
-        "scalar_bitwise_funcs",
-        "scalar_null_semantics",
-        "scd2_customer_history",
-        "snapshot_diff_counts",
+    # standing row is older than r9 (list computed from
+    # CORRECTNESS_r01..r12)
+    stale_r8 = {
+        "docs_chunk_manifest",
+        "docs_exact_dedupe_count",
+        "docs_exact_dup_groups",
+        "docs_fingerprint",
+        "docs_hash_split_counts",
+        "docs_lang_id",
+        "docs_mixture_resample",
+        "docs_novelty_score",
+        "docs_pii_scrub",
+        "docs_quality_score",
+        "docs_repetition_score",
+        "docs_shingle_stats",
+        "docs_stratified_sample",
+        "docs_test_contamination",
+        "docs_tfidf_top_terms",
+        "docs_token_entropy",
+        "docs_token_stats",
+        "docs_top_terms",
+        "emb_centroid_norm_by_label",
+        "emb_int8_quantization",
+        "emb_norms",
+        "events_gapfilled_hourly",
+        "events_ohlc_downsample",
+        "orders_trend_by_segment",
+        "q2_min_cost_supplier",
+        "scalar_math_funcs",
+        "stats_corr_price_qty",
+        "window_percent_rank_cume",
     }
-    assert len(stale_r7) == 27
-    assert stale_r7 <= window, sorted(stale_r7 - window)
+    assert len(stale_r8) == 28
+    assert stale_r8 <= window, sorted(stale_r8 - window)
 
 
 def test_readme_query_count_matches_registry():
