@@ -12,20 +12,30 @@ Per iteration (classic damped PageRank, Brin & Page 1998):
     pr_{t+1}(v) = (1-d) + d * [ Σ_{(u,v) in E} pr_t(u)/deg(u)
                                 + dangling_mass_t / n ]
 
-expressed as ONE edge-keyed join + ONE dst-keyed aggregate — the same
-two-shuffle cost class as any relational iteration; the dangling mass
-(rank parked on nodes with no out-edges) is a 1-row aggregate
-broadcast back, never a per-node collect. Ranks materialize each round
-via operators.iterative.loop_round (lineage truncation + release of
-the superseded round's blocks; ``checkpoint_dir`` selects the
-executor-loss-safe reliable variant for cluster runs), so plan depth
-and executor storage both stay flat across iterations. With sum(pr_0) = n the update conserves total
-mass at n exactly (modulo float addition), which the QA query pins as
-an oracle boolean alongside the convergence residual.
+expressed as ONE edge-keyed join + ONE dst-keyed aggregate; the
+dangling mass (rank parked on nodes with no out-edges) is a 1-row
+aggregate broadcast back, never a per-node collect. Ranks materialize
+each round via operators.iterative.loop_round (lineage truncation +
+release of the superseded round's blocks; ``checkpoint_dir`` selects
+the executor-loss-safe reliable variant for cluster runs), so plan
+depth and executor storage both stay flat across iterations. With
+sum(pr_0) = n the update conserves total mass at n exactly (modulo
+float addition), which the QA query pins as an oracle boolean
+alongside the convergence residual.
 
-At 100 TB each iteration shuffles |E| contribution rows with map-side
-partial aggregation on dst; iteration count is the convergence budget
-(10-20 dominates for web-like spectra), independent of corpus bytes.
+Exchange-free rounds (r13, the recipe measured on the core-numbers
+loop): the edge relation is hash-partitioned by ``dst`` ONCE and
+PERSISTED (an InMemoryRelation preserves outputPartitioning; a
+checkpointed LogicalRDD reports it unknown), and each round's share
+relation — node-grain, |V| known from the loop's own count — is
+explicitly BROADCAST while it fits (cap 2M rows). The contribution
+join then never exchanges the edge relation, its output stays
+dst-partitioned, and the dst aggregate runs in place: a round's heavy
+relation is SCANNED, not shuffled. Above the cap the join falls back
+to the plain shuffle pair, the 100 TB shape where each iteration
+shuffles |E| contribution rows with map-side partial aggregation on
+dst; iteration count is the convergence budget (10-20 dominates for
+web-like spectra), independent of corpus bytes.
 """
 
 from __future__ import annotations
@@ -58,8 +68,16 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1): {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # dst-partitioned + persisted: the per-round contribution join
+    # broadcasts the share side, so the edge relation is never
+    # exchanged again and the dst aggregate reuses this partitioning
+    # (see module docstring). Unpersisted before return.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(n_part, "dst")
+        .persist()
     )
     nodes = loop_round(
         e.select(F.col("src").alias("node"))
@@ -68,6 +86,7 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
     )
     n = nodes.count()
+    bcast_share = n <= 2_000_000
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # out-degree rides with the rank relation so the per-iteration join
     # is rank->edges only (nodes without out-edges carry deg 0 and
@@ -89,17 +108,15 @@ def pagerank(
             state.filter(F.col("deg") == 0)
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
         )
+        # deg > 0 before the division: ANSI mode makes /0 an error,
+        # and dangling nodes contribute via the teleport term, not
+        # the edge join
+        share = state.filter(F.col("deg") > 0).select(
+            F.col("node").alias("src"),
+            (F.col("pr") / F.col("deg")).alias("share"),
+        )
         contrib = (
-            e.join(
-                # deg > 0 before the division: ANSI mode makes /0 an
-                # error, and dangling nodes contribute via the
-                # teleport term, not the edge join
-                state.filter(F.col("deg") > 0).select(
-                    F.col("node").alias("src"),
-                    (F.col("pr") / F.col("deg")).alias("share"),
-                ),
-                "src",
-            )
+            e.join(F.broadcast(share) if bcast_share else share, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
@@ -128,6 +145,9 @@ def pagerank(
         )
         state_cp = new
         state = new.drop("pr_prev")
+    # ranks is a projection over the checkpointed final round; the
+    # edge cache is dead weight now
+    e.unpersist(blocking=False)
     return {
         "ranks": state.select("node", "pr"),
         "n_nodes": n,
@@ -175,7 +195,15 @@ def personalized_pagerank(
         raise ValueError(f"damping must be in (0, 1): {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # same exchange-free round shape as :func:`pagerank`: dst-
+    # partitioned persisted edges + broadcast share under the cap
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(n_part, "dst")
+        .persist()
+    )
     nodes = loop_round(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -183,6 +211,7 @@ def personalized_pagerank(
         checkpoint_dir=checkpoint_dir,
     )
     n = nodes.count()
+    bcast_share = n <= 2_000_000
     # Normalize the seed set before it defines the teleport measure
     # (r12 ADVICE): duplicates in ``seeds`` would duplicate node rows
     # through the left join below, and a seed absent from the graph
@@ -220,14 +249,12 @@ def personalized_pagerank(
             state.filter(F.col("deg") == 0)
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
         )
+        share = state.filter(F.col("deg") > 0).select(
+            F.col("node").alias("src"),
+            (F.col("pr") / F.col("deg")).alias("share"),
+        )
         contrib = (
-            e.join(
-                state.filter(F.col("deg") > 0).select(
-                    F.col("node").alias("src"),
-                    (F.col("pr") / F.col("deg")).alias("share"),
-                ),
-                "src",
-            )
+            e.join(F.broadcast(share) if bcast_share else share, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
@@ -257,6 +284,7 @@ def personalized_pagerank(
         )
         state_cp = new
         state = new.drop("pr_prev")
+    e.unpersist(blocking=False)
     return {
         "ranks": state.select("node", "sv", "pr"),
         "n_nodes": n,
