@@ -155,6 +155,7 @@ EXTRA = [
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
     "r13/minhash-adjudication: the r12 verdict's order 2 (minhash_lsh_near_dups 1.607 -> 2.282 s on untouched code, the only out-of-band mover) closed as a LEVEL-BAND verdict, not a regression: the r13 trigger fired (bench median 2.044 > 1.25x of r11's 1.607), so the interleaved protocol ran — 7 alternating reps against the stable docs_ngram_jaccard_pairs control in one warmed sf0.1 session: suspect median 2.099 (min 1.667, max 2.374), control median 1.191 (its long-standing level). Four independent sessions now agree on a ~2.0-2.1 s median (r12 1-GiB closing bench 2.282, r12 8-GiB heap A/B 2.096 min, r13 full bench 2.044, interleaved 2.099) while the interleaved MIN still reaches the r11 level — a plan regression cannot produce that floor, and the code is unchanged since r11 (git-verified). Verdict: r11's 1.607 was the low edge of the documented +/-20-30% single-query band and the sustained level is ~2.05 s; watch closes unless a future round moves the MEDIAN above ~2.6 s (1.25x of the adjudicated level).",
+    "r13/pagerank-exchange-free: the core-numbers recipe generalized to the other fixpoint loops — pagerank/personalized_pagerank now persist the edge relation hash-partitioned by dst and broadcast the node-grain share relation per round (cap |V| <= 2M, plain shuffle join beyond), so the contribution join never exchanges |E| rows and the dst aggregate reuses the cached partitioning. Cold sf0.1 A/B on this tree: parts_coorder_ppr 29.65 -> 17.36 s (1.7x), parts_coorder_pagerank 27.09 -> 24.20 s (1.12x — that query's wall is dominated by its QA/invariant surface, not the loop).",
     "r13/core-numbers-sweep-cost: the r12 verdict's delta-iteration order closed by MEASUREMENT, with the hypothesis refuted and a bigger lever found. Decomposition at the sf0.1 co-order graph (2.39M adjacency rows, 20k nodes, depth 38, cold get_spark harness): per-round fixed cost (loop_round materialization + changed count) ~0.2 s, full h-index sweep ~1.45 s — so edge volume is the round cost, but the late 'near-converged' rounds are only near-converged in NODE count: the changed-set trace (19551...80, 55, 42...re-expanding to 7441 before round-38 convergence) shows correction waves living in the dense core, where a few thousand changed nodes touch a large share of all edges. A semi-join worklist re-shuffles the adjacency twice per round (measured 118 s vs 76 s baseline, 1.5x WORSE); a broadcast-frontier hybrid broke even (103 s). SHIPPED instead: adjacency node-partitioned + persisted (partitioning preserved; a localCheckpoint reports unknown partitioning and re-exchanges 2|E| rows at the window — observed in the executed plan) + per-sweep F.broadcast of the node-values relation capped at |V|<=2M with the pinned shuffle_hash as the at-scale fallback: sweep 1.45 -> 0.8 s, query wall 76.4 -> 41.2 s cold (1.85x). A count-based H-index (groupBy (node,value) + cumulative sum) was also tried and rejected: 1.3 s/sweep, the partial aggregate adds its own exchange. Plan shape pinned by tests/test_plans.py::test_hindex_round_pins_shuffle_hash_no_broadcast_of_adj.",
     'r12/sf01-oracle-sweep: FIRST full-registry oracle sweep at sf0.1 — every non-quadratic-oracle query VALUE-VERIFIED against DuckDB at 10x the gate scale (ORACLE_SF01_r12.json: per-query status + spark/duck walls; 8g session, 300 s per-oracle interrupt watchdog, 0 failures, 0 timeouts; regenerated at the final 209-query registry by tools/oracle_sf_sweep.py — 207/207). The only 2 skips are the documented quadratic-oracle rows (customers_fuzzy_pairs_d2: 112M-levenshtein brute force; customers_entity_resolution: recursive transitive closure over the zero-dense d1 graph, measured >60 s and unbounded — its sf0.01 row stays the correctness evidence) — both Spark sides run green in MAGNITUDE_r12.json. Upgrade over the magnitude sweep: executes-at-scale -> CORRECT-at-scale for the whole board.',
     'r12/heap-ab: same-session A/B of the 8 GiB heap against the 1 GiB closing bench — headline 16.825 -> 17.670 s (+5%), pipeline 9.276 -> 9.602 s, extras 72.8 -> 73.0 s, median per-query ratio 1.14 with movers in BOTH directions (0.74x-1.44x): the heap change is inside the documented session-noise band with no systematic effect at bench SF (it exists to stop task-level OOMs on wide SMJ tasks, not to speed anything). BENCH_DETAIL now carries the 8g numbers; compare r13 against these.',
