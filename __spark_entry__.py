@@ -40,23 +40,25 @@ _SENTINELS = [
 # (CORRECTNESS_r01..r12, latest round per query): 28 rows last checked
 # r8, 40 r9, 48 r10, 44 r11, 50 r12. Window arithmetic, 50 slots:
 # 2 sentinels
-# + 4 r13 NEW queries (first driver rows: docs_prefix_entity_resolution
+# + 5 r13 NEW queries (first driver rows: docs_prefix_entity_resolution
 #   — the ER row value-verifiable at sf0.1; parts_coorder_link_prediction
 #   — capped common-neighbor candidate expansion;
 #   events_concurrent_sessions + events_session_overlap_pairs — the
-#   sweep-line peak-concurrency and overlap-pair-census operators)
+#   sweep-line peak-concurrency and overlap-pair-census operators;
+#   events_daily_count_ewma — recursive per-series EWMA state via a
+#   higher-order array fold, dyadic-exact cross-engine)
 # + 2 r13-TOUCHED queries (parts_coorder_core_numbers after the
 #   exchange-free sweep rework — persisted node-partitioned adjacency +
 #   broadcast values; parts_coorder_ppr after the seed dedup/semi-join
 #   hygiene fix)
 # + all 28 remaining r8-stale rows (the rotation the r12 verdict
 #   ordered — after this window no standing row is older than r9)
-# + 14 oldest r9-stale rows, state-sensitive families first (the
+# + 13 oldest r9-stale rows, state-sensitive families first (the
 #   cached-centroid IVF/LSH embedding family, the exact-anchor
 #   approx-QA row, sketch accuracy rows, z-test/anomaly stats)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 26 remaining r9-stale rows lead r14; the board keeps the
+# The 27 remaining r9-stale rows lead r14; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
     # (a) r13 new: first driver rows
@@ -64,6 +66,7 @@ _PRIORITY = [
     "parts_coorder_link_prediction",
     "events_concurrent_sessions",
     "events_session_overlap_pairs",
+    "events_daily_count_ewma",
     # (b) r13-touched
     "parts_coorder_core_numbers",
     "parts_coorder_ppr",
@@ -96,7 +99,7 @@ _PRIORITY = [
     "scalar_math_funcs",
     "stats_corr_price_qty",
     "window_percent_rank_cume",
-    # (d) 14 oldest r9-stale rows (state-sensitive first)
+    # (d) 13 oldest r9-stale rows (state-sensitive first)
     "approx_distinct_and_quantile",
     "emb_ivf_probe_stats",
     "emb_knn_bruteforce",
@@ -109,7 +112,6 @@ _PRIORITY = [
     "events_hll_accuracy_qa",
     "events_ab_test_value_ztest",
     "events_anomaly_mad",
-    "events_anomaly_zscore",
     "basket_brand_pairs",
 ]
 _FAMILY_ORDER = [
@@ -128,7 +130,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r9 (the full r8-stale block is IN the
 # window), and none was touched in r13, so the window is spent on the
-# rotation plus the round's six changed/new queries. Regenerated
+# rotation plus the round's seven changed/new queries. Regenerated
 # each round as registry − sentinels − priority.
 _SECOND_TIER = {
     "agg_argmax_by_status",
@@ -176,6 +178,7 @@ _SECOND_TIER = {
     "emb_pq_quantization_qa",
     "emb_semantic_dedup",
     "emb_top_pc_power_iteration",
+    "events_anomaly_zscore",
     "events_chi2_type_dow",
     "events_cms_topk_accuracy",
     "events_cusum_daily_drift",

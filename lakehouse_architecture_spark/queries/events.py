@@ -2869,3 +2869,82 @@ def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_daily_count_ewma",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+rec AS (
+  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.event_type, x.day, x.n, x.i,
+         (r.ewma + CAST(x.n AS DOUBLE)) / 2
+  FROM rec r JOIN idx x
+    ON x.event_type = r.event_type AND x.i = r.i + 1
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+       ROUND(ewma, 6) AS ewma
+FROM rec ORDER BY event_type, day
+""",
+)
+def events_daily_count_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    type (alpha = 1/2) — the RECURSIVE per-series state that SQL window
+    frames cannot express (each smoothed value depends on the previous
+    SMOOTHED value, not the previous raw rows; pandas' `ewm`, Flink's
+    stateful per-key operators). Spark-first shape: one grouped count,
+    then per series a sort + HIGHER-ORDER ARRAY FOLD
+    (``aggregate(series, ..., (acc, x) -> append(acc, f(last(acc), x)))``)
+    inside whole-stage codegen — state recursion as a pure column
+    expression, no UDF, no driver loop, no window hack. Series are
+    day-grain (30 elements per type here; bounded by calendar length,
+    never by event volume), so the fold's memory is trivial and types
+    process in parallel.
+
+    alpha = 1/2 is chosen for CROSS-ENGINE EXACTNESS, not just
+    convention: with integer daily counts, every smoothed value is a
+    dyadic rational, exact in binary floating point on BOTH engines —
+    the recursion accumulates zero rounding error, so the oracle (the
+    same recurrence as a recursive CTE in DuckDB) matches at round(6)
+    with no tolerance doctrine needed. The emitted surface is the
+    whole smoothed series (type, day, count, ewma), not just the
+    final value — any single mis-folded step breaks the row equality
+    from that day onward."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
+    )
+    folded = series.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "aggregate(s,"
+                " cast(array() as array<struct<day:date,n:bigint,ewma:double>>),"
+                " (acc, x) -> array_append(acc, named_struct("
+                "   'day', x.day, 'n', x.n,"
+                "   'ewma', CASE WHEN size(acc) = 0 THEN cast(x.n as double)"
+                "        ELSE (element_at(acc, -1).ewma"
+                "              + cast(x.n as double)) / 2 END)))"
+            )
+        ).alias("r"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        F.round("r.ewma", 6).alias("ewma"),
+    ).orderBy("event_type", "day")

@@ -219,7 +219,7 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r13 new/touched surfaces must have a fresh driver row: the four
+    # r13 new/touched surfaces must have a fresh driver row: the five
     # first-driver-row queries plus the two whose plans this round's
     # reworks changed (the exchange-free core-numbers sweep, the PPR
     # seed-hygiene semi-join)
@@ -228,6 +228,7 @@ def test_driver_window_composition():
         "parts_coorder_link_prediction",  # new: first driver row
         "events_concurrent_sessions",  # new: first driver row
         "events_session_overlap_pairs",  # new: first driver row
+        "events_daily_count_ewma",  # new: first driver row
         "parts_coorder_core_numbers",
         "parts_coorder_ppr",
     }
