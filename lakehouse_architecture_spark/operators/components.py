@@ -39,25 +39,50 @@ def connected_components(
     silently returning partial labels would mis-group documents and
     only surface as an unexplained result mismatch downstream.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Exchange-free rounds (r13, the loop recipe shared with
+    # pagerank/core_numbers): the symmetric edge relation is
+    # hash-partitioned by the AGGREGATE key ``b`` and persisted (an
+    # InMemoryRelation preserves outputPartitioning), and the
+    # node-grain label relation is broadcast into the propagation join
+    # while |V| fits (2M cap) — the join then runs in place and its
+    # output stays b-partitioned, so the per-round min-label aggregate
+    # exchanges nothing edge-sized. The old union+groupBy folded the
+    # label relation into the |E|-row aggregate; folding it instead
+    # through a node-grain least() merge join keeps the heavy side
+    # scan-only. Above the cap, the plain shuffle join is the
+    # cluster-scale path.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(n_part, "b")
+        .persist()
+    )
     labels = (
         sym.select(F.col("a").alias("doc"))
         .distinct()
         .withColumn("comp", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    bcast_labels = labels.count() <= 2_000_000
     converged = False
     for _ in range(max_iter):
-        prop = sym.join(
-            labels.withColumnRenamed("doc", "a"), "a"
-        ).select(F.col("b").alias("doc"), "comp")
-        new_labels = (
-            labels.union(prop)
+        lab_a = labels.withColumnRenamed("doc", "a")
+        prop_min = (
+            sym.join(F.broadcast(lab_a) if bcast_labels else lab_a, "a")
+            .select(F.col("b").alias("doc"), "comp")
             .groupBy("doc")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("pcomp"))
+        )
+        new_labels = (
+            labels.join(prop_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce("pcomp", F.col("comp"))
+                ).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
