@@ -541,3 +541,42 @@ def test_fuzzy_d2_join_is_sort_merge(spark, sf_dir):
     OOMed at bench SF, and SMJ is the only shape that survives scale."""
     plan = _plan(spark, sf_dir, "customers_fuzzy_pairs_d2")
     assert "SortMergeJoin" in plan
+
+
+def test_components_propagation_exchange_free(spark):
+    """The r13 label-propagation shape: with the symmetric edge
+    relation b-partitioned + persisted and labels broadcast, the
+    per-round min-label aggregate must reuse the cached partitioning —
+    BroadcastHashJoin, and no exchange between the join and the
+    aggregate above it."""
+    from pyspark.sql import functions as F
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(n_part, "b")
+        .persist()
+    )
+    try:
+        sym.count()
+        labels = (
+            sym.select(F.col("a").alias("doc"))
+            .distinct()
+            .withColumn("comp", F.col("doc"))
+            .localCheckpoint(eager=True)
+        )
+        prop_min = (
+            sym.join(F.broadcast(labels.withColumnRenamed("doc", "a")), "a")
+            .select(F.col("b").alias("doc"), "comp")
+            .groupBy("doc")
+            .agg(F.min("comp").alias("pcomp"))
+        )
+        plan = prop_min._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        above_join = plan.split("BroadcastHashJoin")[0]
+        assert "Exchange hashpartitioning" not in above_join, plan
+    finally:
+        sym.unpersist(blocking=False)
