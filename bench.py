@@ -154,6 +154,7 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r13/closing-ledger: final tree, 214 queries/214 oracles (+5 this round: docs_prefix_entity_resolution — the ER family's first value-verified-at-sf0.1 row, per-cluster census; parts_coorder_link_prediction — capped common-neighbor candidate expansion; events_concurrent_sessions + events_session_overlap_pairs — sweep-line peak concurrency and the overlap-join census proved against a brute-force-join oracle; events_daily_count_ewma — recursive per-series state via a dyadic-exact array fold). Final-tree evidence: pytest 476/476; full plain sweeps green on THREE corpora at the final registry (driver sf0.01 214/214 plain-session, fresh seeds 1207 + 4242 214/214 each); driver-order 50-window walk 50/50 plain (three times this round as the window grew); MAGNITUDE_r13.json — all 214 queries run at sf0.1, 0 errors; ORACLE_SF01_r13.json — 212/212 value-verified at sf0.1, 0 failures/timeouts, 2 documented quadratic-oracle skips. Perf work all measured cold A/B at sf0.1: exchange-free loop rounds (persist-partitioned stable relation + broadcast node-grain side, shuffle fallback above 2M) landed on core_numbers 76.4->41.2 s cold / 61.3->18.1 s warm-sweep, ppr 29.7->17.4, pagerank 27.1->24.2, components (ER 22.7->19.0, dup_components 8.5->7.2); the delta/worklist alternative measured and rejected with receipts. All five r12 ADVICE items and all r12 verdict orders closed.",
     "r13/minhash-adjudication: the r12 verdict's order 2 (minhash_lsh_near_dups 1.607 -> 2.282 s on untouched code, the only out-of-band mover) closed as a LEVEL-BAND verdict, not a regression: the r13 trigger fired (bench median 2.044 > 1.25x of r11's 1.607), so the interleaved protocol ran — 7 alternating reps against the stable docs_ngram_jaccard_pairs control in one warmed sf0.1 session: suspect median 2.099 (min 1.667, max 2.374), control median 1.191 (its long-standing level). Four independent sessions now agree on a ~2.0-2.1 s median (r12 1-GiB closing bench 2.282, r12 8-GiB heap A/B 2.096 min, r13 full bench 2.044, interleaved 2.099) while the interleaved MIN still reaches the r11 level — a plan regression cannot produce that floor, and the code is unchanged since r11 (git-verified). Verdict: r11's 1.607 was the low edge of the documented +/-20-30% single-query band and the sustained level is ~2.05 s; watch closes unless a future round moves the MEDIAN above ~2.6 s (1.25x of the adjudicated level).",
     "r13/pagerank-exchange-free: the core-numbers recipe generalized to the other fixpoint loops — pagerank/personalized_pagerank now persist the edge relation hash-partitioned by dst and broadcast the node-grain share relation per round (cap |V| <= 2M, plain shuffle join beyond), so the contribution join never exchanges |E| rows and the dst aggregate reuses the cached partitioning. Cold sf0.1 A/B on this tree: parts_coorder_ppr 29.65 -> 17.36 s (1.7x), parts_coorder_pagerank 27.09 -> 24.20 s (1.12x — that query's wall is dominated by its QA/invariant surface, not the loop).",
     "r13/core-numbers-sweep-cost: the r12 verdict's delta-iteration order closed by MEASUREMENT, with the hypothesis refuted and a bigger lever found. Decomposition at the sf0.1 co-order graph (2.39M adjacency rows, 20k nodes, depth 38, cold get_spark harness): per-round fixed cost (loop_round materialization + changed count) ~0.2 s, full h-index sweep ~1.45 s — so edge volume is the round cost, but the late 'near-converged' rounds are only near-converged in NODE count: the changed-set trace (19551...80, 55, 42...re-expanding to 7441 before round-38 convergence) shows correction waves living in the dense core, where a few thousand changed nodes touch a large share of all edges. A semi-join worklist re-shuffles the adjacency twice per round (measured 118 s vs 76 s baseline, 1.5x WORSE); a broadcast-frontier hybrid broke even (103 s). SHIPPED instead: adjacency node-partitioned + persisted (partitioning preserved; a localCheckpoint reports unknown partitioning and re-exchanges 2|E| rows at the window — observed in the executed plan) + per-sweep F.broadcast of the node-values relation capped at |V|<=2M with the pinned shuffle_hash as the at-scale fallback: sweep 1.45 -> 0.8 s, query wall 76.4 -> 41.2 s cold (1.85x). A count-based H-index (groupBy (node,value) + cumulative sum) was also tried and rejected: 1.3 s/sweep, the partial aggregate adds its own exchange. Plan shape pinned by tests/test_plans.py::test_hindex_round_pins_shuffle_hash_no_broadcast_of_adj.",
