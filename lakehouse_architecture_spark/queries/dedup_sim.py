@@ -1404,7 +1404,7 @@ def customers_fuzzy_pairs_d2_capped(
 
 @query(
     "docs_prefix_fuzzy_pairs_d2",
-    oracle="""
+    oracle=r"""
 WITH c AS (
   SELECT doc_id AS id,
          substr(TRIM(regexp_replace(regexp_replace(LOWER(text),
