@@ -101,3 +101,97 @@ def test_chunk_manifest_invariants(spark, sf_dir):
             assert c.n_chunk_tokens == c.end_tok - c.start_tok + 1 or n == 0
             if i < len(chunks) - 1:
                 assert c.n_chunk_tokens == _CHUNK_TOKENS
+
+
+def test_session_day_segments_edges(spark):
+    """Hand-verified edge cases of the sweep-line segment builder
+    (queries/events._session_day_segments): a session crossing
+    midnight splits into per-day clipped segments; a single-event
+    session is a zero-length interval; endpoints are inclusive ms."""
+    from lakehouse_architecture_spark.queries.events import (
+        _session_day_segments,
+    )
+
+    rows = [
+        # user 1: one session 23:50 -> 00:10 next day (two events,
+        # 20-min gap < 30-min session gap) — must split into 2 days
+        (1, 1, "2025-03-01 23:50:00"),
+        (2, 1, "2025-03-02 00:10:00"),
+        # user 2: a single event — zero-length session
+        (3, 2, "2025-03-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    seg = {
+        (str(r.day), r.seg_s, r.seg_e)
+        for r in _session_day_segments(ev).collect()
+    }
+    ms = lambda s: int(
+        spark.sql(f"SELECT unix_millis(timestamp'{s}')").collect()[0][0]
+    )
+    d1_end = ms("2025-03-01 00:00:00") + 86399999
+    d2_start = ms("2025-03-02 00:00:00")
+    assert ("2025-03-01", ms("2025-03-01 23:50:00"), d1_end) in seg
+    assert ("2025-03-02", d2_start, ms("2025-03-02 00:10:00")) in seg
+    assert (
+        "2025-03-01",
+        ms("2025-03-01 12:00:00"),
+        ms("2025-03-01 12:00:00"),
+    ) in seg
+    assert len(seg) == 3
+
+
+def test_overlap_pair_sweep_identity_hand_case(spark, tmp_path):
+    """The sweep identity pairs(t) = S_t*A_t + C(S_t,2) against a
+    hand-enumerated interval set, including the tie cases the oracle
+    proves at corpus scale: simultaneous starts, an end touching a
+    start (inclusive ends -> overlap), and a zero-length session."""
+    import pandas as pd
+
+    from lakehouse_architecture_spark.queries.events import (
+        events_session_overlap_pairs,
+    )
+
+    base = "2025-03-01 "
+    rows = []
+    eid = 0
+
+    def sess(uid, *times):
+        nonlocal eid
+        for t in times:
+            nonlocal rows
+            eid += 1
+            rows.append((eid, uid, base + t, "click", 1.0, "{}"))
+
+    # u1: [10:00, 11:00]; u2: [10:30, 12:00]; u3: [11:00, 11:10]
+    # (starts exactly when u1 ends -> overlaps u1 AND u2);
+    # u4: zero-length at 10:30 (overlaps u1 and u2's start instant)
+    sess(1, "10:00:00", "10:20:00", "10:40:00", "11:00:00")
+    sess(2, "10:30:00", "11:00:00", "11:30:00", "12:00:00")
+    sess(3, "11:00:00", "11:10:00")
+    sess(4, "10:30:00")
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "ts_s", "event_type", "value", "props"],
+    )
+    p = str(tmp_path / "events.parquet")
+    sdf = spark.createDataFrame(pdf).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sdf.write.parquet(p)
+    # hand count: pairs = {u1,u2}, {u1,u3}, {u2,u3}, {u1,u4}, {u2,u4} = 5
+    (tmp_path / "x").mkdir()
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.move(p, sf + "/events.parquet")
+    out = events_session_overlap_pairs(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_overlap_pairs == 5 and out[0].n_segments == 4
