@@ -62,6 +62,39 @@ def _is_persisted(df: DataFrame) -> bool:
         return False  # stopped session: definitely not warm
 
 
+def _is_pathlike(key_elem: object) -> bool:
+    """Key elements that participate in path matching: absolute,
+    explicitly relative (``./``/``../``), or containing a separator.
+    Bare single-token labels (table names, corpus labels) are not
+    path-like — see :func:`_path_overlaps`."""
+    return isinstance(key_elem, str) and bool(key_elem) and (
+        key_elem.startswith(("/", "./", "../"))
+        or "/" in key_elem
+        or os.sep in key_elem
+    )
+
+
+def _normalize_key(key: object) -> object:
+    """Resolve path-like string elements of an identity key to absolute
+    at REGISTRATION time (the r13 ADVICE hazard):
+    ``release_slots_for_path`` compares abspath-normalized keys, and
+    ``os.path.abspath`` of a relative key depends on the process CWD —
+    resolving when the slot is registered pins the key to the CWD that
+    gave it meaning, so a later CWD change cannot make the release
+    silently miss (which would leave a stale slot serving old data,
+    the unsafe direction). Non-path elements pass through unchanged; a
+    slash-bearing label that is not really a path normalizes the same
+    way on the register and release sides, so at worst a slot releases
+    early (a lazy rebuild), never serves stale data."""
+
+    def norm(e: object) -> object:
+        return os.path.abspath(e) if _is_pathlike(e) else e
+
+    if isinstance(key, tuple):
+        return tuple(norm(e) for e in key)
+    return norm(key)
+
+
 def one_slot_persist(
     df: DataFrame, slot: str = "default", key: object = None
 ) -> DataFrame:
@@ -71,7 +104,11 @@ def one_slot_persist(
     persisted under an equal key, return THAT (warm) DataFrame and
     leave it persisted — the caller's ``df`` is discarded
     unmaterialized. ``key=None`` claims no identity and never matches.
+    Path-like key elements are abspath-resolved here, at registration
+    (see :func:`_normalize_key`).
     """
+    if key is not None:
+        key = _normalize_key(key)
     with _LOCK:
         held = _SLOTS.get(slot)
         if (
@@ -111,18 +148,14 @@ def _path_overlaps(key_elem: object, path: str) -> bool:
     explicitly relative (``./``/``../``), or CONTAINING a separator
     (so a slot keyed with a bare relative dir like ``testdata/sf0.1``
     is still releasable by a writer rewriting under it — the r12
-    ADVICE gap). Both sides are abspath-normalized at match time, so
-    relative and absolute spellings of the same directory compare
-    equal; a slash-bearing label that is not really a path can at
-    worst release a slot early (a lazy rebuild), never serve stale
-    data — the safe direction."""
-    if not isinstance(key_elem, str) or not key_elem:
-        return False
-    if not (
-        key_elem.startswith(("/", "./", "../"))
-        or "/" in key_elem
-        or os.sep in key_elem
-    ):
+    ADVICE gap). Keys registered through :func:`one_slot_persist` are
+    already abspath-resolved at registration (the r13 ADVICE fix — a
+    CWD change between registration and release cannot desynchronize
+    them); the abspath here is a belt-and-braces normalization for
+    keys injected by external callers. A slash-bearing label that is
+    not really a path can at worst release a slot early (a lazy
+    rebuild), never serve stale data — the safe direction."""
+    if not _is_pathlike(key_elem):
         return False
     a = os.path.abspath(key_elem).rstrip("/")
     b = path.rstrip("/")

@@ -14,9 +14,14 @@ rounds; near-dup clusters are shallow (diameter 2-4 in practice), so
 this terminates in a handful of shuffles even on billion-edge graphs.
 
 Scale design: each round is one join (edges x labels, shuffle on the
-join key) plus one groupBy-min (map-side partial). Labels are
-localCheckpoint-ed per round so lineage stays flat; the convergence
-probe is a limit(1) count of changed labels, not a full collect.
+join key) plus one groupBy-min (map-side partial). Rounds are
+materialized via ``operators.iterative.loop_round`` (lineage
+truncation + explicit release of the superseded round's blocks; pass
+``checkpoint_dir`` for the executor-loss-safe reliable mode on a real
+cluster), matching pagerank/kcore/degeneracy. The convergence probe
+reads ONLY the new round (each round carries its predecessor's label
+as ``comp_prev``), so the old round is dead the moment the new one
+materializes — no node-grain probe join.
 """
 
 from __future__ import annotations
@@ -24,12 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.iterative import loop_round
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc, component) for every vertex of ``edges``; the component id
     is the smallest vertex id in the component (deterministic).
@@ -38,6 +46,8 @@ def connected_components(
     ``max_iter`` rounds (component diameter exceeded the budget) —
     silently returning partial labels would mis-group documents and
     only surface as an unexplained result mismatch downstream.
+    ``checkpoint_dir`` selects reliable checkpointing for cluster runs
+    (see ``operators/iterative.py``); labels are identical either way.
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -59,40 +69,46 @@ def connected_components(
         .repartition(n_part, "b")
         .persist()
     )
-    labels = (
+    # labels_cp is the round's CHECKPOINTED relation (the thing whose
+    # blocks loop_round frees once the next round materializes);
+    # labels is at most a projection over it.
+    labels_cp = loop_round(
         sym.select(F.col("a").alias("doc"))
         .distinct()
-        .withColumn("comp", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .withColumn("comp", F.col("doc")),
+        checkpoint_dir=checkpoint_dir,
     )
+    labels = labels_cp
     bcast_labels = labels.count() <= 2_000_000
     converged = False
     for _ in range(max_iter):
-        lab_a = labels.withColumnRenamed("doc", "a")
+        lab_a = labels.select(F.col("doc").alias("a"), "comp")
         prop_min = (
             sym.join(F.broadcast(lab_a) if bcast_labels else lab_a, "a")
             .select(F.col("b").alias("doc"), "comp")
             .groupBy("doc")
             .agg(F.min("comp").alias("pcomp"))
         )
-        new_labels = (
+        new = (
             labels.join(prop_min, "doc", "left")
             .select(
                 "doc",
                 F.least(
                     F.col("comp"), F.coalesce("pcomp", F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("comp_prev"),
             )
-            .localCheckpoint(eager=True)
+        )
+        new_cp = loop_round(
+            new, prev=labels_cp, checkpoint_dir=checkpoint_dir
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.comp") < F.col("o.comp"))
+            new_cp.filter(F.col("comp") < F.col("comp_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels_cp = new_cp
+        labels = new_cp.drop("comp_prev")
         if changed == 0:
             converged = True
             break

@@ -2853,12 +2853,17 @@ def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("s").over(wd) - F.col("s")).alias("cum_s_before"),
         (F.sum("e").over(wd) - F.col("e")).alias("cum_e_before"),
     )
+    # C(s,2) via integral DIV, not `/` (r13 ADVICE): Spark's `/` is
+    # true division, so s*(s-1)/2 would round-trip through double and
+    # lose exactness once per-day pair totals pass 2^53; s*(s-1) is
+    # always even, so DIV 2 is exact and keeps the census bigint
+    # end-to-end against the integer-counting oracle.
     per_ts = stepped.select(
         "day",
         "s",
         (
             F.col("s") * (F.col("cum_s_before") - F.col("cum_e_before"))
-            + (F.col("s") * (F.col("s") - 1)) / 2
+            + F.expr("(s * (s - 1)) DIV 2")
         ).alias("pairs"),
     )
     return (

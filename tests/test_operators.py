@@ -647,6 +647,20 @@ def test_iterative_reliable_checkpoint_identical(spark, tmp_path):
     for node, pr in got_l.items():
         assert abs(pr - got_r[node]) < 1e-12, (node, pr, got_r[node])
 
+    from lakehouse_architecture_spark.operators.components import (
+        connected_components,
+    )
+
+    cc_edges = edges.selectExpr("src AS doc_a", "dst AS doc_b")
+    cc_local = connected_components(cc_edges)
+    cc_rel = connected_components(cc_edges, checkpoint_dir=cdir)
+    # Min-label fixpoint is deterministic, so the two modes must agree
+    # exactly (r13 VERDICT #3: components now routes through loop_round
+    # like the rest of the graph family).
+    assert sorted(map(tuple, cc_local.collect())) == sorted(
+        map(tuple, cc_rel.collect())
+    )
+
 
 def test_loop_round_frees_previous_round(spark):
     """loop_round(new, prev=old) releases old's executor-storage
@@ -1005,6 +1019,20 @@ def test_release_slots_for_path(spark):
     lbl = one_slot_persist(df1, slot="p-label", key=("sf-rel", 8))
     assert release_slots_for_path("sf-rel") == 0
     assert "p-label" in _SLOTS and lbl.storageLevel.useMemory
+
+    # r13 ADVICE: relative keys are abspath-resolved at REGISTRATION,
+    # so a CWD change between registration and release cannot make the
+    # release silently miss (the stale-slot direction). Register under
+    # one CWD, release by the absolute path from a different CWD.
+    reg_abs = os.path.abspath("testdata/sfY")
+    cwd_slot = one_slot_persist(df1, slot="p-cwd", key=("testdata/sfY", 8))
+    old_cwd = os.getcwd()
+    os.chdir("/tmp")
+    try:
+        assert release_slots_for_path(reg_abs) == 1
+    finally:
+        os.chdir(old_cwd)
+    assert "p-cwd" not in _SLOTS and not cwd_slot.storageLevel.useMemory
 
     release_slots("p-")
 
