@@ -154,6 +154,9 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r14/bpe-kmeans-exchange-audit: the r13 verdict's order 4 (extend the exchange-free round recipe to the BPE merge loop and the k-means Lloyd iterations — measure first, ship only at >=1.3x) closed by MEASUREMENT with NO change shipped, the core-numbers lesson applied: neither loop has a stable heavy relation being re-exchanged. BPE train at sf0.1: the corpus pass + vocab checkpoint is 3.6 s, then each merge round costs 0.42 s pair-aggregate + 0.18 s fold/checkpoint on a THIRTY-ONE-row vocabulary (the synthetic corpus's distinct whitespace tokens) — per-round job-scheduling overhead, zero exchange volume; structurally the recipe cannot apply because the vocab relation is REWRITTEN by the fold every round (nothing stable to persist-partition) and the aggregate key (the symbol pair) changes with the merges. k-means (kmeans_refine, emb_kmeans_clusters 1.99 s / IVF two-step training): assignment broadcasts the kxdim centroid relation into the corpus scan (no corpus shuffle), and the centroid update is a posexplode aggregate that map-side-combines to kxdim partials per partition — the exchanged bytes are partitions*k*dim regardless of corpus size, already the minimal shape. The remaining BPE wall (docs_bpe_encode_stats ~14 s) is Catalyst expression-fold latency on the apply path, documented since r10 — not an exchange.",
+    "r14/link-prediction-decomposition: the r13 verdict's order 5 (try the two-pass HAVING threshold probe on parts_coorder_link_prediction's 25.2 s) closed by MEASUREMENT with the hypothesis refuted — no change shipped. Stage decomposition at sf0.1: edge build 5.0 s (1.196M edges), wedge explode+aggregate 15.2 s (59.99M distinct pairs from ~65M wedges — multiplicity ~1.08, so map-side partial aggregation collapses nothing and the hash-agg shuffle is the irreducible exact-count cost), anti-join + top-20 on the cached pair relation 8.5 s nominal BUT the executed plan shows AQE already converts it to BroadcastHashJoin LeftAnti BuildRight at BOTH sf0.01 and sf0.1 (the 1.2M-edge relation is ~19 MB) — the stage the HAVING probe would prune is already a scan-speed broadcast probe, and an interleaved A/B of an explicit F.broadcast hint vs the plain join read equal minima (15.7 vs 16.5 s end-to-end, rows identical). A limit-based candidate probe (top-4096 pairs then anti-join) was tried and is UNSAFE: the top-20 floor is n_common=7 with a tie group spanning far past any fixed candidate budget (measured result mismatch). Verdict: the 25 s row IS the wedge-aggregate cost, bounded by construction at 128*|adj|; the right lever at cluster scale is a lower center cap or sampling, both of which change the row's exact semantics — keep the documented cost.",
+    "r14/tpch-movers-adjudication: the r13 verdict's order 2 (q1 2.854 / q3 1.300 / q5 1.586 s vs r12's 1.211/0.746/1.112 on byte-unchanged code, with q1's session MIN also above its historical range) closed as a HOST-CONTENTION verdict via two interleaved A/B sessions (7 alternating reps each, suspects + two byte-unchanged in-band controls q9/q10, one warmed sf0.1 session per run, 20 min apart): run 1 — q1 med 1.869 (BELOW its r13 bench read), q3 0.819, q5 1.479, while control q10 read 2.561 (2.0x ITS r13 level 1.262) and q9 1.982 (1.9x); run 2 — everything 2.5-6x historical (q1 5.868, q9 4.675, q10 3.202) with within-session spreads of 3.4-6.2 s and 15-min loadavg 4.8. Controls moving in lockstep with (and harder than) suspects inside one session, plus a 3x level shift between two identical sessions, is external host load, not a plan shape — a q1/q3/q5 regression cannot elevate q9/q10. Verdict: the r13 readings (including the raised min) were the same contention sampled at closing time; plans unchanged (git-verified r12->r14). Standing rule: adjudicate future movers against the in-session CONTROLS first; a >1.25x median trigger only stands if controls hold their level in the same session.",
     "r13/closing-ledger: final tree, 214 queries/214 oracles (+5 this round: docs_prefix_entity_resolution — the ER family's first value-verified-at-sf0.1 row, per-cluster census; parts_coorder_link_prediction — capped common-neighbor candidate expansion; events_concurrent_sessions + events_session_overlap_pairs — sweep-line peak concurrency and the overlap-join census proved against a brute-force-join oracle; events_daily_count_ewma — recursive per-series state via a dyadic-exact array fold). Final-tree evidence: pytest 476/476; full plain sweeps green on THREE corpora at the final registry (driver sf0.01 214/214 plain-session, fresh seeds 1207 + 4242 214/214 each); driver-order 50-window walk 50/50 plain (three times this round as the window grew); MAGNITUDE_r13.json — all 214 queries run at sf0.1, 0 errors; ORACLE_SF01_r13.json — 212/212 value-verified at sf0.1, 0 failures/timeouts, 2 documented quadratic-oracle skips. Perf work all measured cold A/B at sf0.1: exchange-free loop rounds (persist-partitioned stable relation + broadcast node-grain side, shuffle fallback above 2M) landed on core_numbers 76.4->41.2 s cold / 61.3->18.1 s warm-sweep, ppr 29.7->17.4, pagerank 27.1->24.2, components (ER 22.7->19.0, dup_components 8.5->7.2); the delta/worklist alternative measured and rejected with receipts. All five r12 ADVICE items and all r12 verdict orders closed.",
     "r13/minhash-adjudication: the r12 verdict's order 2 (minhash_lsh_near_dups 1.607 -> 2.282 s on untouched code, the only out-of-band mover) closed as a LEVEL-BAND verdict, not a regression: the r13 trigger fired (bench median 2.044 > 1.25x of r11's 1.607), so the interleaved protocol ran — 7 alternating reps against the stable docs_ngram_jaccard_pairs control in one warmed sf0.1 session: suspect median 2.099 (min 1.667, max 2.374), control median 1.191 (its long-standing level). Four independent sessions now agree on a ~2.0-2.1 s median (r12 1-GiB closing bench 2.282, r12 8-GiB heap A/B 2.096 min, r13 full bench 2.044, interleaved 2.099) while the interleaved MIN still reaches the r11 level — a plan regression cannot produce that floor, and the code is unchanged since r11 (git-verified). Verdict: r11's 1.607 was the low edge of the documented +/-20-30% single-query band and the sustained level is ~2.05 s; watch closes unless a future round moves the MEDIAN above ~2.6 s (1.25x of the adjudicated level).",
     "r13/pagerank-exchange-free: the core-numbers recipe generalized to the other fixpoint loops — pagerank/personalized_pagerank now persist the edge relation hash-partitioned by dst and broadcast the node-grain share relation per round (cap |V| <= 2M, plain shuffle join beyond), so the contribution join never exchanges |E| rows and the dst aggregate reuses the cached partitioning. Cold sf0.1 A/B on this tree: parts_coorder_ppr 29.65 -> 17.36 s (1.7x), parts_coorder_pagerank 27.09 -> 24.20 s (1.12x — that query's wall is dominated by its QA/invariant surface, not the loop).",
