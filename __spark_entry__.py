@@ -36,83 +36,89 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-13 priority. Standing-row staleness after r12
-# (CORRECTNESS_r01..r12, latest round per query): 28 rows last checked
-# r8, 40 r9, 48 r10, 44 r11, 50 r12. Window arithmetic, 50 slots:
+# Round-14 priority. Standing-row staleness after r13
+# (CORRECTNESS_r01..r13, latest round per query): 26 rows last checked
+# r9, 48 r10, 44 r11, 46 r12, 50 r13. Window arithmetic, 50 slots:
 # 2 sentinels
-# + 5 r13 NEW queries (first driver rows: docs_prefix_entity_resolution
-#   — the ER row value-verifiable at sf0.1; parts_coorder_link_prediction
-#   — capped common-neighbor candidate expansion;
-#   events_concurrent_sessions + events_session_overlap_pairs — the
-#   sweep-line peak-concurrency and overlap-pair-census operators;
-#   events_daily_count_ewma — recursive per-series EWMA state via a
-#   higher-order array fold, dyadic-exact cross-engine)
-# + 2 r13-TOUCHED queries (parts_coorder_core_numbers after the
-#   exchange-free sweep rework — persisted node-partitioned adjacency +
-#   broadcast values; parts_coorder_ppr after the seed dedup/semi-join
-#   hygiene fix)
-# + all 28 remaining r8-stale rows (the rotation the r12 verdict
-#   ordered — after this window no standing row is older than r9)
-# + 13 oldest r9-stale rows, state-sensitive families first (the
-#   cached-centroid IVF/LSH embedding family, the exact-anchor
-#   approx-QA row, sketch accuracy rows, z-test/anomaly stats)
+# + 5 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
+#   rank-frequency slope over integer-ln points;
+#   orders_benford_first_digit — integer-cents leading-digit census
+#   with ppm shares via integer DIV; parts_supplier_concentration —
+#   per-part top-supplier share bands, all-integer;
+#   sql_lateral_top_orders — LATERAL correlated subquery with per-row
+#   ORDER BY + LIMIT, same text on both engines;
+#   docs_length_decile_profile — equal-count length binning via the
+#   new distributed global_row_number operator, no single-partition
+#   window on the corpus)
+# + 6 r14-TOUCHED queries (events_session_overlap_pairs after the
+#   integral-DIV pair arithmetic fix — r13 ADVICE; the five
+#   connected-components consumers after the loop_round rework:
+#   docs_dup_components, docs_dedup_keep_best,
+#   docs_dup_cluster_size_histogram, customers_entity_resolution,
+#   docs_prefix_entity_resolution)
+# + all 26 remaining r9-stale rows (the rotation the r13 verdict
+#   ordered — after this window no standing row is older than r10)
+# + 11 oldest r10-stale rows, state-sensitive families first (the
+#   minhash cached-index trio, the incremental near-dup/span family
+#   that replays persisted state, the IVF/SemDeDup embedding rows,
+#   the n-gram pair row sharing the posting slot)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 27 remaining r9-stale rows lead r14; the board keeps the
+# The 33 remaining r10-stale rows lead r15; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
-    # (a) r13 new: first driver rows
-    "docs_prefix_entity_resolution",
-    "parts_coorder_link_prediction",
-    "events_concurrent_sessions",
+    # (a) r14 new: first driver rows
+    "docs_zipf_slope",
+    "orders_benford_first_digit",
+    "parts_supplier_concentration",
+    "sql_lateral_top_orders",
+    "docs_length_decile_profile",
+    # (b) r14-touched (integral-DIV fix; components loop_round rework)
     "events_session_overlap_pairs",
-    "events_daily_count_ewma",
-    # (b) r13-touched
-    "parts_coorder_core_numbers",
-    "parts_coorder_ppr",
-    # (c) the 28 remaining r8-stale rows
-    "docs_chunk_manifest",
-    "docs_exact_dedupe_count",
-    "docs_exact_dup_groups",
-    "docs_fingerprint",
-    "docs_hash_split_counts",
-    "docs_lang_id",
-    "docs_mixture_resample",
-    "docs_novelty_score",
-    "docs_pii_scrub",
-    "docs_quality_score",
-    "docs_repetition_score",
-    "docs_shingle_stats",
-    "docs_stratified_sample",
-    "docs_test_contamination",
-    "docs_tfidf_top_terms",
-    "docs_token_entropy",
-    "docs_token_stats",
-    "docs_top_terms",
-    "emb_centroid_norm_by_label",
-    "emb_int8_quantization",
-    "emb_norms",
-    "events_gapfilled_hourly",
-    "events_ohlc_downsample",
-    "orders_trend_by_segment",
-    "q2_min_cost_supplier",
-    "scalar_math_funcs",
-    "stats_corr_price_qty",
-    "window_percent_rank_cume",
-    # (d) 13 oldest r9-stale rows (state-sensitive first)
-    "approx_distinct_and_quantile",
-    "emb_ivf_probe_stats",
-    "emb_knn_bruteforce",
-    "emb_knn_bruteforce_decimal",
-    "emb_knn_ivf_md5",
-    "emb_knn_lsh",
-    "emb_lsh_candidate_stats",
-    "emb_near_dup_lsh_strict",
-    "emb_near_dup_pairs",
-    "events_hll_accuracy_qa",
-    "events_ab_test_value_ztest",
-    "events_anomaly_mad",
-    "basket_brand_pairs",
+    "docs_dup_components",
+    "docs_dedup_keep_best",
+    "docs_dup_cluster_size_histogram",
+    "customers_entity_resolution",
+    "docs_prefix_entity_resolution",
+    # (c) the 26 remaining r9-stale rows
+    "agg_argmax_by_status",
+    "docs_dedup_savings_report",
+    "docs_dup_profile_by_source",
+    "events_anomaly_zscore",
+    "events_daily_active_users",
+    "events_dow_hour_heatmap",
+    "events_funnel",
+    "events_hourly_by_type",
+    "events_props_extract",
+    "events_retention_cohorts",
+    "events_tumbling_window",
+    "events_type_transitions",
+    "events_type_value_stats",
+    "events_user_lifetime",
+    "lineitem_discount_band_profile",
+    "lineitem_unpivot_measure_stats",
+    "orders_cohort_monthly_value",
+    "orders_interarrival_stats",
+    "orders_rfm_segments",
+    "profile_orders_columns",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "stats_skew_kurtosis_qty",
+    "supplier_fulfillment_latency",
+    "window_first_last_dense",
+    # (d) 11 oldest r10-stale rows (state-sensitive first)
+    "minhash_lsh_near_dups",
+    "minhash_estimate_qa",
+    "minhash_recall_curve",
+    "docs_incremental_near_dups",
+    "docs_incremental_near_dups_indexed",
+    "docs_incremental_copied_spans",
+    "docs_shared_span_pairs",
+    "docs_copied_span_profile",
+    "docs_ngram_jaccard_pairs",
+    "emb_knn_ivf",
+    "emb_semantic_dedup",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -128,20 +134,20 @@ _FAMILY_ORDER = [
 ]
 # Queries pushed past the driver's check horizon this round:
 # everything outside the 50-slot window above. All have standing green
-# driver rows no older than r9 (the full r8-stale block is IN the
-# window), and none was touched in r13, so the window is spent on the
-# rotation plus the round's seven changed/new queries. Regenerated
-# each round as registry − sentinels − priority.
+# driver rows no older than r10 (the full r9-stale block is IN the
+# window), and none was touched in r14, so the window is spent on the
+# rotation plus the round's eleven changed/new queries. Regenerated
+# each round as registry - sentinels - priority.
 _SECOND_TIER = {
-    "agg_argmax_by_status",
     "agg_cube_flags",
     "agg_grouping_sets",
     "agg_rollup_status_priority",
     "agg_stats_by_status",
+    "approx_distinct_and_quantile",
     "asof_join_purchase_click",
+    "basket_brand_pairs",
     "case_when_conditional_agg",
     "correlated_min_per_group_join",
-    "customers_entity_resolution",
     "customers_fuzzy_name_stats",
     "customers_fuzzy_pairs_d2",
     "customers_fuzzy_pairs_d2_capped",
@@ -150,60 +156,72 @@ _SECOND_TIER = {
     "docs_bigram_cross_entropy",
     "docs_bpe_encode_stats",
     "docs_bpe_merge_qa",
-    "docs_copied_span_profile",
+    "docs_chunk_manifest",
     "docs_curation_funnel",
-    "docs_dedup_keep_best",
-    "docs_dedup_savings_report",
-    "docs_dup_cluster_size_histogram",
-    "docs_dup_components",
-    "docs_dup_profile_by_source",
-    "docs_incremental_copied_spans",
-    "docs_incremental_near_dups",
-    "docs_incremental_near_dups_indexed",
+    "docs_exact_dedupe_count",
+    "docs_exact_dup_groups",
+    "docs_fingerprint",
+    "docs_hash_split_counts",
+    "docs_lang_id",
     "docs_learned_filter_apply",
     "docs_length_histogram",
-    "docs_ngram_jaccard_pairs",
+    "docs_mixture_resample",
+    "docs_novelty_score",
     "docs_packing_manifest",
+    "docs_pii_scrub",
     "docs_prefix_fuzzy_pairs_d2",
     "docs_quality_classifier_qa",
+    "docs_quality_score",
     "docs_rare_token_ratio",
-    "docs_shared_span_pairs",
+    "docs_repetition_score",
+    "docs_shingle_stats",
     "docs_source_shingle_overlap",
+    "docs_stratified_sample",
+    "docs_test_contamination",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
     "docs_token_freq_spectrum",
+    "docs_token_stats",
+    "docs_top_terms",
     "docs_vocab_growth_by_source",
     "docs_weighted_sample_topk",
+    "emb_centroid_norm_by_label",
     "emb_dim_variance_topk",
+    "emb_int8_quantization",
+    "emb_ivf_probe_stats",
     "emb_kmeans_clusters",
-    "emb_knn_ivf",
+    "emb_knn_bruteforce",
+    "emb_knn_bruteforce_decimal",
+    "emb_knn_ivf_md5",
+    "emb_knn_lsh",
+    "emb_lsh_candidate_stats",
+    "emb_near_dup_lsh_strict",
+    "emb_near_dup_pairs",
+    "emb_norms",
     "emb_pq_quantization_qa",
-    "emb_semantic_dedup",
     "emb_top_pc_power_iteration",
-    "events_anomaly_zscore",
+    "events_ab_test_value_ztest",
+    "events_anomaly_mad",
     "events_chi2_type_dow",
     "events_cms_topk_accuracy",
+    "events_concurrent_sessions",
     "events_cusum_daily_drift",
-    "events_daily_active_users",
+    "events_daily_count_ewma",
     "events_daily_new_vs_returning",
-    "events_dow_hour_heatmap",
-    "events_funnel",
+    "events_gapfilled_hourly",
+    "events_hll_accuracy_qa",
     "events_hll_intersection_qa",
     "events_hll_sketch_rollup",
-    "events_hourly_by_type",
     "events_kmv_daily_rollup",
     "events_kmv_intersection_qa",
     "events_kmv_new_vs_returning",
-    "events_props_extract",
-    "events_retention_cohorts",
+    "events_ohlc_downsample",
     "events_seasonal_anomaly",
     "events_session_length_percentiles",
     "events_sessionization",
     "events_signup_to_purchase_1h",
     "events_stickiness_ratio",
     "events_trailing_24h_volume",
-    "events_tumbling_window",
-    "events_type_transitions",
-    "events_type_value_stats",
-    "events_user_lifetime",
     "events_user_volume_concentration",
     "events_value_p95_by_type",
     "events_value_quantile_rollup",
@@ -215,35 +233,27 @@ _SECOND_TIER = {
     "join_left_outer_order_counts",
     "join_left_semi_active_customers",
     "join_right_outer_part_lineitems",
-    "lineitem_discount_band_profile",
     "lineitem_key_skew_profile",
     "lineitem_ols2_price_qty_discount",
     "lineitem_ols_price_on_qty",
     "lineitem_price_percentiles_by_flag",
     "lineitem_salted_agg_by_flag",
-    "lineitem_unpivot_measure_stats",
-    "minhash_estimate_qa",
-    "minhash_lsh_near_dups",
-    "minhash_recall_curve",
     "minhash_signatures_sample",
     "not_exists_insert_guard",
     "orders_bloom_prune_stats",
-    "orders_cohort_monthly_value",
     "orders_expectation_report",
     "orders_incremental_rollup_state",
-    "orders_interarrival_stats",
     "orders_monthly_growth",
     "orders_open_backlog_by_day",
     "orders_pareto_concentration",
-    "orders_rfm_segments",
+    "orders_trend_by_segment",
+    "parts_coorder_core_numbers",
     "parts_coorder_kcore",
+    "parts_coorder_link_prediction",
     "parts_coorder_pagerank",
+    "parts_coorder_ppr",
     "parts_coorder_triangles",
     "pivot_status_by_priority",
-    "profile_orders_columns",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_priority_counts",
     "q13_customer_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -254,6 +264,7 @@ _SECOND_TIER = {
     "q20_excess_shippers",
     "q21_sole_late_supplier",
     "q22_dormant_customers",
+    "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -266,6 +277,7 @@ _SECOND_TIER = {
     "scalar_array_funcs",
     "scalar_bitwise_funcs",
     "scalar_date_funcs",
+    "scalar_math_funcs",
     "scalar_null_semantics",
     "scalar_string_funcs",
     "scalar_subquery_above_avg",
@@ -283,18 +295,17 @@ _SECOND_TIER = {
     "sql_probe_orders",
     "sql_recursive_cte_calendar",
     "sql_revenue_by_nation",
-    "stats_skew_kurtosis_qty",
-    "supplier_fulfillment_latency",
+    "stats_corr_price_qty",
     "topk_orders",
     "validate_lineitem_fk_invalid",
     "validate_lineitem_fk_summary",
     "validate_orders_invalid",
     "validate_orders_rejection_summary",
     "validate_orders_split_stats",
-    "window_first_last_dense",
     "window_lag_order_gaps",
     "window_lead_ntile",
     "window_moving_avg_frame",
+    "window_percent_rank_cume",
     "window_rank_orders",
     "window_running_spend",
 }

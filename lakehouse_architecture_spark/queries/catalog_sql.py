@@ -244,3 +244,38 @@ def sql_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# Per-group top-N as a LATERAL correlated subquery — the SQL-surface
+# twin of the window-function top-k family: the same text runs on
+# Spark (DecorrelateInnerQuery plans the per-row LIMIT as a ranked
+# join, not a per-customer re-scan) and on DuckDB.
+LATERAL_TOP_ORDERS_SQL = """
+WITH topc AS (
+  SELECT o_custkey, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+  ORDER BY spend_cents DESC, o_custkey LIMIT 10
+)
+SELECT c.o_custkey, c.spend_cents, t.o_orderkey, t.price_cents
+FROM topc c,
+LATERAL (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           AS price_cents
+  FROM orders WHERE o_custkey = c.o_custkey
+  ORDER BY price_cents DESC, o_orderkey LIMIT 2
+) t
+ORDER BY c.spend_cents DESC, c.o_custkey, t.price_cents DESC, t.o_orderkey
+"""
+
+
+@query("sql_lateral_top_orders", oracle=LATERAL_TOP_ORDERS_SQL)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row ORDER BY + LIMIT: each
+    of the ten biggest customers joined to its own top-2 orders — the
+    ANSI lateral-join surface (Spark 3.2+ FROM-clause correlation;
+    the optimizer decorrelates the per-customer LIMIT into a ranked
+    window join rather than executing the subquery per outer row).
+    Money compared as exact integer cents (ROUND(x*100) on 2-decimal
+    prices), so every emitted value is an exact BIGINT."""
+    return sql(spark, LATERAL_TOP_ORDERS_SQL, sf_dir=sf_dir)

@@ -741,3 +741,68 @@ def docs_learned_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_label_pos long, probs_in_range boolean, "
         "separates_classes boolean, agrees_above_majority boolean",
     )
+
+
+LENGTH_DECILE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST(((rk - 1) * 10) // n + 1 AS INT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("docs_length_decile_profile", oracle=LENGTH_DECILE_ORACLE)
+def docs_length_decile_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equal-count length binning of the corpus — per decile of the
+    (n_chars, doc_id) total order: document count and the char-length
+    envelope. The curation precursor to sequence packing: length
+    deciles are how a packing/batching stage picks bucket boundaries,
+    and a skewed decile profile (e.g. decile 10 holding most of the
+    bytes) is the first thing a mixture rebalance looks at.
+
+    The global rank deliberately does NOT use
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` on the Spark side — an
+    unpartitioned window exchanges the whole corpus into ONE task. It
+    uses operators/ranking.global_row_number (within-value rank
+    partitioned by n_chars + cumulative offsets over the distinct-value
+    relation), which keeps every corpus-sized step parallel; the
+    DuckDB oracle states the same total order with the plain window.
+    The decile is integer arithmetic over (rank, N) — exact
+    cross-engine; this is index-decile binning (floor((rk-1)*10/N)+1),
+    deliberately NOT NTILE (whose remainder distribution differs)."""
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ranked = global_row_number(docs, ["n_chars"], ["doc_id"], out_col="rk")
+    tot = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((rk - 1) * 10 DIV _n + 1 AS INT)").alias(
+                "decile"
+            ),
+            "n_chars",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("decile")
+    )

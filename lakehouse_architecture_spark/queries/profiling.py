@@ -103,3 +103,56 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist2 = scd2_apply(hist, upd, "c_custkey", ["c_mktsegment"], "2024-06-01")
     return hist2.orderBy("c_custkey", "valid_from")
+
+
+BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS leading_digit
+  FROM orders
+),
+g AS (SELECT leading_digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+t AS (SELECT SUM(n_orders) AS tot FROM g)
+SELECT leading_digit, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((n_orders * 1000000) // tot AS BIGINT) AS share_ppm
+FROM g, t
+ORDER BY leading_digit
+"""
+
+
+@query("orders_benford_first_digit", oracle=BENFORD_ORACLE)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals — the Benford's-law
+    profile used as a fraud / synthetic-data / unit-mixup detector in
+    data-quality audits (naturally-grown monetary amounts follow
+    P(d) = log10(1 + 1/d); a flat or truncated profile flags generated
+    or clipped data — as it does on THIS synthetic corpus, where the
+    price generator's uniform range caps the digit mass at 1-4).
+
+    Exactness doctrine: the digit is taken from the integer CENTS
+    rendering (prices are 2-decimal by construction), never from a
+    double's string form, and the share is parts-per-million via
+    integer DIV — every emitted value is an exact integer, no libm and
+    no float division anywhere. One scan, one 9-row aggregate, a 1-row
+    broadcast for the total."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    by_digit = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("leading_digit")
+        )
+        .groupBy("leading_digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = by_digit.agg(F.sum("n_orders").alias("_tot"))
+    return (
+        by_digit.crossJoin(F.broadcast(tot))
+        .select(
+            "leading_digit",
+            "n_orders",
+            F.expr("(n_orders * 1000000) DIV _tot").alias("share_ppm"),
+        )
+        .orderBy("leading_digit")
+    )

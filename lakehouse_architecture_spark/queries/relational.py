@@ -2730,3 +2730,67 @@ def parts_coorder_link_prediction(
             "n_hubs_dropped",
         )
     )
+
+
+SUPPLIER_CONCENTRATION_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+pp AS (
+  SELECT l_partkey, MAX(sq) AS top_q, SUM(sq) AS tot_q FROM ps GROUP BY 1
+),
+b AS (SELECT ((top_q * 1000000) // tot_q) AS ppm FROM pp)
+SELECT CAST(ppm // 100000 AS BIGINT) AS share_band,
+       COUNT(*) AS n_parts,
+       CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+       CAST(MAX(ppm) AS BIGINT) AS max_ppm
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("parts_supplier_concentration", oracle=SUPPLIER_CONCENTRATION_ORACLE)
+def parts_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-concentration profile: for every part, the TOP supplier's
+    share of shipped quantity, banded into deciles — the
+    single-source-risk census a procurement (or, generically, any
+    "how concentrated is each key's traffic across its producers")
+    analysis starts from. A part whose top supplier carries ~100% of
+    volume is a single point of failure; the band histogram shows how
+    much of the catalog sits there.
+
+    Exactness doctrine: quantities are integral by construction, so the
+    per-(part, supplier) sums are exact BIGINTs, the share is
+    parts-per-million via integer DIV, and the band is another integer
+    DIV — no float anywhere in the emitted row.
+
+    Plan shape: two nested partial-aggregated groupBys (the second
+    re-shuffles only |part x supplier| rows, already reduced), then a
+    10-row band aggregate. Scales as the (part, supplier) key
+    cardinality, never as raw lineitem volume."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("sq")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.max("sq").alias("top_q"), F.sum("sq").alias("tot_q")
+    )
+    bands = per_part.select(
+        F.expr("(top_q * 1000000) DIV tot_q").alias("ppm")
+    )
+    return (
+        bands.groupBy(F.expr("ppm DIV 100000").alias("share_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("ppm").alias("min_ppm"),
+            F.max("ppm").alias("max_ppm"),
+        )
+        .orderBy("share_band")
+    )

@@ -946,3 +946,86 @@ def docs_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT u.tok
+  FROM (SELECT str_split({SQL_NORM}, ' ') AS t FROM documents),
+       UNNEST(t) AS u(tok)
+  WHERE u.tok <> ''
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+  FROM counts ORDER BY n DESC, tok LIMIT 100
+),
+pts AS (
+  SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(n AS DOUBLE)) AS y FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       ROUND((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS zipf_slope
+FROM s
+"""
+
+
+@query("docs_zipf_slope", oracle=ZIPF_ORACLE)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the OLS
+    slope of ln(frequency) on ln(rank) across the top-100 terms — the
+    standard corpus-health diagnostic (natural language sits near -1;
+    boilerplate-heavy or template-generated corpora flatten it, and a
+    collapse toward 0 flags a degenerate vocabulary). Complements
+    `docs_token_entropy` (which is mass-weighted) with the shape of the
+    frequency TAIL.
+
+    Float-parity doctrine: both ln arguments are exact INTEGERS (the
+    rank and the occurrence count), so the libm calls agree
+    cross-engine on integer inputs, and the OLS slope — a ratio of
+    sums over <=100 such doubles — is emitted through round(6), which
+    absorbs summation-order differences (~1e-12) with six orders of
+    margin. The ranking itself is integer-deterministic
+    (count DESC, token ASC).
+
+    Plan shape: tokenize map-side, one partial-aggregated groupBy on
+    the token, top-100 via TakeOrderedAndProject; the window and the
+    moment fold run on a 100-row relation. Nothing after the vocabulary
+    aggregate is corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        .alias("rk"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")),
+            6,
+        ).alias("zipf_slope"),
+    )

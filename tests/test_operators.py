@@ -1201,3 +1201,37 @@ def test_personalized_pagerank_mass_and_locality(spark):
     phantom = spark.createDataFrame([(99,)], "node long")
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, phantom, iters=2)
+
+
+# --- distributed global row-number --------------------------------------
+
+
+def test_global_row_number_matches_window(spark):
+    """operators/ranking.global_row_number must equal the plain
+    unpartitioned ROW_NUMBER over the same total order — including
+    duplicate values (the within-group tie-break) and a value that
+    appears in only one row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "a"), (3, "b"), (7, "c"), (1, "d"), (3, "e"), (3, "f")],
+        "v int, id string",
+    )
+    got = {
+        r.id: r.global_rank
+        for r in global_row_number(df, ["v"], ["id"]).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+    # ranks are a permutation of 1..n (total order, no gaps/dupes)
+    assert sorted(got.values()) == list(range(1, 7))

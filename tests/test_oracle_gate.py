@@ -219,56 +219,58 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r13 new/touched surfaces must have a fresh driver row: the five
-    # first-driver-row queries plus the two whose plans this round's
-    # reworks changed (the exchange-free core-numbers sweep, the PPR
-    # seed-hygiene semi-join)
-    touched_r13 = {
-        "docs_prefix_entity_resolution",  # new: first driver row
-        "parts_coorder_link_prediction",  # new: first driver row
-        "events_concurrent_sessions",  # new: first driver row
-        "events_session_overlap_pairs",  # new: first driver row
-        "events_daily_count_ewma",  # new: first driver row
-        "parts_coorder_core_numbers",
-        "parts_coorder_ppr",
+    # r14 new/touched surfaces must have a fresh driver row: the five
+    # first-driver-row queries plus the six whose plans this round's
+    # changes touched (the integral-DIV overlap-pair fix, the
+    # connected_components loop_round rework and its five consumers)
+    touched_r14 = {
+        "docs_zipf_slope",  # new: first driver row
+        "orders_benford_first_digit",  # new: first driver row
+        "parts_supplier_concentration",  # new: first driver row
+        "sql_lateral_top_orders",  # new: first driver row
+        "docs_length_decile_profile",  # new: first driver row
+        "events_session_overlap_pairs",  # integral-DIV pair arithmetic
+        "docs_dup_components",
+        "docs_dedup_keep_best",
+        "docs_dup_cluster_size_histogram",
+        "customers_entity_resolution",
+        "docs_prefix_entity_resolution",
     }
-    assert touched_r13 <= window, sorted(touched_r13 - window)
-    # the rotation the r12 verdict ordered: ALL 28 remaining r8-stale
+    assert touched_r14 <= window, sorted(touched_r14 - window)
+    # the rotation the r13 verdict ordered: ALL 26 remaining r9-stale
     # rows get fresh driver rows this round — after this window no
-    # standing row is older than r9 (list computed from
-    # CORRECTNESS_r01..r12)
-    stale_r8 = {
-        "docs_chunk_manifest",
-        "docs_exact_dedupe_count",
-        "docs_exact_dup_groups",
-        "docs_fingerprint",
-        "docs_hash_split_counts",
-        "docs_lang_id",
-        "docs_mixture_resample",
-        "docs_novelty_score",
-        "docs_pii_scrub",
-        "docs_quality_score",
-        "docs_repetition_score",
-        "docs_shingle_stats",
-        "docs_stratified_sample",
-        "docs_test_contamination",
-        "docs_tfidf_top_terms",
-        "docs_token_entropy",
-        "docs_token_stats",
-        "docs_top_terms",
-        "emb_centroid_norm_by_label",
-        "emb_int8_quantization",
-        "emb_norms",
-        "events_gapfilled_hourly",
-        "events_ohlc_downsample",
-        "orders_trend_by_segment",
-        "q2_min_cost_supplier",
-        "scalar_math_funcs",
-        "stats_corr_price_qty",
-        "window_percent_rank_cume",
+    # standing row is older than r10 (list computed from
+    # CORRECTNESS_r01..r13)
+    stale_r9 = {
+        "agg_argmax_by_status",
+        "docs_dedup_savings_report",
+        "docs_dup_profile_by_source",
+        "events_anomaly_zscore",
+        "events_daily_active_users",
+        "events_dow_hour_heatmap",
+        "events_funnel",
+        "events_hourly_by_type",
+        "events_props_extract",
+        "events_retention_cohorts",
+        "events_tumbling_window",
+        "events_type_transitions",
+        "events_type_value_stats",
+        "events_user_lifetime",
+        "lineitem_discount_band_profile",
+        "lineitem_unpivot_measure_stats",
+        "orders_cohort_monthly_value",
+        "orders_interarrival_stats",
+        "orders_rfm_segments",
+        "profile_orders_columns",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_late_priority_counts",
+        "stats_skew_kurtosis_qty",
+        "supplier_fulfillment_latency",
+        "window_first_last_dense",
     }
-    assert len(stale_r8) == 28
-    assert stale_r8 <= window, sorted(stale_r8 - window)
+    assert len(stale_r9) == 26
+    assert stale_r9 <= window, sorted(stale_r9 - window)
 
 
 def test_readme_query_count_matches_registry():
