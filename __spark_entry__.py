@@ -40,7 +40,7 @@ _SENTINELS = [
 # (CORRECTNESS_r01..r13, latest round per query): 26 rows last checked
 # r9, 48 r10, 44 r11, 46 r12, 50 r13. Window arithmetic, 50 slots:
 # 2 sentinels
-# + 5 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
+# + 7 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
 #   rank-frequency slope over integer-ln points;
 #   orders_benford_first_digit — integer-cents leading-digit census
 #   with ppm shares via integer DIV; parts_supplier_concentration —
@@ -49,7 +49,11 @@ _SENTINELS = [
 #   ORDER BY + LIMIT, same text on both engines;
 #   docs_length_decile_profile — equal-count length binning via the
 #   new distributed global_row_number operator, no single-partition
-#   window on the corpus)
+#   window on the corpus; docs_prefix_filter_jaccard_join — EXACT
+#   thresholded set-similarity via prefix filtering, proved complete
+#   by row equality against the brute posting-join oracle;
+#   orders_customer_spend_gini — Gini determinants on a
+#   global_row_number rank, decimal(38,0)-exact)
 # + 6 r14-TOUCHED queries (events_session_overlap_pairs after the
 #   integral-DIV pair arithmetic fix — r13 ADVICE; the five
 #   connected-components consumers after the loop_round rework:
@@ -58,13 +62,13 @@ _SENTINELS = [
 #   docs_prefix_entity_resolution)
 # + all 26 remaining r9-stale rows (the rotation the r13 verdict
 #   ordered — after this window no standing row is older than r10)
-# + 11 oldest r10-stale rows, state-sensitive families first (the
+# + 9 oldest r10-stale rows, state-sensitive families first (the
 #   minhash cached-index trio, the incremental near-dup/span family
-#   that replays persisted state, the IVF/SemDeDup embedding rows,
-#   the n-gram pair row sharing the posting slot)
+#   that replays persisted state, the n-gram pair row sharing the
+#   posting slot)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 33 remaining r10-stale rows lead r15; the board keeps the
+# The 35 remaining r10-stale rows lead r15; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
     # (a) r14 new: first driver rows
@@ -73,6 +77,8 @@ _PRIORITY = [
     "parts_supplier_concentration",
     "sql_lateral_top_orders",
     "docs_length_decile_profile",
+    "docs_prefix_filter_jaccard_join",
+    "orders_customer_spend_gini",
     # (b) r14-touched (integral-DIV fix; components loop_round rework)
     "events_session_overlap_pairs",
     "docs_dup_components",
@@ -117,8 +123,6 @@ _PRIORITY = [
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
     "docs_ngram_jaccard_pairs",
-    "emb_knn_ivf",
-    "emb_semantic_dedup",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -136,7 +140,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r10 (the full r9-stale block is IN the
 # window), and none was touched in r14, so the window is spent on the
-# rotation plus the round's eleven changed/new queries. Regenerated
+# rotation plus the round's thirteen changed/new queries. Regenerated
 # each round as registry - sentinels - priority.
 _SECOND_TIER = {
     "agg_cube_flags",
@@ -192,6 +196,7 @@ _SECOND_TIER = {
     "emb_kmeans_clusters",
     "emb_knn_bruteforce",
     "emb_knn_bruteforce_decimal",
+    "emb_knn_ivf",
     "emb_knn_ivf_md5",
     "emb_knn_lsh",
     "emb_lsh_candidate_stats",
@@ -199,6 +204,7 @@ _SECOND_TIER = {
     "emb_near_dup_pairs",
     "emb_norms",
     "emb_pq_quantization_qa",
+    "emb_semantic_dedup",
     "emb_top_pc_power_iteration",
     "events_ab_test_value_ztest",
     "events_anomaly_mad",

@@ -1955,3 +1955,134 @@ def docs_incremental_copied_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(rej, 1).otherwise(0)).alias("n_rejected"),
         F.sum(F.when(~rej, 1).otherwise(0)).alias("n_admitted"),
     )
+
+
+PREFIX_FILTER_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SHC_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(za.n + zb.n - i.n_inter AS BIGINT) AS n_union
+FROM inter i
+JOIN sizes za ON za.doc = i.doc_a
+JOIN sizes zb ON zb.doc = i.doc_b
+WHERE 10 * i.n_inter >= 3 * (za.n + zb.n - i.n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("docs_prefix_filter_jaccard_join", oracle=PREFIX_FILTER_JACCARD_ORACLE)
+def docs_prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT thresholded set-similarity join (Jaccard >= 0.3) via
+    PREFIX FILTERING (Chaudhuri et al. SSJoin 2006 / Bayardo et al.
+    AllPairs WWW'07): index only each document's rare-first PREFIX of
+    length |x| - ceil(t*|x|) + 1 instead of its whole shingle set. Any
+    pair with J >= t must share a token inside both prefixes under a
+    consistent global token order (pigeonhole on the minimum required
+    overlap), so joining prefixes loses NOTHING — unlike MinHash/LSH
+    this is exact by theorem, and the brute-force posting-join oracle
+    proves it: row equality IS the completeness proof.
+
+    Scale shape vs the full inverted index (`docs_ngram_jaccard_pairs`):
+    the posting relation shrinks from sum(|set|) to sum(prefix) rows
+    (70% fewer at t=0.3), and — the real lever — candidate volume
+    collapses because the rare-FIRST canonical order puts each doc's
+    lowest-df shingles in its prefix, so posting lists in the join are
+    the short ones by construction. The size filter
+    (10*min >= 3*max, the integer form of min >= t*max) prunes
+    length-incompatible pairs inside the join. The threshold compares
+    as the integer inequality 10*inter >= 3*union on BOTH engines — no
+    float boundary anywhere.
+
+    Shares the cached gram-array slots with the minhash family; the
+    ordered-prefix relation gets its own slot (used twice: candidate
+    generation + verification)."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        capped_gram_arrays,
+        gram_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = one_slot_persist(
+        gram_arrays(docs, "text", "doc_id"),
+        slot="dedup-sim-doc-grams",
+        key=(sf_dir,),
+    )
+    gv = one_slot_persist(
+        capped_gram_arrays(g, MAX_DOC_FREQ),
+        slot="dedup-sim-doc-grams-capped",
+        key=(sf_dir, MAX_DOC_FREQ),
+    )
+    sh = gv.select("doc", F.explode("grams").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rare-first total order: (df ASC, shingle ASC); the
+    # prefix bound needs ceil(0.3*n) = (3n + 9) DIV 10 — pure integers
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))),"
+                " s -> s.shingle)"
+            ).alias("og")
+        )
+        .withColumn("n", F.size("og"))
+        .withColumn(
+            "prefix_len", F.expr("n - ((3 * n + 9) DIV 10) + 1")
+        )
+    )
+    ov = one_slot_persist(
+        ordered,
+        slot="dedup-sim-prefix-ordered",
+        key=(sf_dir, MAX_DOC_FREQ),
+    )
+    pref = ov.select(
+        "doc", "n", F.explode(F.expr("slice(og, 1, prefix_len)")).alias("shingle")
+    )
+    a = pref.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                10 * F.least("n_a", "n_b")
+                >= 3 * F.greatest("n_a", "n_b")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(
+        "shuffle_hash"
+    )
+    gb = ov.select(F.col("doc").alias("doc_b"), F.col("og").alias("gb")).hint(
+        "shuffle_hash"
+    )
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "n_union", F.size("ga") + F.size("gb") - F.col("n_inter")
+        )
+        .filter(10 * F.col("n_inter") >= 3 * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2794,3 +2794,63 @@ def parts_supplier_concentration(
         )
         .orderBy("share_band")
     )
+
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+  FROM spend
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS total_cents,
+       CAST(SUM(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT))
+            AS DECIMAL(38,0)) AS rank_weighted_cents
+FROM r
+"""
+
+
+@query("orders_customer_spend_gini", oracle=GINI_ORACLE)
+def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-coefficient determinants of customer spend inequality — the
+    rank-weighted form G = (2*S1)/(n*S0) - (n+1)/n over ascending
+    per-customer totals, emitted as its EXACT integer determinants
+    (n, S0 = total cents, S1 = sum of rank*cents) rather than the
+    derived float (the TF-IDF doctrine: the float is reporting, the
+    determinants are the contract; a 1-ulp libm or division difference
+    can never fail the row).
+
+    The global rank uses operators/ranking.global_row_number, not an
+    unpartitioned window — per-customer totals at 100 TB are still a
+    billion-row relation, and this is exactly the shape (exact global
+    rank over a huge relation) the operator exists for; the oracle
+    states the same total order with DuckDB's plain window. Products
+    and sums run in decimal(38,0) (HUGEINT on the oracle side), so S1
+    stays exact far past the bigint range a web-scale corpus would
+    overflow."""
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = global_row_number(
+        spend, ["cents"], ["o_custkey"], out_col="rk"
+    )
+    dec = "decimal(38,0)"
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("total_cents"),
+        F.sum(F.col("rk").cast(dec) * F.col("cents").cast(dec))
+        .cast(dec)
+        .alias("rank_weighted_cents"),
+    )
