@@ -835,3 +835,101 @@ def minhash_lsh_incremental_indexed(
             "new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard")
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    gv: DataFrame,
+    t_num: int = 3,
+    t_den: int = 10,
+    slot: str | None = None,
+    key: object = None,
+) -> DataFrame:
+    """EXACT thresholded set-similarity join (Jaccard >= t_num/t_den)
+    over a (doc, grams) ARRAY relation via PREFIX FILTERING (Chaudhuri
+    et al. SSJoin 2006 / Bayardo et al. AllPairs WWW'07 / Xiao et al.
+    PPJoin): only each set's rare-first PREFIX of length
+    |x| - ceil(t*|x|) + 1 is indexed. Under one consistent global
+    token order, J(A,B) >= t forces a shared token inside BOTH
+    prefixes (pigeonhole on the minimum overlap ceil(t*max)), so the
+    prefix join generates a candidate SUPERSET and the exact verify
+    step makes the result identical to the brute-force join — exact by
+    theorem, unlike MinHash/LSH (pinned by the brute-force property
+    test and the query's brute-force oracle).
+
+    The threshold is a RATIONAL (t_num/t_den) compared as the integer
+    inequality t_den*inter >= t_num*union — no float boundary. The
+    canonical order is (document frequency ASC, shingle ASC): prefixes
+    then hold each set's RAREST tokens, so posting lists in the
+    candidate join are short by construction; ceil(t*n) folds to
+    (t_num*n + t_den - 1) DIV t_den. The length filter
+    (t_den*min >= t_num*max, implied by J >= t) prunes inside the
+    join. Returns (doc_a, doc_b, n_inter, n_union), doc_a < doc_b.
+
+    ``slot``/``key`` one-slot-persist the ordered-prefix relation (it
+    is consumed twice: candidate generation + verification)."""
+    sh = gv.select("doc", F.explode("grams").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))),"
+                " s -> s.shingle)"
+            ).alias("og")
+        )
+        .withColumn("n", F.size("og"))
+        .withColumn(
+            "prefix_len",
+            F.expr(f"n - (({t_num} * n + {t_den - 1}) DIV {t_den}) + 1"),
+        )
+    )
+    ov = (
+        one_slot_persist(ordered, slot=slot, key=key)
+        if slot is not None
+        else ordered
+    )
+    pref = ov.select(
+        "doc",
+        "n",
+        F.explode(F.expr("slice(og, 1, prefix_len)")).alias("shingle"),
+    )
+    a = pref.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                t_den * F.least("n_a", "n_b")
+                >= t_num * F.greatest("n_a", "n_b")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(
+        "shuffle_hash"
+    )
+    gb = ov.select(F.col("doc").alias("doc_b"), F.col("og").alias("gb")).hint(
+        "shuffle_hash"
+    )
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "n_union", F.size("ga") + F.size("gb") - F.col("n_inter")
+        )
+        .filter(t_den * F.col("n_inter") >= t_num * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+    )

@@ -2003,10 +2003,14 @@ def docs_prefix_filter_jaccard_join(
 
     Shares the cached gram-array slots with the minhash family; the
     ordered-prefix relation gets its own slot (used twice: candidate
-    generation + verification)."""
+    generation + verification). The pipeline itself is
+    operators/minhash.prefix_filter_jaccard_pairs, whose completeness
+    is ALSO property-tested against brute-force set math on random
+    gram corpora (tests/test_properties.py)."""
     from lakehouse_architecture_spark.operators.minhash import (
         capped_gram_arrays,
         gram_arrays,
+        prefix_filter_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2020,69 +2024,10 @@ def docs_prefix_filter_jaccard_join(
         slot="dedup-sim-doc-grams-capped",
         key=(sf_dir, MAX_DOC_FREQ),
     )
-    sh = gv.select("doc", F.explode("grams").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # canonical rare-first total order: (df ASC, shingle ASC); the
-    # prefix bound needs ceil(0.3*n) = (3n + 9) DIV 10 — pure integers
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(df, shingle))),"
-                " s -> s.shingle)"
-            ).alias("og")
-        )
-        .withColumn("n", F.size("og"))
-        .withColumn(
-            "prefix_len", F.expr("n - ((3 * n + 9) DIV 10) + 1")
-        )
-    )
-    ov = one_slot_persist(
-        ordered,
+    return prefix_filter_jaccard_pairs(
+        gv,
+        t_num=3,
+        t_den=10,
         slot="dedup-sim-prefix-ordered",
         key=(sf_dir, MAX_DOC_FREQ),
-    )
-    pref = ov.select(
-        "doc", "n", F.explode(F.expr("slice(og, 1, prefix_len)")).alias("shingle")
-    )
-    a = pref.select(
-        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
-    )
-    b = pref.select(
-        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
-    )
-    cands = (
-        a.join(b, "shingle")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                10 * F.least("n_a", "n_b")
-                >= 3 * F.greatest("n_a", "n_b")
-            )
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(
-        "shuffle_hash"
-    )
-    gb = ov.select(F.col("doc").alias("doc_b"), F.col("og").alias("gb")).hint(
-        "shuffle_hash"
-    )
-    return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
-        .withColumn(
-            "n_union", F.size("ga") + F.size("gb") - F.col("n_inter")
-        )
-        .filter(10 * F.col("n_inter") >= 3 * F.col("n_union"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_inter").cast("long").alias("n_inter"),
-            F.col("n_union").cast("long").alias("n_union"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    ).orderBy("doc_a", "doc_b")

@@ -584,3 +584,53 @@ def test_core_numbers_match_bruteforce_peel(spark, edges):
     assert res["converged"]
     got = {r.node: r.c for r in res["cores"].collect()}
     assert got == want
+
+
+_pf_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # doc id
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=8
+        ),  # grams
+    ),
+    min_size=2,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(_pf_docs, st.sampled_from([(3, 10), (1, 2), (4, 5)]))
+def test_prefix_filter_join_matches_bruteforce(spark, docs, thresh):
+    """Prefix filtering is EXACT (SSJoin/AllPairs theorem): the
+    prefix-indexed join must return precisely the pairs brute-force
+    set math finds at J >= t_num/t_den — including threshold-boundary
+    pairs (the integer inequality), duplicate grams (set semantics),
+    empty sets, and sets whose only shared token is the last element
+    of a prefix."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    t_num, t_den = thresh
+    gv = spark.createDataFrame(
+        [(i, sorted(set(g))) for i, g in docs],
+        "doc long, grams array<string>",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(
+            gv, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    sets = {i: set(g) for i, g in docs}
+    want = set()
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union > 0 and t_den * inter >= t_num * union:
+                want.add((a, b, inter, union))
+    assert got == want
