@@ -154,6 +154,7 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r14/prefix-filter-regime: docs_prefix_filter_jaccard_join (new) measured at sf0.1 — cold ~19 s (shared gram-array build dominates, same as the posting join's cold path), warm ~7-8 s vs docs_ngram_jaccard_pairs' ~2.8 s. Decomposition: at t=0.3 the prefix keeps 71% of postings (185,040 of 260,388; prefix length is |x|(1-t)+1) and the synthetic corpus's 31-word vocabulary makes every shingle common, so 597k candidate pairs reach the array_intersect verify. This is the documented regime tradeoff, not a defect: prefix filtering is a high-threshold (t>=0.7), heavy-tailed-df tool; at t=0.5 the result set here is IDENTICAL (256 pairs — the corpus's near-dups are all J>=0.5) and at web-scale thresholds the prefix index is what survives while the full posting join does not. The row's purpose is exactness proof (row equality vs the brute-force oracle at four corpora + the t-parameterized property test); the constant is documented in the docstring.",
     "r14/bpe-kmeans-exchange-audit: the r13 verdict's order 4 (extend the exchange-free round recipe to the BPE merge loop and the k-means Lloyd iterations — measure first, ship only at >=1.3x) closed by MEASUREMENT with NO change shipped, the core-numbers lesson applied: neither loop has a stable heavy relation being re-exchanged. BPE train at sf0.1: the corpus pass + vocab checkpoint is 3.6 s, then each merge round costs 0.42 s pair-aggregate + 0.18 s fold/checkpoint on a THIRTY-ONE-row vocabulary (the synthetic corpus's distinct whitespace tokens) — per-round job-scheduling overhead, zero exchange volume; structurally the recipe cannot apply because the vocab relation is REWRITTEN by the fold every round (nothing stable to persist-partition) and the aggregate key (the symbol pair) changes with the merges. k-means (kmeans_refine, emb_kmeans_clusters 1.99 s / IVF two-step training): assignment broadcasts the kxdim centroid relation into the corpus scan (no corpus shuffle), and the centroid update is a posexplode aggregate that map-side-combines to kxdim partials per partition — the exchanged bytes are partitions*k*dim regardless of corpus size, already the minimal shape. The remaining BPE wall (docs_bpe_encode_stats ~14 s) is Catalyst expression-fold latency on the apply path, documented since r10 — not an exchange.",
     "r14/link-prediction-decomposition: the r13 verdict's order 5 (try the two-pass HAVING threshold probe on parts_coorder_link_prediction's 25.2 s) closed by MEASUREMENT with the hypothesis refuted — no change shipped. Stage decomposition at sf0.1: edge build 5.0 s (1.196M edges), wedge explode+aggregate 15.2 s (59.99M distinct pairs from ~65M wedges — multiplicity ~1.08, so map-side partial aggregation collapses nothing and the hash-agg shuffle is the irreducible exact-count cost), anti-join + top-20 on the cached pair relation 8.5 s nominal BUT the executed plan shows AQE already converts it to BroadcastHashJoin LeftAnti BuildRight at BOTH sf0.01 and sf0.1 (the 1.2M-edge relation is ~19 MB) — the stage the HAVING probe would prune is already a scan-speed broadcast probe, and an interleaved A/B of an explicit F.broadcast hint vs the plain join read equal minima (15.7 vs 16.5 s end-to-end, rows identical). A limit-based candidate probe (top-4096 pairs then anti-join) was tried and is UNSAFE: the top-20 floor is n_common=7 with a tie group spanning far past any fixed candidate budget (measured result mismatch). Verdict: the 25 s row IS the wedge-aggregate cost, bounded by construction at 128*|adj|; the right lever at cluster scale is a lower center cap or sampling, both of which change the row's exact semantics — keep the documented cost.",
     "r14/tpch-movers-adjudication: the r13 verdict's order 2 (q1 2.854 / q3 1.300 / q5 1.586 s vs r12's 1.211/0.746/1.112 on byte-unchanged code, with q1's session MIN also above its historical range) closed as a HOST-CONTENTION verdict via two interleaved A/B sessions (7 alternating reps each, suspects + two byte-unchanged in-band controls q9/q10, one warmed sf0.1 session per run, 20 min apart): run 1 — q1 med 1.869 (BELOW its r13 bench read), q3 0.819, q5 1.479, while control q10 read 2.561 (2.0x ITS r13 level 1.262) and q9 1.982 (1.9x); run 2 — everything 2.5-6x historical (q1 5.868, q9 4.675, q10 3.202) with within-session spreads of 3.4-6.2 s and 15-min loadavg 4.8. Controls moving in lockstep with (and harder than) suspects inside one session, plus a 3x level shift between two identical sessions, is external host load, not a plan shape — a q1/q3/q5 regression cannot elevate q9/q10. Verdict: the r13 readings (including the raised min) were the same contention sampled at closing time; plans unchanged (git-verified r12->r14). Standing rule: adjudicate future movers against the in-session CONTROLS first; a >1.25x median trigger only stands if controls hold their level in the same session.",

@@ -1991,15 +1991,26 @@ def docs_prefix_filter_jaccard_join(
     proves it: row equality IS the completeness proof.
 
     Scale shape vs the full inverted index (`docs_ngram_jaccard_pairs`):
-    the posting relation shrinks from sum(|set|) to sum(prefix) rows
-    (70% fewer at t=0.3), and — the real lever — candidate volume
-    collapses because the rare-FIRST canonical order puts each doc's
-    lowest-df shingles in its prefix, so posting lists in the join are
-    the short ones by construction. The size filter
+    the posting relation shrinks to the prefix rows and — the real
+    lever — candidate posting lists hold each doc's lowest-df shingles
+    by construction (the rare-first canonical order). The size filter
     (10*min >= 3*max, the integer form of min >= t*max) prunes
     length-incompatible pairs inside the join. The threshold compares
     as the integer inequality 10*inter >= 3*union on BOTH engines — no
     float boundary anywhere.
+
+    REGIME NOTE (measured r14, sf0.1): prefix filtering is a
+    HIGH-threshold, sparse-vocabulary tool — prefix length is
+    |x|(1-t)+1, so t=0.3 keeps 71% of postings (185k of 260k), and on
+    this synthetic corpus's 31-word vocabulary nothing is rare, so the
+    prefix join still emits 597k candidates and the warm wall is ~7-8 s
+    vs ~2.8 s for the df-capped posting join (both ~19 s cold, shared
+    gram build dominating). The row exists to PROVE the technique's
+    exactness against the brute oracle (and the operator's property
+    test re-proves it at t=0.3/0.5/0.8 on random corpora); on a real
+    web corpus at dedup thresholds (t >= 0.7, heavy-tailed df) the
+    prefix index is the shape that survives and the posting join is
+    the one that doesn't.
 
     Shares the cached gram-array slots with the minhash family; the
     ordered-prefix relation gets its own slot (used twice: candidate
