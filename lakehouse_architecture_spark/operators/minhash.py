@@ -865,6 +865,11 @@ def prefix_filter_jaccard_pairs(
     (t_den*min >= t_num*max, implied by J >= t) prunes inside the
     join. Returns (doc_a, doc_b, n_inter, n_union), doc_a < doc_b.
 
+    Precondition: ``grams`` arrays must be DISTINCT per doc (what
+    :func:`gram_arrays` produces) — duplicates would inflate set sizes
+    and document frequencies while ``array_intersect`` dedupes,
+    skewing every count.
+
     ``slot``/``key`` one-slot-persist the ordered-prefix relation (it
     is consumed twice: candidate generation + verification)."""
     sh = gv.select("doc", F.explode("grams").alias("shingle"))

@@ -62,12 +62,26 @@ def global_row_number(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        *vcols,
+        *[F.col(v).alias(f"_off_{v}") for v in vcols],
         F.coalesce(F.sum("_grp_n").over(off_w), F.lit(0)).alias("_grp_off"),
     )
+    # NULL-SAFE equality back to the rows: a plain equi-join would
+    # silently DROP every row whose value column is null (null != null)
+    # while groupBy/partitionBy had put them in one group. Nulls sort
+    # first (Spark's asc default) in both the offsets window and the
+    # within-group partition, so the null group ranks lowest,
+    # consistently. (Oracle caveat for callers: DuckDB's ASC default is
+    # NULLS LAST — state NULLS FIRST explicitly in a cross-engine twin
+    # if the ordering columns are nullable.)
+    cond = None
+    for v in vcols:
+        c = F.col(v).eqNullSafe(F.col(f"_off_{v}"))
+        cond = c if cond is None else (cond & c)
     return (
         df.withColumn("_within_rn", within)
-        .join(offsets, vcols)
+        .join(offsets, cond)
         .withColumn(out_col, (F.col("_grp_off") + F.col("_within_rn")))
-        .drop("_within_rn", "_grp_off")
+        .drop(
+            "_within_rn", "_grp_off", *[f"_off_{v}" for v in vcols]
+        )
     )

@@ -1235,3 +1235,20 @@ def test_global_row_number_matches_window(spark):
     assert got == want
     # ranks are a permutation of 1..n (total order, no gaps/dupes)
     assert sorted(got.values()) == list(range(1, 7))
+
+    # null value-column rows must survive (null-safe join back) and
+    # rank FIRST (Spark asc = nulls first), matching the window form
+    dfn = spark.createDataFrame(
+        [(None, "a"), (3, "b"), (None, "c")], "v int, id string"
+    )
+    gotn = {
+        r.id: r.global_rank
+        for r in global_row_number(dfn, ["v"], ["id"]).collect()
+    }
+    wantn = {
+        r.id: r.rn
+        for r in dfn.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert gotn == wantn == {"a": 1, "c": 2, "b": 3}
