@@ -54,21 +54,21 @@ _SENTINELS = [
 #   by row equality against the brute posting-join oracle;
 #   orders_customer_spend_gini — Gini determinants on a
 #   global_row_number rank, decimal(38,0)-exact)
-# + 6 r14-TOUCHED queries (events_session_overlap_pairs after the
+# + 7 r14-TOUCHED queries (events_session_overlap_pairs after the
 #   integral-DIV pair arithmetic fix — r13 ADVICE; the five
 #   connected-components consumers after the loop_round rework:
 #   docs_dup_components, docs_dedup_keep_best,
 #   docs_dup_cluster_size_histogram, customers_entity_resolution,
-#   docs_prefix_entity_resolution)
+#   docs_prefix_entity_resolution; docs_bpe_encode_stats after the
+#   dictionary-encode rewrite — 15.2 -> 2.1 s, identical rows)
 # + all 26 remaining r9-stale rows (the rotation the r13 verdict
 #   ordered — after this window no standing row is older than r10)
-# + 9 oldest r10-stale rows, state-sensitive families first (the
-#   minhash cached-index trio, the incremental near-dup/span family
-#   that replays persisted state, the n-gram pair row sharing the
-#   posting slot)
+# + 8 oldest r10-stale rows, state-sensitive families first (the
+#   minhash cached-index trio and the incremental near-dup/span
+#   family that replays persisted state)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 35 remaining r10-stale rows lead r15; the board keeps the
+# The 36 remaining r10-stale rows lead r15; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
     # (a) r14 new: first driver rows
@@ -86,6 +86,7 @@ _PRIORITY = [
     "docs_dup_cluster_size_histogram",
     "customers_entity_resolution",
     "docs_prefix_entity_resolution",
+    "docs_bpe_encode_stats",
     # (c) the 26 remaining r9-stale rows
     "agg_argmax_by_status",
     "docs_dedup_savings_report",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "docs_incremental_copied_spans",
     "docs_shared_span_pairs",
     "docs_copied_span_profile",
-    "docs_ngram_jaccard_pairs",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -140,7 +140,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r10 (the full r9-stale block is IN the
 # window), and none was touched in r14, so the window is spent on the
-# rotation plus the round's thirteen changed/new queries. Regenerated
+# rotation plus the round's fourteen changed/new queries. Regenerated
 # each round as registry - sentinels - priority.
 _SECOND_TIER = {
     "agg_cube_flags",
@@ -158,7 +158,6 @@ _SECOND_TIER = {
     "dedup_latest_order_per_customer",
     "distinct_segments",
     "docs_bigram_cross_entropy",
-    "docs_bpe_encode_stats",
     "docs_bpe_merge_qa",
     "docs_chunk_manifest",
     "docs_curation_funnel",
@@ -170,6 +169,7 @@ _SECOND_TIER = {
     "docs_learned_filter_apply",
     "docs_length_histogram",
     "docs_mixture_resample",
+    "docs_ngram_jaccard_pairs",
     "docs_novelty_score",
     "docs_packing_manifest",
     "docs_pii_scrub",

@@ -120,18 +120,34 @@ def train_bpe(
     return merges
 
 
+def bpe_word_tokens(word, merges: list[dict]):
+    """Subword array for a single-WORD column: char split, then each
+    merge rule as a fold in rank order — the per-word unit both
+    :func:`apply_bpe` (per-document flatten) and the dictionary-encode
+    path (encode DISTINCT words once, join back) are built from."""
+    syms = F.split(word, "")
+    for m in merges:
+        syms = _merge_fold(syms, m["left"], m["right"])
+    return syms
+
+
 def apply_bpe(df: DataFrame, text_col: str, merges: list[dict]):
     """Tokenize ``text_col`` with a learned merge list: per-word char
     split, then each merge rule as a fold, in rank order — one narrow
     projection, no shuffle. Returns a Column (array of subword arrays
-    flattened per document)."""
+    flattened per document).
+
+    Cost note (measured r14): the fold expression runs per word
+    INSTANCE, so corpus-wide encoding pays |occurrences| x depth even
+    though words repeat heavily (Zipf). When only per-word token
+    ARITHMETIC is needed (counts, budgets), encode the DISTINCT word
+    relation once with :func:`bpe_word_tokens` and join the results
+    back — |vocabulary| fold evaluations instead of |occurrences|
+    (the dictionary-encode path ``docs_bpe_encode_stats`` uses)."""
     words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    def tokenize_word(w):
-        syms = F.split(w, "")
-        for m in merges:
-            syms = _merge_fold(syms, m["left"], m["right"])
-        return syms
-    return F.flatten(F.transform(words, tokenize_word))
+    return F.flatten(
+        F.transform(words, lambda w: bpe_word_tokens(w, merges))
+    )
 
 
 def train_bpe_reference(

@@ -237,6 +237,7 @@ def test_driver_window_composition():
         "docs_dup_cluster_size_histogram",
         "customers_entity_resolution",
         "docs_prefix_entity_resolution",
+        "docs_bpe_encode_stats",  # dictionary-encode rewrite
     }
     assert touched_r14 <= window, sorted(touched_r14 - window)
     # the rotation the r13 verdict ordered: ALL 26 remaining r9-stale
