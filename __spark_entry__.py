@@ -40,7 +40,7 @@ _SENTINELS = [
 # (CORRECTNESS_r01..r13, latest round per query): 26 rows last checked
 # r9, 48 r10, 44 r11, 46 r12, 50 r13. Window arithmetic, 50 slots:
 # 2 sentinels
-# + 7 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
+# + 9 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
 #   rank-frequency slope over integer-ln points;
 #   orders_benford_first_digit — integer-cents leading-digit census
 #   with ppm shares via integer DIV; parts_supplier_concentration —
@@ -53,7 +53,10 @@ _SENTINELS = [
 #   thresholded set-similarity via prefix filtering, proved complete
 #   by row equality against the brute posting-join oracle;
 #   orders_customer_spend_gini — Gini determinants on a
-#   global_row_number rank, decimal(38,0)-exact)
+#   global_row_number rank, decimal(38,0)-exact;
+#   docs_overlap_coefficient_pairs — the asymmetric containment rung
+#   of the dedup ladder, integer-exact; parts_coorder_weighted_pagerank
+#   — rank flowing by co-order multiplicity, 12-stage unrolled oracle)
 # + 7 r14-TOUCHED queries (events_session_overlap_pairs after the
 #   integral-DIV pair arithmetic fix — r13 ADVICE; the five
 #   connected-components consumers after the loop_round rework:
@@ -63,12 +66,12 @@ _SENTINELS = [
 #   dictionary-encode rewrite — 15.2 -> 2.1 s, identical rows)
 # + all 26 remaining r9-stale rows (the rotation the r13 verdict
 #   ordered — after this window no standing row is older than r10)
-# + 8 oldest r10-stale rows, state-sensitive families first (the
-#   minhash cached-index trio and the incremental near-dup/span
-#   family that replays persisted state)
+# + 6 oldest r10-stale rows, state-sensitive families first (the
+#   minhash cached-index trio and the incremental near-dup family
+#   that replays persisted state)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 36 remaining r10-stale rows lead r15; the board keeps the
+# The 38 remaining r10-stale rows lead r15; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
     # (a) r14 new: first driver rows
@@ -79,6 +82,8 @@ _PRIORITY = [
     "docs_length_decile_profile",
     "docs_prefix_filter_jaccard_join",
     "orders_customer_spend_gini",
+    "docs_overlap_coefficient_pairs",
+    "parts_coorder_weighted_pagerank",
     # (b) r14-touched (integral-DIV fix; components loop_round rework)
     "events_session_overlap_pairs",
     "docs_dup_components",
@@ -121,8 +126,6 @@ _PRIORITY = [
     "docs_incremental_near_dups",
     "docs_incremental_near_dups_indexed",
     "docs_incremental_copied_spans",
-    "docs_shared_span_pairs",
-    "docs_copied_span_profile",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -140,7 +143,7 @@ _FAMILY_ORDER = [
 # everything outside the 50-slot window above. All have standing green
 # driver rows no older than r10 (the full r9-stale block is IN the
 # window), and none was touched in r14, so the window is spent on the
-# rotation plus the round's fourteen changed/new queries. Regenerated
+# rotation plus the round's sixteen changed/new queries. Regenerated
 # each round as registry - sentinels - priority.
 _SECOND_TIER = {
     "agg_cube_flags",
@@ -160,6 +163,7 @@ _SECOND_TIER = {
     "docs_bigram_cross_entropy",
     "docs_bpe_merge_qa",
     "docs_chunk_manifest",
+    "docs_copied_span_profile",
     "docs_curation_funnel",
     "docs_exact_dedupe_count",
     "docs_exact_dup_groups",
@@ -178,6 +182,7 @@ _SECOND_TIER = {
     "docs_quality_score",
     "docs_rare_token_ratio",
     "docs_repetition_score",
+    "docs_shared_span_pairs",
     "docs_shingle_stats",
     "docs_source_shingle_overlap",
     "docs_stratified_sample",

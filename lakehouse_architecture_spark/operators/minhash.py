@@ -938,3 +938,70 @@ def prefix_filter_jaccard_pairs(
             F.col("n_union").cast("long").alias("n_union"),
         )
     )
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    t_num: int = 4,
+    t_den: int = 5,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+    cache_key: object = None,
+) -> DataFrame:
+    """EXACT overlap-coefficient pairs (Szymkiewicz-Simpson:
+    inter / min(|A|, |B|) >= t_num/t_den) via the same inverted-index
+    join as :func:`ngram_jaccard_pairs` — the ASYMMETRIC dedup measure:
+    a short document wholly CONTAINED in a long one scores ~1.0 here
+    while its Jaccard can be arbitrarily small, which is exactly the
+    quote/boilerplate/subset-page case resemblance dedup misses
+    (RefinedWeb-class pipelines run a containment rung beside the
+    resemblance rung for this reason).
+
+    The threshold compares as the integer inequality
+    t_den * inter >= t_num * min(n_a, n_b) — no float anywhere; the
+    emitted row is the exact integer triple (n_inter, n_a, n_b) that
+    determines the coefficient. Shares the ``minhash-njp-*`` one-slot
+    caches with the Jaccard twin (same ``cache_key`` contract), so
+    consecutive runs of both reuse one warm exploded relation."""
+    slot_key = (
+        None if cache_key is None else (cache_key, shingle_n, max_doc_freq)
+    )
+    g = gram_arrays(df, text_col, id_col, shingle_n)
+    if max_doc_freq is not None:
+        g = capped_gram_arrays(
+            one_slot_persist(g, slot="minhash-njp-grams", key=slot_key),
+            max_doc_freq,
+        )
+    sh = one_slot_persist(
+        explode_grams(
+            g.select("doc", F.size("grams").alias("n"), "grams"), "doc", "n"
+        ),
+        slot="minhash-njp-exploded",
+        key=slot_key,
+    )
+    sa = sh.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    sb = sh.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    return (
+        sa.join(
+            sb, (sa.shingle == sb.shingle) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            t_den * F.col("n_inter")
+            >= t_num * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )

@@ -291,3 +291,110 @@ def personalized_pagerank(
         "n_seeds": n_seeds,
         "delta_max": delta_max,
     }
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """PageRank over a WEIGHTED directed graph: each node distributes
+    its rank across out-edges in proportion to edge weight
+    (contribution along (u, v, w) = pr(u) * w / wdeg(u), wdeg = sum of
+    u's out-weights) — the production norm for co-occurrence graphs,
+    where a pair co-ordered 40 times should pull rank harder than a
+    pair co-ordered once. Reduces exactly to :func:`pagerank` when all
+    weights are 1 (pinned by test). Deliberately a SEPARATE function:
+    the unweighted operator backs five standing oracle rows and stays
+    byte-unchanged.
+
+    Same exchange-free round shape as :func:`pagerank` (module
+    docstring): the weighted edge relation is dst-partitioned and
+    persisted, the node-grain share relation (pr / wdeg) broadcasts
+    under the 2M-node cap, and rounds materialize via ``loop_round``
+    (superseded-block release; ``checkpoint_dir`` for the reliable
+    cluster mode). Same update form as the unweighted operator
+    (sum-=-n normalization): pr <- (1-d) + d*(inflow + m/n) with m the
+    dangling mass (wdeg = 0 nodes).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1): {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .repartition(n_part, "dst")
+        .persist()
+    )
+    nodes = loop_round(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir=checkpoint_dir,
+    )
+    n = nodes.count()
+    bcast_share = n <= 2_000_000
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    state = loop_round(
+        nodes.join(wdeg, nodes.node == wdeg.src, "left")
+        .select("node", F.coalesce("wdeg", F.lit(0.0)).alias("wdeg"))
+        .withColumn("pr", F.lit(1.0)),
+        prev=nodes,
+        checkpoint_dir=checkpoint_dir,
+    )
+    delta_max = float("nan")
+    state_cp = state
+    for _ in range(iters):
+        dangling = state.filter(F.col("wdeg") == 0.0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
+        )
+        share = state.filter(F.col("wdeg") > 0.0).select(
+            F.col("node").alias("src"),
+            (F.col("pr") / F.col("wdeg")).alias("share"),
+        )
+        contrib = (
+            e.join(F.broadcast(share) if bcast_share else share, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("w")).alias("inflow"))
+        )
+        new = (
+            state.join(contrib, state.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "wdeg",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+                F.col("pr").alias("pr_prev"),
+            )
+        )
+        new = loop_round(new, prev=state_cp, checkpoint_dir=checkpoint_dir)
+        delta_max = float(
+            new.agg(
+                F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
+            ).collect()[0].d
+        )
+        state_cp = new
+        state = new.drop("pr_prev")
+    e.unpersist(blocking=False)
+    return {
+        "ranks": state.select("node", "wdeg", "pr"),
+        "n_nodes": n,
+        "delta_max": delta_max,
+    }

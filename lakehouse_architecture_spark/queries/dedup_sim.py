@@ -2042,3 +2042,53 @@ def docs_prefix_filter_jaccard_join(
         slot="dedup-sim-prefix-ordered",
         key=(sf_dir, MAX_DOC_FREQ),
     ).orderBy("doc_a", "doc_b")
+
+
+OVERLAP_COEFF_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_SHC_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shc GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b
+FROM inter i
+JOIN sizes za ON za.doc = i.doc_a
+JOIN sizes zb ON zb.doc = i.doc_b
+WHERE 5 * i.n_inter >= 4 * LEAST(za.n, zb.n)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("docs_overlap_coefficient_pairs", oracle=OVERLAP_COEFF_ORACLE)
+def docs_overlap_coefficient_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment-style near-dup pairs: overlap coefficient
+    inter / min(|A|, |B|) >= 0.8 over capped 3-gram shingle sets
+    (operators/minhash.ngram_overlap_pairs) — the ASYMMETRIC rung of
+    the dedup ladder. A short page wholly quoted inside a long one
+    scores ~1.0 here while its Jaccard is tiny; resemblance dedup
+    (`docs_ngram_jaccard_pairs`) structurally misses that case, which
+    is why production pipelines run a containment rung beside it.
+    Every compared value is an exact integer (the threshold is the
+    inequality 5*inter >= 4*min); the coefficient itself is derived
+    reporting. Shares the minhash-family exploded-shingle slot, so
+    running this after the Jaccard row reuses the warm relation."""
+    from lakehouse_architecture_spark.operators.minhash import (
+        ngram_overlap_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_overlap_pairs(
+        docs,
+        "text",
+        "doc_id",
+        t_num=4,
+        t_den=5,
+        max_doc_freq=MAX_DOC_FREQ,
+        cache_key=(sf_dir, "documents"),
+    ).orderBy("doc_a", "doc_b")

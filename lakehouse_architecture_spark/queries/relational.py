@@ -2854,3 +2854,121 @@ def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(dec)
         .alias("rank_weighted_cents"),
     )
+
+
+def _wpr_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled weighted-PageRank oracle (the `_ppr_oracle` pattern):
+    the weighted update is a linear fixed-depth recurrence from the
+    uniform start, so ``iters`` materialized SQL stages replicate the
+    Spark loop's VALUES exactly (modulo double summation order,
+    absorbed by round(6)). The edge weight is the number of DISTINCT
+    orders containing both parts — computed from a deduplicated
+    (order, pair) relation so an order listing a part on several
+    lineitems still counts once, matching the Spark side's per-order
+    collect_set pair explode. The dangling term is carried for formula
+    fidelity; it is exactly 0 on this graph (every node has edges)."""
+    d = damping
+    parts = [
+        f"""WITH up AS MATERIALIZED (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS w FROM up GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT src, dst, w FROM und
+  UNION ALL SELECT dst AS src, src AS dst, w FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+wd AS MATERIALIZED (
+  SELECT src AS node, SUM(w) AS wdeg FROM e GROUP BY src
+),
+s AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(wd.wdeg, 0) AS DOUBLE) AS wdeg,
+         (SELECT COUNT(*) FROM nodes) AS nn
+  FROM nodes n LEFT JOIN wd ON wd.node = n.node
+),
+p0 AS MATERIALIZED (SELECT node, wdeg, nn, 1.0 AS pr FROM s)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+dang{t} AS (
+  SELECT COALESCE(SUM(pr), 0.0) AS m FROM p{t - 1} WHERE wdeg = 0
+),
+inflow{t} AS (
+  SELECT e.dst AS node, SUM(p.pr / p.wdeg * e.w) AS inflow
+  FROM e JOIN p{t - 1} p ON p.node = e.src AND p.wdeg > 0
+  GROUP BY e.dst
+),
+p{t} AS MATERIALIZED (
+  SELECT p.node, p.wdeg, p.nn,
+         (1 - {d}) + {d} * (COALESCE(i.inflow, 0.0) + g.m / p.nn) AS pr
+  FROM p{t - 1} p LEFT JOIN inflow{t} i ON i.node = p.node, dang{t} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(wdeg AS BIGINT) AS wdeg, ROUND(pr, 6) AS pr
+FROM p{iters} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("parts_coorder_weighted_pagerank", oracle=_wpr_oracle(12))
+def parts_coorder_weighted_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED PageRank on the part co-order graph — rank flows in
+    proportion to co-order MULTIPLICITY (how many orders contained the
+    pair), not mere adjacency: the production form for co-occurrence
+    graphs, where the unweighted walk (`parts_coorder_pagerank`)
+    treats a 40-order association and a 1-order accident identically.
+    Twelve fixed iterations of operators/pagerank.weighted_pagerank
+    (the exchange-free round recipe: weighted edges dst-partitioned +
+    persisted, node-grain share relation broadcast under the 2M cap,
+    loop_round block release).
+
+    Cross-engine contract: the PPR doctrine — a linear fixed-depth
+    recurrence from a deterministic start, so the DuckDB oracle
+    unrolls the same 12 stages and ROUND(pr, 6) absorbs only
+    summation-order noise; the weighted degree rides along as an exact
+    BIGINT. Edge weights count DISTINCT orders per pair (per-order
+    collect_set explode), so multi-lineitem orders cannot inflate an
+    edge."""
+    from lakehouse_architecture_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = F.expr(
+        "flatten(transform(p, (x, i) -> "
+        "transform(slice(p, i + 2, size(p)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    wund = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("p"))
+        .select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = wund.unionByName(
+        wund.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    r = weighted_pagerank(e, iters=12)
+    return (
+        r["ranks"]
+        .select(
+            "node",
+            F.col("wdeg").cast("long").alias("wdeg"),
+            F.round("pr", 6).alias("pr"),
+        )
+        .orderBy("node")
+    )

@@ -1252,3 +1252,37 @@ def test_global_row_number_matches_window(spark):
         ).collect()
     }
     assert gotn == wantn == {"a": 1, "c": 2, "b": 3}
+
+
+def test_weighted_pagerank_unit_weights_match_unweighted(spark):
+    """weighted_pagerank with all weights 1 must reproduce pagerank
+    exactly (same update, wdeg == deg), and weights must actually
+    steer rank: doubling one edge's weight raises its target's rank."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.pagerank import (
+        pagerank,
+        weighted_pagerank,
+    )
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    both = und.unionAll(und.selectExpr("dst AS src", "src AS dst"))
+    unw = pagerank(both, iters=4)
+    w1 = weighted_pagerank(
+        both.withColumn("w", F.lit(1)), iters=4
+    )
+    a = {r.node: r.pr for r in unw["ranks"].collect()}
+    b = {r.node: r.pr for r in w1["ranks"].collect()}
+    assert set(a) == set(b)
+    for n in a:
+        assert abs(a[n] - b[n]) < 1e-12, (n, a[n], b[n])
+
+    # steering: weight the 4->5 edge heavily; node 5's rank must rise
+    wed = both.withColumn(
+        "w", F.when((F.col("src") == 4) & (F.col("dst") == 5), 10).otherwise(1)
+    )
+    w2 = weighted_pagerank(wed, iters=4)
+    c = {r.node: r.pr for r in w2["ranks"].collect()}
+    assert c[5] > b[5]

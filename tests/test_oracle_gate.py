@@ -219,7 +219,7 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r14 new/touched surfaces must have a fresh driver row: the seven
+    # r14 new/touched surfaces must have a fresh driver row: the nine
     # first-driver-row queries plus the six whose plans this round's
     # changes touched (the integral-DIV overlap-pair fix, the
     # connected_components loop_round rework and its five consumers)
@@ -231,6 +231,8 @@ def test_driver_window_composition():
         "docs_length_decile_profile",  # new: first driver row
         "docs_prefix_filter_jaccard_join",  # new: first driver row
         "orders_customer_spend_gini",  # new: first driver row
+        "docs_overlap_coefficient_pairs",  # new: first driver row
+        "parts_coorder_weighted_pagerank",  # new: first driver row
         "events_session_overlap_pairs",  # integral-DIV pair arithmetic
         "docs_dup_components",
         "docs_dedup_keep_best",
