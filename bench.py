@@ -160,6 +160,11 @@ EXTRA = [
     "orders_benford_first_digit",
     "docs_zipf_slope",
     "sql_lateral_top_orders",
+    # late r14: the containment rung (one aggregate after the shared
+    # posting join). parts_coorder_weighted_pagerank is deliberately
+    # NOT benched: a 12-iteration driver-bounded loop times the
+    # iteration count, not a data-sized plan (the pagerank doctrine).
+    "docs_overlap_coefficient_pairs",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
@@ -169,7 +174,7 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
-    "r14/closing-ledger: final tree, 221 queries/221 oracles (+7 this round: docs_prefix_filter_jaccard_join — EXACT prefix-filtered set-similarity join proved by row equality against the brute posting-join oracle; docs_length_decile_profile + orders_customer_spend_gini — the two consumers of the new operators/ranking.global_row_number, an exact distributed total-order rank with no single-partition window; orders_benford_first_digit, parts_supplier_concentration — all-integer forensics/concentration profiles with ppm shares via integer DIV; docs_zipf_slope — rank-frequency OLS with libm on integer args only; sql_lateral_top_orders — LATERAL correlated subquery with per-row ORDER BY + LIMIT, same ANSI text both engines). Final-tree evidence: pytest 487/487; full plain sweeps green on THREE corpora at the final registry (driver sf0.01 221/221 plain-session, fresh seeds 1207 + 4242 221/221 each); driver-order 50-window walk 50/50 plain (twice, re-run after every touched-query change); MAGNITUDE_r14.json — all 221 queries run at sf0.1, 0 errors, 503.9 s total (down from 604.9 s pre-rewrite); ORACLE_SF01_r14.json — 219/219 value-verified at sf0.1, 0 failures/timeouts, the 2 documented quadratic-oracle skips; both sweeps regenerated on the final tree. Measured perf win: docs_bpe_encode_stats DICTIONARY-ENCODED (token counts folded once per DISTINCT word over the trainer's frequency relation, broadcast under a 2M vocab cap, joined back to the exploded instance stream instead of running the 10-deep merge fold per word instance) — interleaved same-session A/B median 15.21 -> 2.14 s on the encode stage, magnitude row 14.0 -> 4.6 s (the remainder is the iteration-bounded train loop), rows identical, gated on all four corpora. Structural work: connected_components routed through loop_round (per-round block release + reliable checkpoint_dir mode, cross-mode identity pinned), slot keys abspath-resolved at registration (r13 ADVICE), overlap-pair census integral end-to-end (r13 ADVICE). All three r13 watch items closed by measurement: TPC-H movers = host contention (controls moved 2-6x in lockstep inside one session; this round's q1 session MIN returned to 1.08 s, inside its historical range), link-prediction HAVING probe refuted (anti-join already AQE-broadcast; the wedge aggregate IS the cost), BPE/k-means exchange audit found no stable relation to pin (31-row vocab, kxdim broadcast). Closing bench (8 GiB heap): headline 16.602 s — the LOWEST since r12 — with pipeline e2e 13.69 s and extras 98.8 s over 73 rows (absorbing the seven new benched rows); three full benches over the same final-day code read headline 22.29 / 23.77 / 16.60 and pipeline 10.46 / 9.64 / 13.69, a +/-40% same-day spread on byte-identical plans that IS the host-contention adjudication's evidence — compare r15 medians against the triple, not any single run. 0 errors. EXPLAIN.md regenerated byte-identical (headline plans unchanged).",
+    "r14/closing-ledger: final tree, 223 queries/223 oracles (+9 this round: docs_prefix_filter_jaccard_join — EXACT prefix-filtered set-similarity join proved by row equality against the brute posting-join oracle; docs_overlap_coefficient_pairs — the asymmetric containment rung (overlap coefficient >= 0.8 as 5*inter >= 4*min) sharing the minhash family's warm slots; parts_coorder_weighted_pagerank — rank by co-order multiplicity via the new exchange-free weighted_pagerank operator, 12-stage unrolled oracle, 20k node scores value-verified at sf0.1; docs_length_decile_profile + orders_customer_spend_gini — the two consumers of the new operators/ranking.global_row_number, an exact distributed total-order rank with no single-partition window; orders_benford_first_digit + parts_supplier_concentration — all-integer forensics/concentration profiles with ppm shares via integer DIV; docs_zipf_slope — rank-frequency OLS with libm on integer args only; sql_lateral_top_orders — LATERAL correlated subquery with per-row ORDER BY + LIMIT, same ANSI text both engines). Final-tree evidence: pytest 490/490; full plain sweeps green on THREE corpora at the final registry (driver sf0.01 223/223 plain-session, fresh seeds 1207 + 4242 223/223 each); driver-order 50-window walk 50/50 plain (three times this round as the window grew); MAGNITUDE_r14.json — all 223 queries run at sf0.1, 0 errors, 555.9 s total; ORACLE_SF01_r14.json — 221/221 value-verified at sf0.1, 0 failures/timeouts, the 2 documented quadratic-oracle skips; every artifact regenerated on the final tree. Measured perf win: docs_bpe_encode_stats DICTIONARY-ENCODED (token counts folded once per DISTINCT word over the trainer's frequency relation, broadcast under a 2M vocab cap, joined back to the exploded instance stream instead of running the 10-deep merge fold per word instance) — interleaved same-session A/B median 15.21 -> 2.14 s on the encode stage, rows identical, gated on all four corpora. Structural work: connected_components routed through loop_round (per-round block release + reliable checkpoint_dir mode, cross-mode identity pinned), slot keys abspath-resolved at registration (r13 ADVICE), overlap-pair census integral end-to-end (r13 ADVICE). All three r13 watch items closed by measurement: TPC-H movers = host contention (controls moved 2-6x in lockstep inside one session; q1's session MIN returned to 1.08 s, inside its historical range), link-prediction HAVING probe refuted (anti-join already AQE-broadcast; the wedge aggregate IS the cost), BPE/k-means exchange audit found no stable relation to pin (31-row vocab, kxdim broadcast). Closing benches over the same final-day code read headline 22.29 / 23.77 / 16.60 / 23.16 s and pipeline 10.46 / 9.64 / 13.69 / 10.51 s — a +/-40% same-day host spread on byte-identical plans that IS the contention adjudication's evidence; compare r15 medians against the set, not any single run. Extras 106.1 s absorb the eight new benched rows (the weighted-pagerank loop is bench-exempt by the iteration doctrine). EXPLAIN.md regenerated byte-identical (headline plans unchanged).",
     "r14/prefix-filter-regime: docs_prefix_filter_jaccard_join (new) measured at sf0.1 — cold ~19 s (shared gram-array build dominates, same as the posting join's cold path), warm ~7-8 s vs docs_ngram_jaccard_pairs' ~2.8 s. Decomposition: at t=0.3 the prefix keeps 71% of postings (185,040 of 260,388; prefix length is |x|(1-t)+1) and the synthetic corpus's 31-word vocabulary makes every shingle common, so 597k candidate pairs reach the array_intersect verify. This is the documented regime tradeoff, not a defect: prefix filtering is a high-threshold (t>=0.7), heavy-tailed-df tool; at t=0.5 the result set here is IDENTICAL (256 pairs — the corpus's near-dups are all J>=0.5) and at web-scale thresholds the prefix index is what survives while the full posting join does not. The row's purpose is exactness proof (row equality vs the brute-force oracle at four corpora + the t-parameterized property test); the constant is documented in the docstring.",
     "r14/bpe-kmeans-exchange-audit: the r13 verdict's order 4 (extend the exchange-free round recipe to the BPE merge loop and the k-means Lloyd iterations — measure first, ship only at >=1.3x) closed by MEASUREMENT with NO change shipped, the core-numbers lesson applied: neither loop has a stable heavy relation being re-exchanged. BPE train at sf0.1: the corpus pass + vocab checkpoint is 3.6 s, then each merge round costs 0.42 s pair-aggregate + 0.18 s fold/checkpoint on a THIRTY-ONE-row vocabulary (the synthetic corpus's distinct whitespace tokens) — per-round job-scheduling overhead, zero exchange volume; structurally the recipe cannot apply because the vocab relation is REWRITTEN by the fold every round (nothing stable to persist-partition) and the aggregate key (the symbol pair) changes with the merges. k-means (kmeans_refine, emb_kmeans_clusters 1.99 s / IVF two-step training): assignment broadcasts the kxdim centroid relation into the corpus scan (no corpus shuffle), and the centroid update is a posexplode aggregate that map-side-combines to kxdim partials per partition — the exchanged bytes are partitions*k*dim regardless of corpus size, already the minimal shape. The remaining BPE wall (docs_bpe_encode_stats ~14 s) is Catalyst expression-fold latency on the apply path, documented since r10 — not an exchange.",
     "r14/link-prediction-decomposition: the r13 verdict's order 5 (try the two-pass HAVING threshold probe on parts_coorder_link_prediction's 25.2 s) closed by MEASUREMENT with the hypothesis refuted — no change shipped. Stage decomposition at sf0.1: edge build 5.0 s (1.196M edges), wedge explode+aggregate 15.2 s (59.99M distinct pairs from ~65M wedges — multiplicity ~1.08, so map-side partial aggregation collapses nothing and the hash-agg shuffle is the irreducible exact-count cost), anti-join + top-20 on the cached pair relation 8.5 s nominal BUT the executed plan shows AQE already converts it to BroadcastHashJoin LeftAnti BuildRight at BOTH sf0.01 and sf0.1 (the 1.2M-edge relation is ~19 MB) — the stage the HAVING probe would prune is already a scan-speed broadcast probe, and an interleaved A/B of an explicit F.broadcast hint vs the plain join read equal minima (15.7 vs 16.5 s end-to-end, rows identical). A limit-based candidate probe (top-4096 pairs then anti-join) was tried and is UNSAFE: the top-20 floor is n_common=7 with a tie group spanning far past any fixed candidate budget (measured result mismatch). Verdict: the 25 s row IS the wedge-aggregate cost, bounded by construction at 128*|adj|; the right lever at cluster scale is a lower center cap or sampling, both of which change the row's exact semantics — keep the documented cost.",
