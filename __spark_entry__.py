@@ -119,7 +119,7 @@ _PRIORITY = [
     "stats_skew_kurtosis_qty",
     "supplier_fulfillment_latency",
     "window_first_last_dense",
-    # (d) 11 oldest r10-stale rows (state-sensitive first)
+    # (d) 6 oldest r10-stale rows (state-sensitive first)
     "minhash_lsh_near_dups",
     "minhash_estimate_qa",
     "minhash_recall_curve",

@@ -85,13 +85,21 @@ def _normalize_key(key: object) -> object:
     the unsafe direction). Non-path elements pass through unchanged; a
     slash-bearing label that is not really a path normalizes the same
     way on the register and release sides, so at worst a slot releases
-    early (a lazy rebuild), never serves stale data."""
+    early (a lazy rebuild), never serves stale data.
+
+    Recurses into NESTED tuples (the r14 ADVICE gap): the minhash
+    family keys slots as ``((sf_dir, table), shingle_n, max_df)`` —
+    a top-level-only walk left the inner ``sf_dir`` unresolved AND
+    invisible to :func:`release_slots_for_path`'s element scan, so a
+    mid-session rewrite under ``sf_dir`` kept serving the stale cached
+    posting relation (exactly the unsafe direction this module exists
+    to close)."""
 
     def norm(e: object) -> object:
+        if isinstance(e, tuple):
+            return tuple(norm(x) for x in e)
         return os.path.abspath(e) if _is_pathlike(e) else e
 
-    if isinstance(key, tuple):
-        return tuple(norm(e) for e in key)
     return norm(key)
 
 
@@ -171,12 +179,22 @@ def release_slots_for_path(path: str) -> int:
     normalized to absolute so a relative write target still matches
     the absolute paths slot keys carry. Keyless slots (``key=None``)
     are left alone: they never warm-hit, so they cannot serve stale
-    data. Returns the number of slots released."""
+    data. Key elements are walked through nested tuples (the r14
+    ADVICE gap — minhash slots key as ``((sf_dir, table), n, df)``).
+    Returns the number of slots released."""
+
+    def flat(e: object):
+        if isinstance(e, tuple):
+            for x in e:
+                yield from flat(x)
+        else:
+            yield e
+
     path = os.path.abspath(path)
     released = 0
     with _LOCK:
         for name, (key, df) in list(_SLOTS.items()):
-            elems = key if isinstance(key, tuple) else (key,)
+            elems = list(flat(key))
             if any(_path_overlaps(e, path) for e in elems):
                 _SLOTS.pop(name)
                 try:

@@ -336,6 +336,23 @@ def weighted_pagerank(
         .repartition(n_part, "dst")
         .persist()
     )
+    # Weight-sign guard (r14 ADVICE): w <= 0 silently corrupts the
+    # measure — a node whose out-weights sum to 0 despite having edges
+    # is misclassified as dangling, and a negative-wdeg node neither
+    # contributes nor counts as dangling, LEAKING rank mass with no
+    # error. One limit(1) probe on the persisted edge relation (it
+    # materializes here anyway for the first round).
+    if (
+        e.filter(F.col("w").isNull() | (F.col("w") <= 0))
+        .limit(1)
+        .count()
+        > 0
+    ):
+        e.unpersist(blocking=False)
+        raise ValueError(
+            "weighted_pagerank requires strictly positive edge "
+            f"weights; found {weight} null or <= 0"
+        )
     nodes = loop_round(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

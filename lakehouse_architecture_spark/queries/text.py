@@ -753,16 +753,17 @@ def docs_bpe_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_bpe_encode_stats",
     oracle=r"""
-WITH w AS (
-  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
-  FROM documents
+WITH per AS (
+  SELECT source, regexp_extract_all(text, '\S+') AS ws FROM documents
 )
 SELECT source,
-       COUNT(*) AS n_words,
-       CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(ws)) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(
+         list_sum(list_transform(ws, x -> LENGTH(x))), 0)) AS BIGINT)
+         AS n_chars,
        TRUE AS tokens_within_bounds,
        TRUE AS sample_matches_reference
-FROM w GROUP BY source ORDER BY source
+FROM per GROUP BY source ORDER BY source
 """,
 )
 def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,7 +821,7 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcast_vocab = wf.count() <= 2_000_000
     dict_rel = F.broadcast(word_toks) if bcast_vocab else word_toks
     inst = docs.select("source", "doc_id", F.explode(words).alias("word"))
-    per = (
+    per_nonempty = (
         inst.join(dict_rel, "word")
         .groupBy("source", "doc_id")
         .agg(
@@ -828,6 +829,19 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_chars").cast("long").alias("n_chars"),
             F.sum("w_tokens").alias("n_tokens"),
         )
+    )
+    # LEFT join back onto the document spine (r14 ADVICE): the explode
+    # drops zero-token documents, so an inner-join-only aggregate would
+    # silently lose all-empty documents (and whole sources) from the
+    # per-source rollup where the pre-dictionary-encode form emitted
+    # their (0, 0, true) rows. Coalesced zeros restore that contract.
+    per = docs.select("source", "doc_id").join(
+        per_nonempty, ["source", "doc_id"], "left"
+    ).select(
+        "source",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
     )
 
     sample = (

@@ -999,6 +999,46 @@ def test_release_slots_for_path(spark):
     _refresh_swapped_path(spark, "/tmp/sf-rel")
     assert "p-keyed" not in _SLOTS
 
+
+def test_release_slots_for_path_nested_tuple_key(spark):
+    """The r14 ADVICE gap closed: the minhash family registers NESTED
+    tuple keys — ((sf_dir, table), shingle_n, max_df) — and a
+    top-level-only element walk neither abspath-resolved the inner
+    sf_dir nor matched it on release, so a rewrite under sf_dir kept
+    serving the stale posting relation. Nested keys must now resolve
+    at registration (relative path pinned to the registering CWD) and
+    release on a path overlap at any nesting depth."""
+    import os
+
+    from lakehouse_architecture_spark.operators.caching import (
+        _SLOTS,
+        _normalize_key,
+        one_slot_persist,
+        release_slots,
+        release_slots_for_path,
+    )
+
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    nested_key = (("/tmp/sf-nest", "documents"), 5, 40)
+    slot = one_slot_persist(df1, slot="n-keyed", key=nested_key)
+
+    # warm hit on the equal nested key
+    assert one_slot_persist(df2, slot="n-keyed", key=nested_key) is slot
+
+    # a rewrite under the nested sf_dir must stale it
+    assert release_slots_for_path("/tmp/sf-nest/documents.parquet") == 1
+    assert "n-keyed" not in _SLOTS and not slot.storageLevel.useMemory
+
+    # registration-time abspath applies INSIDE nested tuples too: a
+    # relative inner path and its absolute form are the same identity
+    rel_key = (("testdata/sf-nest", "documents"), 5)
+    abs_key = ((os.path.abspath("testdata/sf-nest"), "documents"), 5)
+    assert _normalize_key(rel_key) == _normalize_key(abs_key)
+    warm = one_slot_persist(df1, slot="n-keyed", key=rel_key)
+    assert one_slot_persist(df2, slot="n-keyed", key=abs_key) is warm
+    assert release_slots("n-") == 1
+
     # r12 ADVICE: a slot keyed with a BARE relative path (no ./ prefix)
     # must still be releasable by a writer rewriting under it — both
     # sides abspath-normalize at match time, so relative and absolute
@@ -1286,3 +1326,32 @@ def test_weighted_pagerank_unit_weights_match_unweighted(spark):
     w2 = weighted_pagerank(wed, iters=4)
     c = {r.node: r.pr for r in w2["ranks"].collect()}
     assert c[5] > b[5]
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    """The r14 ADVICE guard: w <= 0 (or null) silently leaks rank mass
+    — a zero-wdeg node with edges is misread as dangling and a
+    negative-wdeg node vanishes from both terms — so the operator must
+    refuse, loudly, before iterating."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 0.0)], "src long, dst long, w double"
+    )
+    with _pytest.raises(ValueError, match="positive edge"):
+        weighted_pagerank(edges, iters=2)
+    neg = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, -3.0)], "src long, dst long, w double"
+    )
+    with _pytest.raises(ValueError, match="positive edge"):
+        weighted_pagerank(neg, iters=2)
+    withnull = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, None)], "src long, dst long, w double"
+    )
+    with _pytest.raises(ValueError, match="positive edge"):
+        weighted_pagerank(withnull, iters=2)
