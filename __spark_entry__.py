@@ -36,96 +36,89 @@ _SENTINELS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]
-# Round-14 priority. Standing-row staleness after r13
-# (CORRECTNESS_r01..r13, latest round per query): 26 rows last checked
-# r9, 48 r10, 44 r11, 46 r12, 50 r13. Window arithmetic, 50 slots:
+# Round-15 priority. Standing-row staleness after r14
+# (CORRECTNESS_r01..r14, latest round per query): 38 rows last checked
+# r10, 43 r11, 46 r12, 46 r13, 50 r14 (plus the retired
+# emb_near_dup_lsh's r9 row). Window arithmetic, 50 slots:
 # 2 sentinels
-# + 9 r14 NEW queries (first driver rows: docs_zipf_slope — OLS
-#   rank-frequency slope over integer-ln points;
-#   orders_benford_first_digit — integer-cents leading-digit census
-#   with ppm shares via integer DIV; parts_supplier_concentration —
-#   per-part top-supplier share bands, all-integer;
-#   sql_lateral_top_orders — LATERAL correlated subquery with per-row
-#   ORDER BY + LIMIT, same text on both engines;
-#   docs_length_decile_profile — equal-count length binning via the
-#   new distributed global_row_number operator, no single-partition
-#   window on the corpus; docs_prefix_filter_jaccard_join — EXACT
-#   thresholded set-similarity via prefix filtering, proved complete
-#   by row equality against the brute posting-join oracle;
-#   orders_customer_spend_gini — Gini determinants on a
-#   global_row_number rank, decimal(38,0)-exact;
-#   docs_overlap_coefficient_pairs — the asymmetric containment rung
-#   of the dedup ladder, integer-exact; parts_coorder_weighted_pagerank
-#   — rank flowing by co-order multiplicity, 12-stage unrolled oracle)
-# + 7 r14-TOUCHED queries (events_session_overlap_pairs after the
-#   integral-DIV pair arithmetic fix — r13 ADVICE; the five
-#   connected-components consumers after the loop_round rework:
-#   docs_dup_components, docs_dedup_keep_best,
-#   docs_dup_cluster_size_histogram, customers_entity_resolution,
-#   docs_prefix_entity_resolution; docs_bpe_encode_stats after the
-#   dictionary-encode rewrite — 15.2 -> 2.1 s, identical rows)
-# + all 26 remaining r9-stale rows (the rotation the r13 verdict
-#   ordered — after this window no standing row is older than r10)
-# + 6 oldest r10-stale rows, state-sensitive families first (the
-#   minhash cached-index trio and the incremental near-dup family
-#   that replays persisted state)
+# + 1 r15 NEW query (docs_prefix_filter_jaccard_join_strict — the
+#   production-regime t=0.8 twin the r14 verdict ordered: the prefix
+#   index PRUNES there, 25 candidates vs 3,058 at t=0.3 on sf0.01)
+# + 5 r15-TOUCHED queries (orders_customer_spend_gini — the r14 red:
+#   determinants restated in plain BIGINT after the decimal(38,0)
+#   hash-surface adjudication, AND riding the reworked operator;
+#   docs_length_decile_profile — same global_row_number rework
+#   (two-phase range offsets, no unpartitioned window);
+#   docs_bpe_encode_stats — empty-document zero rows restored via
+#   left join, oracle restated to match (r14 ADVICE);
+#   docs_prefix_filter_jaccard_join — the ordered-prefix persisted
+#   relation is now threshold-independent (shared slot refactor);
+#   parts_coorder_weighted_pagerank — non-positive-weight guard)
+# + all 38 remaining r10-stale rows (the rotation the r14 verdict
+#   ordered — after this window no standing row is older than r11)
+# + 4 oldest r11-stale rows, state-sensitive first
+#   (orders_incremental_rollup_state replays persisted rollup state;
+#   sql_bucketed_colocated_join reads catalog/bucketed-table state;
+#   docs_bpe_merge_qa pairs with the touched BPE family;
+#   emb_pq_quantization_qa the oldest embedding-family row)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 38 remaining r10-stale rows lead r15; the board keeps the
+# The 39 remaining r11-stale rows lead r16; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
-    # (a) r14 new: first driver rows
-    "docs_zipf_slope",
-    "orders_benford_first_digit",
-    "parts_supplier_concentration",
-    "sql_lateral_top_orders",
-    "docs_length_decile_profile",
-    "docs_prefix_filter_jaccard_join",
+    # (a) r15 new: first driver row
+    "docs_prefix_filter_jaccard_join_strict",
+    # (b) r15-touched (gini BIGINT + global_row_number rework; BPE
+    #     zero-row left join; prefix-slot refactor; weight guard)
     "orders_customer_spend_gini",
-    "docs_overlap_coefficient_pairs",
-    "parts_coorder_weighted_pagerank",
-    # (b) r14-touched (integral-DIV fix; components loop_round rework)
-    "events_session_overlap_pairs",
-    "docs_dup_components",
-    "docs_dedup_keep_best",
-    "docs_dup_cluster_size_histogram",
-    "customers_entity_resolution",
-    "docs_prefix_entity_resolution",
+    "docs_length_decile_profile",
     "docs_bpe_encode_stats",
-    # (c) the 26 remaining r9-stale rows
-    "agg_argmax_by_status",
-    "docs_dedup_savings_report",
-    "docs_dup_profile_by_source",
-    "events_anomaly_zscore",
-    "events_daily_active_users",
-    "events_dow_hour_heatmap",
-    "events_funnel",
-    "events_hourly_by_type",
-    "events_props_extract",
-    "events_retention_cohorts",
-    "events_tumbling_window",
-    "events_type_transitions",
-    "events_type_value_stats",
-    "events_user_lifetime",
-    "lineitem_discount_band_profile",
-    "lineitem_unpivot_measure_stats",
-    "orders_cohort_monthly_value",
-    "orders_interarrival_stats",
-    "orders_rfm_segments",
-    "profile_orders_columns",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_priority_counts",
-    "stats_skew_kurtosis_qty",
-    "supplier_fulfillment_latency",
-    "window_first_last_dense",
-    # (d) 6 oldest r10-stale rows (state-sensitive first)
-    "minhash_lsh_near_dups",
-    "minhash_estimate_qa",
-    "minhash_recall_curve",
-    "docs_incremental_near_dups",
-    "docs_incremental_near_dups_indexed",
-    "docs_incremental_copied_spans",
+    "docs_prefix_filter_jaccard_join",
+    "parts_coorder_weighted_pagerank",
+    # (c) the 38 remaining r10-stale rows
+    "asof_join_purchase_click",
+    "customers_fuzzy_name_stats",
+    "docs_copied_span_profile",
+    "docs_curation_funnel",
+    "docs_ngram_jaccard_pairs",
+    "docs_shared_span_pairs",
+    "emb_knn_ivf",
+    "emb_semantic_dedup",
+    "events_chi2_type_dow",
+    "events_hll_intersection_qa",
+    "events_hll_sketch_rollup",
+    "events_kmv_daily_rollup",
+    "events_kmv_intersection_qa",
+    "events_stickiness_ratio",
+    "lineitem_key_skew_profile",
+    "not_exists_insert_guard",
+    "orders_bloom_prune_stats",
+    "parts_coorder_triangles",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_supplier",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quantiles_exact",
+    "range_join_price_bands",
+    "simhash_near_pairs",
+    "sql_catalog_roundtrip",
+    "sql_insert_not_exists",
+    # (d) 4 oldest r11-stale rows (state-sensitive first)
+    "orders_incremental_rollup_state",
+    "sql_bucketed_colocated_join",
+    "docs_bpe_merge_qa",
+    "emb_pq_quantization_qa",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -141,48 +134,53 @@ _FAMILY_ORDER = [
 ]
 # Queries pushed past the driver's check horizon this round:
 # everything outside the 50-slot window above. All have standing green
-# driver rows no older than r10 (the full r9-stale block is IN the
-# window), and none was touched in r14, so the window is spent on the
-# rotation plus the round's sixteen changed/new queries. Regenerated
+# driver rows no older than r11 (the full r10-stale block is IN the
+# window), and none was touched in r15, so the window is spent on the
+# rotation plus the round's six changed/new queries. Regenerated
 # each round as registry - sentinels - priority.
 _SECOND_TIER = {
+    "agg_argmax_by_status",
     "agg_cube_flags",
     "agg_grouping_sets",
     "agg_rollup_status_priority",
     "agg_stats_by_status",
     "approx_distinct_and_quantile",
-    "asof_join_purchase_click",
     "basket_brand_pairs",
     "case_when_conditional_agg",
     "correlated_min_per_group_join",
-    "customers_fuzzy_name_stats",
+    "customers_entity_resolution",
     "customers_fuzzy_pairs_d2",
     "customers_fuzzy_pairs_d2_capped",
     "dedup_latest_order_per_customer",
     "distinct_segments",
     "docs_bigram_cross_entropy",
-    "docs_bpe_merge_qa",
     "docs_chunk_manifest",
-    "docs_copied_span_profile",
-    "docs_curation_funnel",
+    "docs_dedup_keep_best",
+    "docs_dedup_savings_report",
+    "docs_dup_cluster_size_histogram",
+    "docs_dup_components",
+    "docs_dup_profile_by_source",
     "docs_exact_dedupe_count",
     "docs_exact_dup_groups",
     "docs_fingerprint",
     "docs_hash_split_counts",
+    "docs_incremental_copied_spans",
+    "docs_incremental_near_dups",
+    "docs_incremental_near_dups_indexed",
     "docs_lang_id",
     "docs_learned_filter_apply",
     "docs_length_histogram",
     "docs_mixture_resample",
-    "docs_ngram_jaccard_pairs",
     "docs_novelty_score",
+    "docs_overlap_coefficient_pairs",
     "docs_packing_manifest",
     "docs_pii_scrub",
+    "docs_prefix_entity_resolution",
     "docs_prefix_fuzzy_pairs_d2",
     "docs_quality_classifier_qa",
     "docs_quality_score",
     "docs_rare_token_ratio",
     "docs_repetition_score",
-    "docs_shared_span_pairs",
     "docs_shingle_stats",
     "docs_source_shingle_overlap",
     "docs_stratified_sample",
@@ -194,6 +192,7 @@ _SECOND_TIER = {
     "docs_top_terms",
     "docs_vocab_growth_by_source",
     "docs_weighted_sample_topk",
+    "docs_zipf_slope",
     "emb_centroid_norm_by_label",
     "emb_dim_variance_topk",
     "emb_int8_quantization",
@@ -201,38 +200,41 @@ _SECOND_TIER = {
     "emb_kmeans_clusters",
     "emb_knn_bruteforce",
     "emb_knn_bruteforce_decimal",
-    "emb_knn_ivf",
     "emb_knn_ivf_md5",
     "emb_knn_lsh",
     "emb_lsh_candidate_stats",
     "emb_near_dup_lsh_strict",
     "emb_near_dup_pairs",
     "emb_norms",
-    "emb_pq_quantization_qa",
-    "emb_semantic_dedup",
     "emb_top_pc_power_iteration",
     "events_ab_test_value_ztest",
     "events_anomaly_mad",
-    "events_chi2_type_dow",
+    "events_anomaly_zscore",
     "events_cms_topk_accuracy",
     "events_concurrent_sessions",
     "events_cusum_daily_drift",
+    "events_daily_active_users",
     "events_daily_count_ewma",
     "events_daily_new_vs_returning",
+    "events_dow_hour_heatmap",
+    "events_funnel",
     "events_gapfilled_hourly",
     "events_hll_accuracy_qa",
-    "events_hll_intersection_qa",
-    "events_hll_sketch_rollup",
-    "events_kmv_daily_rollup",
-    "events_kmv_intersection_qa",
+    "events_hourly_by_type",
     "events_kmv_new_vs_returning",
     "events_ohlc_downsample",
+    "events_props_extract",
+    "events_retention_cohorts",
     "events_seasonal_anomaly",
     "events_session_length_percentiles",
+    "events_session_overlap_pairs",
     "events_sessionization",
     "events_signup_to_purchase_1h",
-    "events_stickiness_ratio",
     "events_trailing_24h_volume",
+    "events_tumbling_window",
+    "events_type_transitions",
+    "events_type_value_stats",
+    "events_user_lifetime",
     "events_user_volume_concentration",
     "events_value_p95_by_type",
     "events_value_quantile_rollup",
@@ -244,46 +246,38 @@ _SECOND_TIER = {
     "join_left_outer_order_counts",
     "join_left_semi_active_customers",
     "join_right_outer_part_lineitems",
-    "lineitem_key_skew_profile",
+    "lineitem_discount_band_profile",
     "lineitem_ols2_price_qty_discount",
     "lineitem_ols_price_on_qty",
     "lineitem_price_percentiles_by_flag",
     "lineitem_salted_agg_by_flag",
+    "lineitem_unpivot_measure_stats",
+    "minhash_estimate_qa",
+    "minhash_lsh_near_dups",
+    "minhash_recall_curve",
     "minhash_signatures_sample",
-    "not_exists_insert_guard",
-    "orders_bloom_prune_stats",
+    "orders_benford_first_digit",
+    "orders_cohort_monthly_value",
     "orders_expectation_report",
-    "orders_incremental_rollup_state",
+    "orders_interarrival_stats",
     "orders_monthly_growth",
     "orders_open_backlog_by_day",
     "orders_pareto_concentration",
+    "orders_rfm_segments",
     "orders_trend_by_segment",
     "parts_coorder_core_numbers",
     "parts_coorder_kcore",
     "parts_coorder_link_prediction",
     "parts_coorder_pagerank",
     "parts_coorder_ppr",
-    "parts_coorder_triangles",
+    "parts_supplier_concentration",
     "pivot_status_by_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_late_supplier",
+    "profile_orders_columns",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_counts",
     "q22_dormant_customers",
     "q2_min_cost_supplier",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quantiles_exact",
-    "range_join_price_bands",
     "ri_dangling_lineitems",
     "scalar_array_funcs",
     "scalar_bitwise_funcs",
@@ -298,21 +292,21 @@ _SECOND_TIER = {
     "setop_intersect_keys",
     "setop_union_all_parties",
     "simhash_fingerprints",
-    "simhash_near_pairs",
     "snapshot_diff_counts",
-    "sql_bucketed_colocated_join",
-    "sql_catalog_roundtrip",
-    "sql_insert_not_exists",
+    "sql_lateral_top_orders",
     "sql_probe_orders",
     "sql_recursive_cte_calendar",
     "sql_revenue_by_nation",
     "stats_corr_price_qty",
+    "stats_skew_kurtosis_qty",
+    "supplier_fulfillment_latency",
     "topk_orders",
     "validate_lineitem_fk_invalid",
     "validate_lineitem_fk_summary",
     "validate_orders_invalid",
     "validate_orders_rejection_summary",
     "validate_orders_split_stats",
+    "window_first_last_dense",
     "window_lag_order_gaps",
     "window_lead_ntile",
     "window_moving_avg_frame",

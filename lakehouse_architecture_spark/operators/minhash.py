@@ -871,7 +871,11 @@ def prefix_filter_jaccard_pairs(
     skewing every count.
 
     ``slot``/``key`` one-slot-persist the ordered-prefix relation (it
-    is consumed twice: candidate generation + verification)."""
+    is consumed twice: candidate generation + verification). The
+    persisted relation is THRESHOLD-INDEPENDENT (the rare-first order
+    and set sizes; ``prefix_len`` is computed at explode time), so
+    rows probing different thresholds over the same corpus share one
+    warm slot — the r15 strict twin reuses the t=0.3 row's relation."""
     sh = gv.select("doc", F.explode("grams").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -884,20 +888,21 @@ def prefix_filter_jaccard_pairs(
             ).alias("og")
         )
         .withColumn("n", F.size("og"))
-        .withColumn(
-            "prefix_len",
-            F.expr(f"n - (({t_num} * n + {t_den - 1}) DIV {t_den}) + 1"),
-        )
     )
     ov = (
         one_slot_persist(ordered, slot=slot, key=key)
         if slot is not None
         else ordered
     )
+    prefix_len = F.expr(
+        f"n - (({t_num} * n + {t_den - 1}) DIV {t_den}) + 1"
+    )
     pref = ov.select(
         "doc",
         "n",
-        F.explode(F.expr("slice(og, 1, prefix_len)")).alias("shingle"),
+        F.explode(F.slice(F.col("og"), F.lit(1), prefix_len)).alias(
+            "shingle"
+        ),
     )
     a = pref.select(
         F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"

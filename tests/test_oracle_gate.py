@@ -219,63 +219,67 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r14 new/touched surfaces must have a fresh driver row: the nine
-    # first-driver-row queries plus the six whose plans this round's
-    # changes touched (the integral-DIV overlap-pair fix, the
-    # connected_components loop_round rework and its five consumers)
-    touched_r14 = {
-        "docs_zipf_slope",  # new: first driver row
-        "orders_benford_first_digit",  # new: first driver row
-        "parts_supplier_concentration",  # new: first driver row
-        "sql_lateral_top_orders",  # new: first driver row
-        "docs_length_decile_profile",  # new: first driver row
-        "docs_prefix_filter_jaccard_join",  # new: first driver row
-        "orders_customer_spend_gini",  # new: first driver row
-        "docs_overlap_coefficient_pairs",  # new: first driver row
-        "parts_coorder_weighted_pagerank",  # new: first driver row
-        "events_session_overlap_pairs",  # integral-DIV pair arithmetic
-        "docs_dup_components",
-        "docs_dedup_keep_best",
-        "docs_dup_cluster_size_histogram",
-        "customers_entity_resolution",
-        "docs_prefix_entity_resolution",
-        "docs_bpe_encode_stats",  # dictionary-encode rewrite
+    # r15 new/touched surfaces must have a fresh driver row: the new
+    # production-regime prefix twin plus the five whose plans this
+    # round's changes touched (the gini BIGINT restatement riding the
+    # reworked global_row_number, its decile sibling, the BPE zero-row
+    # left join, the threshold-independent prefix slot refactor, and
+    # the weighted-pagerank weight guard)
+    touched_r15 = {
+        "docs_prefix_filter_jaccard_join_strict",  # new: first row
+        "orders_customer_spend_gini",  # r14 red: BIGINT + rework
+        "docs_length_decile_profile",  # global_row_number rework
+        "docs_bpe_encode_stats",  # empty-doc zero rows (r14 ADVICE)
+        "docs_prefix_filter_jaccard_join",  # shared-slot refactor
+        "parts_coorder_weighted_pagerank",  # weight guard
     }
-    assert touched_r14 <= window, sorted(touched_r14 - window)
-    # the rotation the r13 verdict ordered: ALL 26 remaining r9-stale
+    assert touched_r15 <= window, sorted(touched_r15 - window)
+    # the rotation the r14 verdict ordered: ALL 38 remaining r10-stale
     # rows get fresh driver rows this round — after this window no
-    # standing row is older than r10 (list computed from
-    # CORRECTNESS_r01..r13)
-    stale_r9 = {
-        "agg_argmax_by_status",
-        "docs_dedup_savings_report",
-        "docs_dup_profile_by_source",
-        "events_anomaly_zscore",
-        "events_daily_active_users",
-        "events_dow_hour_heatmap",
-        "events_funnel",
-        "events_hourly_by_type",
-        "events_props_extract",
-        "events_retention_cohorts",
-        "events_tumbling_window",
-        "events_type_transitions",
-        "events_type_value_stats",
-        "events_user_lifetime",
-        "lineitem_discount_band_profile",
-        "lineitem_unpivot_measure_stats",
-        "orders_cohort_monthly_value",
-        "orders_interarrival_stats",
-        "orders_rfm_segments",
-        "profile_orders_columns",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_late_priority_counts",
-        "stats_skew_kurtosis_qty",
-        "supplier_fulfillment_latency",
-        "window_first_last_dense",
+    # standing row is older than r11 (list computed from
+    # CORRECTNESS_r01..r14)
+    stale_r10 = {
+        "asof_join_purchase_click",
+        "customers_fuzzy_name_stats",
+        "docs_copied_span_profile",
+        "docs_curation_funnel",
+        "docs_ngram_jaccard_pairs",
+        "docs_shared_span_pairs",
+        "emb_knn_ivf",
+        "emb_semantic_dedup",
+        "events_chi2_type_dow",
+        "events_hll_intersection_qa",
+        "events_hll_sketch_rollup",
+        "events_kmv_daily_rollup",
+        "events_kmv_intersection_qa",
+        "events_stickiness_ratio",
+        "lineitem_key_skew_profile",
+        "not_exists_insert_guard",
+        "orders_bloom_prune_stats",
+        "parts_coorder_triangles",
+        "q13_customer_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q20_excess_shippers",
+        "q21_sole_late_supplier",
+        "q4_priority_late_ship",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "quantiles_exact",
+        "range_join_price_bands",
+        "simhash_near_pairs",
+        "sql_catalog_roundtrip",
+        "sql_insert_not_exists",
     }
-    assert len(stale_r9) == 26
-    assert stale_r9 <= window, sorted(stale_r9 - window)
+    assert len(stale_r10) == 38
+    assert stale_r10 <= window, sorted(stale_r10 - window)
 
 
 def test_readme_query_count_matches_registry():
