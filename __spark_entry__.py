@@ -41,9 +41,16 @@ _SENTINELS = [
 # r10, 43 r11, 46 r12, 46 r13, 50 r14 (plus the retired
 # emb_near_dup_lsh's r9 row). Window arithmetic, 50 slots:
 # 2 sentinels
-# + 1 r15 NEW query (docs_prefix_filter_jaccard_join_strict — the
+# + 4 r15 NEW queries (docs_prefix_filter_jaccard_join_strict — the
 #   production-regime t=0.8 twin the r14 verdict ordered: the prefix
-#   index PRUNES there, 25 candidates vs 3,058 at t=0.3 on sf0.01)
+#   index PRUNES there, 25 candidates vs 3,058 at t=0.3 on sf0.01;
+#   lineitem_price_equidepth_bands — equal-count 20-band price
+#   histogram, the third global_row_number consumer and the gate
+#   witness for its near-unique-key regime, 20 per-band rows;
+#   asof_join_forward_tolerance — FORWARD as-of with a 1h tolerance
+#   window, one-shuffle union-and-carry in descending time;
+#   docs_script_census — per-source character-class census as regex
+#   MATCH COUNTS on both engines, all-integer)
 # + 5 r15-TOUCHED queries (orders_customer_spend_gini — the r14 red:
 #   determinants restated in plain BIGINT after the decimal(38,0)
 #   hash-surface adjudication, AND riding the reworked operator;
@@ -56,18 +63,18 @@ _SENTINELS = [
 #   parts_coorder_weighted_pagerank — non-positive-weight guard)
 # + all 38 remaining r10-stale rows (the rotation the r14 verdict
 #   ordered — after this window no standing row is older than r11)
-# + 4 oldest r11-stale rows, state-sensitive first
-#   (orders_incremental_rollup_state replays persisted rollup state;
-#   sql_bucketed_colocated_join reads catalog/bucketed-table state;
-#   docs_bpe_merge_qa pairs with the touched BPE family;
-#   emb_pq_quantization_qa the oldest embedding-family row)
+# + 1 oldest r11-stale row, state-sensitive first
+#   (orders_incremental_rollup_state replays persisted rollup state)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 39 remaining r11-stale rows lead r16; the board keeps the
+# The 42 remaining r11-stale rows lead r16; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
-    # (a) r15 new: first driver row
+    # (a) r15 new: first driver rows
     "docs_prefix_filter_jaccard_join_strict",
+    "lineitem_price_equidepth_bands",
+    "asof_join_forward_tolerance",
+    "docs_script_census",
     # (b) r15-touched (gini BIGINT + global_row_number rework; BPE
     #     zero-row left join; prefix-slot refactor; weight guard)
     "orders_customer_spend_gini",
@@ -114,11 +121,8 @@ _PRIORITY = [
     "simhash_near_pairs",
     "sql_catalog_roundtrip",
     "sql_insert_not_exists",
-    # (d) 4 oldest r11-stale rows (state-sensitive first)
+    # (d) 1 oldest r11-stale row (state-sensitive first)
     "orders_incremental_rollup_state",
-    "sql_bucketed_colocated_join",
-    "docs_bpe_merge_qa",
-    "emb_pq_quantization_qa",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -154,6 +158,7 @@ _SECOND_TIER = {
     "dedup_latest_order_per_customer",
     "distinct_segments",
     "docs_bigram_cross_entropy",
+    "docs_bpe_merge_qa",
     "docs_chunk_manifest",
     "docs_dedup_keep_best",
     "docs_dedup_savings_report",
@@ -206,6 +211,7 @@ _SECOND_TIER = {
     "emb_near_dup_lsh_strict",
     "emb_near_dup_pairs",
     "emb_norms",
+    "emb_pq_quantization_qa",
     "emb_top_pc_power_iteration",
     "events_ab_test_value_ztest",
     "events_anomaly_mad",
@@ -293,6 +299,7 @@ _SECOND_TIER = {
     "setop_union_all_parties",
     "simhash_fingerprints",
     "snapshot_diff_counts",
+    "sql_bucketed_colocated_join",
     "sql_lateral_top_orders",
     "sql_probe_orders",
     "sql_recursive_cte_calendar",

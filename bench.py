@@ -175,6 +175,13 @@ EXTRA = [
     # NOT benched: a 12-iteration driver-bounded loop times the
     # iteration count, not a data-sized plan (the pagerank doctrine).
     "docs_overlap_coefficient_pairs",
+    # r15: the production-regime prefix twin (t=0.8 — the pruning
+    # regime), the near-unique-key global_row_number witness, the
+    # forward as-of, and the charset census
+    "docs_prefix_filter_jaccard_join_strict",
+    "lineitem_price_equidepth_bands",
+    "asof_join_forward_tolerance",
+    "docs_script_census",
 ]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json

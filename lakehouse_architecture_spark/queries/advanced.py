@@ -73,6 +73,77 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_forward_tolerance",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       MIN(CASE WHEN epoch_ms(c.ts) - epoch_ms(p.ts) <= 3600000
+                THEN epoch_ms(c.ts) END) AS next_click_ms
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, epoch_ms(p.ts)
+""",
+)
+def asof_join_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join with a tolerance window (r15): for every
+    purchase, the FIRST click STRICTLY AFTER it by the same user,
+    admitted only within 1 hour — the post-conversion attribution
+    probe (pandas merge_asof direction='forward' + tolerance; kdb
+    aj's mirror). Completes the as-of pair with
+    `asof_join_purchase_click` (backward).
+
+    Same one-shuffle union-and-carry shape as the backward row, run in
+    DESCENDING time order so the carried value is the NEAREST LATER
+    click: at equal timestamps the purchase sorts BEFORE the click in
+    the descending walk, so a click at the exact purchase instant is
+    correctly invisible (strictly after). The tolerance applies AFTER
+    the carry — the nearest later click either lands inside the hour
+    or there is no admissible click at all (anything later is farther),
+    which is why MIN(CASE WHEN within-window) in the oracle states the
+    same value. One window pass per user — versus the oracle's
+    O(clicks x purchases) inequality join, the textbook anti-pattern
+    at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lit(1).alias("side"),          # clicks sort after purchases
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lit(0).alias("side"),
+        "event_id",
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ms"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_next_ms",
+        F.last(
+            F.when(F.col("side") == 1, F.col("ms")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ms").alias("purchase_ms"),
+        F.when(
+            F.col("_next_ms") - F.col("ms") <= 3_600_000, F.col("_next_ms")
+        ).alias("next_click_ms"),
+    )
+
+
+@query(
     "range_join_price_bands",
     oracle="""
 SELECT b.band, COUNT(o_orderkey) AS n_orders,

@@ -2869,6 +2869,83 @@ def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (
+           ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+         (SELECT COUNT(*) FROM c) AS n
+  FROM c
+)
+SELECT CAST(((rk - 1) * 20) // n + 1 AS BIGINT) AS band,
+       COUNT(*) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("lineitem_price_equidepth_bands", oracle=EQUIDEPTH_ORACLE)
+def lineitem_price_equidepth_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equal-count (equi-depth) 20-band histogram of line-item price —
+    the binning a feature-engineering or data-balancing pass wants
+    when equal-WIDTH bands collapse into one dominant bucket. Band
+    k holds rows ranked ((k-1)/20, k/20] of the global price order:
+    band = ((rk - 1) * 20) DIV n + 1 over the exact global rank.
+
+    This is deliberately the third consumer of
+    operators/ranking.global_row_number and the driver-gate witness
+    for its HARD regime: integer price cents over lineitem are
+    NEAR-UNIQUE (the distinct-value relation is ~the row count), the
+    exact shape whose offsets stage single-partitioned ~n rows before
+    the r15 two-phase range-offsets rework — and unlike the gini row
+    (one aggregate), this emits 20 per-band rows whose min/max/sum
+    boundaries would all shift under any rank error. The tie-break
+    (l_orderkey, l_linenumber) is the lineitem PK, so the rank is a
+    deterministic total order; every emitted value is an exact BIGINT.
+
+    Scale shape: within-value rank parallelizes across distinct cents;
+    offsets are range-partitioned with one bounded (pid, total)
+    collect; the band rollup is a 20-row aggregate. The oracle states
+    the identical order with DuckDB's plain window."""
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = global_row_number(
+        li, ["cents"], ["l_orderkey", "l_linenumber"], out_col="rk"
+    )
+    n_total = li.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr("((rk - 1) * 20) DIV _n + 1").alias("band"),
+            "cents",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("band")
+    )
+
+
 def _wpr_oracle(iters: int, damping: float = 0.85) -> str:
     """Unrolled weighted-PageRank oracle (the `_ppr_oracle` pattern):
     the weighted update is a linear fixed-depth recurrence from the

@@ -1066,3 +1066,56 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+SCRIPT_CENSUS_ORACLE = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+         AS n_letters,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+         AS n_digits,
+       CAST(SUM(len(regexp_extract_all(text, '[ \t\r\n]'))) AS BIGINT)
+         AS n_whitespace,
+       CAST(SUM(len(regexp_extract_all(text, '[^\x00-\x7F]'))) AS BIGINT)
+         AS n_non_ascii
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("docs_script_census", oracle=SCRIPT_CENSUS_ORACLE)
+def docs_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class census — the charset QA rung every
+    ingest pipeline runs before language ID: ASCII letters, digits,
+    whitespace, and NON-ASCII code points per source. A source whose
+    non-ascii share jumps signals an encoding fault (mojibake doubles
+    it) or a language-mix shift; a digits-heavy source is usually
+    tables/logs masquerading as prose. The classes are counted as
+    REGEX MATCH COUNTS on both engines (regexp_count Spark-side,
+    len(regexp_extract_all) in DuckDB) rather than length arithmetic,
+    so the cross-engine contract never touches either engine's
+    length/char-vs-byte semantics (the r12 levenshtein lesson); the
+    chosen classes ([A-Za-z], [0-9], [ \\t\\r\\n], [^\\x00-\\x7F])
+    parse identically under Java regex and RE2. All-integer output;
+    single scan, one partial-aggregated groupBy on source — scan-speed
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.regexp_count("text", F.lit(r"[A-Za-z]")))
+            .cast("long")
+            .alias("n_letters"),
+            F.sum(F.regexp_count("text", F.lit(r"[0-9]")))
+            .cast("long")
+            .alias("n_digits"),
+            F.sum(F.regexp_count("text", F.lit("[ \t\r\n]")))
+            .cast("long")
+            .alias("n_whitespace"),
+            F.sum(F.regexp_count("text", F.lit(r"[^\x00-\x7F]")))
+            .cast("long")
+            .alias("n_non_ascii"),
+        )
+        .orderBy("source")
+    )

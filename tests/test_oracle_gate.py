@@ -227,6 +227,9 @@ def test_driver_window_composition():
     # the weighted-pagerank weight guard)
     touched_r15 = {
         "docs_prefix_filter_jaccard_join_strict",  # new: first row
+        "lineitem_price_equidepth_bands",  # new: first row
+        "asof_join_forward_tolerance",  # new: first row
+        "docs_script_census",  # new: first row
         "orders_customer_spend_gini",  # r14 red: BIGINT + rework
         "docs_length_decile_profile",  # global_row_number rework
         "docs_bpe_encode_stats",  # empty-doc zero rows (r14 ADVICE)

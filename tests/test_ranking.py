@@ -52,6 +52,13 @@ def test_decile_plan_has_no_unpartitioned_window(spark, sf_dir):
     assert _unpartitioned_windows(df) == []
 
 
+def test_equidepth_plan_has_no_unpartitioned_window(spark, sf_dir):
+    """The r15 third consumer — near-unique lineitem price cents with
+    20 per-band output rows — must ride the same two-phase offsets."""
+    df = QUERIES["lineitem_price_equidepth_bands"](spark, sf_dir)
+    assert _unpartitioned_windows(df) == []
+
+
 def test_global_row_number_bit_identical_to_window(spark):
     """Two-phase range offsets must reproduce the plain unpartitioned
     ROW_NUMBER bit-for-bit on a corpus with (a) a near-unique value
