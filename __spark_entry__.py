@@ -51,7 +51,7 @@ _SENTINELS = [
 #   window, one-shuffle union-and-carry in descending time;
 #   docs_script_census — per-source character-class census as regex
 #   MATCH COUNTS on both engines, all-integer)
-# + 5 r15-TOUCHED queries (orders_customer_spend_gini — the r14 red:
+# + 6 r15-TOUCHED queries (orders_customer_spend_gini — the r14 red:
 #   determinants restated in plain BIGINT after the decimal(38,0)
 #   hash-surface adjudication, AND riding the reworked operator;
 #   docs_length_decile_profile — same global_row_number rework
@@ -60,14 +60,15 @@ _SENTINELS = [
 #   left join, oracle restated to match (r14 ADVICE);
 #   docs_prefix_filter_jaccard_join — the ordered-prefix persisted
 #   relation is now threshold-independent (shared slot refactor);
-#   parts_coorder_weighted_pagerank — non-positive-weight guard)
+#   parts_coorder_weighted_pagerank — non-positive-weight guard;
+#   sql_recursive_cte_calendar — carried-hi recursion, the 19x fix:
+#   Spark inlines non-recursive CTEs, so the old bounds-join re-ran
+#   the orders min/max aggregate in all ~80 recursion steps)
 # + all 38 remaining r10-stale rows (the rotation the r14 verdict
 #   ordered — after this window no standing row is older than r11)
-# + 1 oldest r11-stale row, state-sensitive first
-#   (orders_incremental_rollup_state replays persisted rollup state)
 # = 50 exactly (asserted by
 # tests/test_oracle_gate.py::test_driver_window_composition).
-# The 42 remaining r11-stale rows lead r16; the board keeps the
+# The 43 r11-stale rows lead r16; the board keeps the
 # <=4-round refresh cadence.
 _PRIORITY = [
     # (a) r15 new: first driver rows
@@ -82,6 +83,7 @@ _PRIORITY = [
     "docs_bpe_encode_stats",
     "docs_prefix_filter_jaccard_join",
     "parts_coorder_weighted_pagerank",
+    "sql_recursive_cte_calendar",
     # (c) the 38 remaining r10-stale rows
     "asof_join_purchase_click",
     "customers_fuzzy_name_stats",
@@ -121,8 +123,6 @@ _PRIORITY = [
     "simhash_near_pairs",
     "sql_catalog_roundtrip",
     "sql_insert_not_exists",
-    # (d) 1 oldest r11-stale row (state-sensitive first)
-    "orders_incremental_rollup_state",
 ]
 _FAMILY_ORDER = [
     "profiling",
@@ -265,6 +265,7 @@ _SECOND_TIER = {
     "orders_benford_first_digit",
     "orders_cohort_monthly_value",
     "orders_expectation_report",
+    "orders_incremental_rollup_state",
     "orders_interarrival_stats",
     "orders_monthly_growth",
     "orders_open_backlog_by_day",
@@ -302,7 +303,6 @@ _SECOND_TIER = {
     "sql_bucketed_colocated_join",
     "sql_lateral_top_orders",
     "sql_probe_orders",
-    "sql_recursive_cte_calendar",
     "sql_revenue_by_nation",
     "stats_corr_price_qty",
     "stats_skew_kurtosis_qty",

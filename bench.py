@@ -194,6 +194,7 @@ NOTES: list[str] = [
     "r15/gini-red-adjudication: the r14 driver gate's ONE red (orders_customer_spend_gini, hash_match false with rows+schema true) adjudicated as a TYPE-SURFACE suspect and closed by restating the emitted determinants in plain BIGINT on both engines. Evidence for the verdict: the row passed every local harness before AND after the red — sf0.01 plain-session sweep, the exact 50-query driver-order window walk (twice in the builder's hands r14, twice in the judge's), the sf0.1 value sweep, two fresh-seed corpora — and the emitted surface was all-integer, so a deterministic cross-engine divergence would have reproduced somewhere; it never did. The ONLY property distinguishing this row from the 222 green ones was its type: the registry's sole decimal(38,0) aggregate (HUGEINT-cast on the oracle side), and the str()-normalizing local replica is structurally blind to a driver hasher that treats decimal128 scale/precision metadata or Decimal objects differently from int64. Remaining alternative (a rare driver-session nondeterminism) is made moot by the same fix: S0/S1 fit far below 2^63 at every shipped SF (sf0.1 S1 ~ 3.4e16; overflow needs ~sf100), the oracle keeps the rk*cents product in HUGEINT before the exact BIGINT cast, and the decimal(38,0) form of the SAME determinants stays pinned by tests/test_ranking.py as a value-identical twin so the wide-type doctrine path remains tested without riding the driver's hash.",
     "r15/global-row-number-range-offsets: the r14 verdict's scale flag on operators/ranking.global_row_number (the offsets running sum was a no-PARTITION window over the distinct-value relation — fine for deciles over doc lengths, but per-customer cents are NEAR-UNIQUE, and Spark logged 'WindowExec: No Partition Defined ... single partition' on the gini consumer: a billion-row single-task sort at 100x) closed with two-phase range offsets: repartitionByRange(value_cols) over the counts relation, per-range-partition totals (<= shuffle-partitions rows) collected as cumulative pid offsets and broadcast-joined back, within-partition running sum via Window.partitionBy(_pid). The range partitioning is pinned by an eager localCheckpoint because RangePartitioner samples with an RDD-id-derived seed — two separate jobs planning the same repartitionByRange can draw DIFFERENT boundaries, and the collected pid totals would then disagree with the pids the running-sum job sees, silently corrupting every rank (caught at design time, not by a failure). Rows bit-identical to the plain window on the mixed tied/near-unique test corpus; no unpartitioned window in either consumer's optimized plan (pinned by tests/test_ranking.py plan assertions on BOTH consumers).",
     "r15/prefix-filter-strict-receipt: the r14 verdict's order 5 shipped as docs_prefix_filter_jaccard_join_strict (t=0.8, 5*inter >= 4*union) — the production-regime twin of the deliberately-worst-regime t=0.3 row. Measured candidate reduction at sf0.01, same ordered relation both thresholds: t=0.8 indexes 5,533 of 26,136 postings (21%) and emits exactly 25 candidates — all 25 true pairs, perfect precision — vs t=0.3's 18,568 postings (71%) and 3,058 candidates into the same verify, a 122x reduction from the threshold alone. The persisted ordered-prefix relation was made threshold-independent (prefix_len computed at explode time) so both rows share one warm slot end-to-end; exactness unchanged (brute posting-join oracle at the same threshold + the t-parameterized hypothesis property test).",
+    "r15/rcte-carried-bounds: sql_recursive_cte_calendar was the sweep's only unadjudicated >10 s row (14.7 s in MAGNITUDE_r14) and turned out to be a REAL plan defect, not contention: the recursive step joined months with the bounds CTE, and Spark INLINES non-recursive CTEs — so all ~80 recursion steps re-ran the min/max aggregate over the 150k-row orders table (DuckDB materializes bounds once, which is why the oracle side never showed the cost and the row stayed value-green throughout). Fix: carry the bound as a COLUMN of the recursive relation (months(m, hi) — the standard carried-constant recursion shape), aggregating orders once in the anchor. Interleaved same-session A/B at sf0.1: old 25.43/17.37/16.35 s vs new 1.24/0.89/0.84 s — 19x at the minima, rows identical. Both engine texts restated symmetrically; the lesson generalizes: any recursive CTE whose step references a non-recursive CTE re-evaluates it per step on Spark.",
     "r15/multipass-bench-doctrine: encoded the r14 closing ledger's 4-run rule into bench.py itself — the headline section runs TWO full passes separated by the extras block (minutes apart), per-query figures are medians of 6 timed runs, and the payload carries headline_pass_totals + headline_pass_spread; pipeline e2e runs 3 passes with the median reported and all runs recorded. The r14 pipeline watch item (13.883 s single read, untouched code, 9.64-13.69 s same-day spread) is resolved by construction: future rounds compare medians-with-spread, and a single high read can no longer mint a watch item.",
     "r14/closing-ledger: final tree, 223 queries/223 oracles (+9 this round: docs_prefix_filter_jaccard_join — EXACT prefix-filtered set-similarity join proved by row equality against the brute posting-join oracle; docs_overlap_coefficient_pairs — the asymmetric containment rung (overlap coefficient >= 0.8 as 5*inter >= 4*min) sharing the minhash family's warm slots; parts_coorder_weighted_pagerank — rank by co-order multiplicity via the new exchange-free weighted_pagerank operator, 12-stage unrolled oracle, 20k node scores value-verified at sf0.1; docs_length_decile_profile + orders_customer_spend_gini — the two consumers of the new operators/ranking.global_row_number, an exact distributed total-order rank with no single-partition window; orders_benford_first_digit + parts_supplier_concentration — all-integer forensics/concentration profiles with ppm shares via integer DIV; docs_zipf_slope — rank-frequency OLS with libm on integer args only; sql_lateral_top_orders — LATERAL correlated subquery with per-row ORDER BY + LIMIT, same ANSI text both engines). Final-tree evidence: pytest 490/490; full plain sweeps green on THREE corpora at the final registry (driver sf0.01 223/223 plain-session, fresh seeds 1207 + 4242 223/223 each); driver-order 50-window walk 50/50 plain (three times this round as the window grew); MAGNITUDE_r14.json — all 223 queries run at sf0.1, 0 errors, 555.9 s total; ORACLE_SF01_r14.json — 221/221 value-verified at sf0.1, 0 failures/timeouts, the 2 documented quadratic-oracle skips; every artifact regenerated on the final tree. Measured perf win: docs_bpe_encode_stats DICTIONARY-ENCODED (token counts folded once per DISTINCT word over the trainer's frequency relation, broadcast under a 2M vocab cap, joined back to the exploded instance stream instead of running the 10-deep merge fold per word instance) — interleaved same-session A/B median 15.21 -> 2.14 s on the encode stage, rows identical, gated on all four corpora. Structural work: connected_components routed through loop_round (per-round block release + reliable checkpoint_dir mode, cross-mode identity pinned), slot keys abspath-resolved at registration (r13 ADVICE), overlap-pair census integral end-to-end (r13 ADVICE). All three r13 watch items closed by measurement: TPC-H movers = host contention (controls moved 2-6x in lockstep inside one session; q1's session MIN returned to 1.08 s, inside its historical range), link-prediction HAVING probe refuted (anti-join already AQE-broadcast; the wedge aggregate IS the cost), BPE/k-means exchange audit found no stable relation to pin (31-row vocab, kxdim broadcast). Closing benches over the same final-day code read headline 22.29 / 23.77 / 16.60 / 23.16 s and pipeline 10.46 / 9.64 / 13.69 / 10.51 s — a +/-40% same-day host spread on byte-identical plans that IS the contention adjudication's evidence; compare r15 medians against the set, not any single run. Extras 106.1 s absorb the eight new benched rows (the weighted-pagerank loop is bench-exempt by the iteration doctrine). EXPLAIN.md regenerated byte-identical (headline plans unchanged).",
     "r14/prefix-filter-regime: docs_prefix_filter_jaccard_join (new) measured at sf0.1 — cold ~19 s (shared gram-array build dominates, same as the posting join's cold path), warm ~7-8 s vs docs_ngram_jaccard_pairs' ~2.8 s. Decomposition: at t=0.3 the prefix keeps 71% of postings (185,040 of 260,388; prefix length is |x|(1-t)+1) and the synthetic corpus's 31-word vocabulary makes every shingle common, so 597k candidate pairs reach the array_intersect verify. This is the documented regime tradeoff, not a defect: prefix filtering is a high-threshold (t>=0.7), heavy-tailed-df tool; at t=0.5 the result set here is IDENTICAL (256 pairs — the corpus's near-dups are all J>=0.5) and at web-scale thresholds the prefix index is what survives while the full posting join does not. The row's purpose is exactness proof (row equality vs the brute-force oracle at four corpora + the t-parameterized property test); the constant is documented in the docstring.",

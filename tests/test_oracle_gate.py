@@ -235,6 +235,7 @@ def test_driver_window_composition():
         "docs_bpe_encode_stats",  # empty-doc zero rows (r14 ADVICE)
         "docs_prefix_filter_jaccard_join",  # shared-slot refactor
         "parts_coorder_weighted_pagerank",  # weight guard
+        "sql_recursive_cte_calendar",  # carried-hi recursion (19x)
     }
     assert touched_r15 <= window, sorted(touched_r15 - window)
     # the rotation the r14 verdict ordered: ALL 38 remaining r10-stale
