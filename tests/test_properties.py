@@ -634,3 +634,55 @@ def test_prefix_filter_join_matches_bruteforce(spark, docs, thresh):
             if union > 0 and t_den * inter >= t_num * union:
                 want.add((a, b, inter, union))
     assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_global_row_number_property(spark, rows, n_range):
+    """Two-phase range offsets must equal the plain unpartitioned
+    ROW_NUMBER for ANY value distribution — nulls, heavy ties,
+    near-unique — and ANY shuffle-partition count (1, more partitions
+    than distinct values, fewer). The RangePartitioner-seed pinning
+    (localCheckpoint) is exactly the kind of invariant random corpora
+    shake out: boundary placement varies with the sampled data, and a
+    pid/offset desync would corrupt ranks for some draw."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_range))
+        df = spark.createDataFrame(
+            [(v, f"t{t:07d}") for v, t in rows], "v int, id string"
+        ).repartition(7)
+        got = {
+            r.id: r.rk
+            for r in global_row_number(
+                df, ["v"], ["id"], out_col="rk"
+            ).collect()
+        }
+        want = {
+            r.id: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+        assert sorted(got.values()) == list(range(1, len(rows) + 1))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
