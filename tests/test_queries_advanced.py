@@ -195,3 +195,106 @@ def test_overlap_pair_sweep_identity_hand_case(spark, tmp_path):
     out = events_session_overlap_pairs(spark, sf).collect()
     assert len(out) == 1
     assert out[0].n_overlap_pairs == 5 and out[0].n_segments == 4
+
+
+def test_bpe_encode_stats_keeps_empty_sources(spark, tmp_path):
+    """The r14 ADVICE contract, pinned: the dictionary-encode rewrite
+    joins on exploded words, so zero-token documents (and whole
+    sources of them) vanished from the per-source rollup. The left
+    join back onto the document spine must keep them as
+    (0, 0, true) rows — a source whose docs are all empty/whitespace
+    still appears."""
+    import pandas as pd
+
+    from lakehouse_architecture_spark.queries.text import (
+        docs_bpe_encode_stats,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "normal", 22),
+            (2, "the mat sat on the cat", "en", "normal", 22),
+            (3, "", "en", "empty_src", 0),
+            (4, "   ", "en", "empty_src", 3),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(pdf).write.parquet(sf + "/documents.parquet")
+    rows = {r.source: r for r in docs_bpe_encode_stats(spark, sf).collect()}
+    assert set(rows) == {"normal", "empty_src"}
+    e = rows["empty_src"]
+    assert (e.n_words, e.n_chars, bool(e.tokens_within_bounds)) == (
+        0,
+        0,
+        True,
+    )
+    n = rows["normal"]
+    assert n.n_words == 12 and n.n_chars == 34
+    assert bool(n.tokens_within_bounds) and bool(n.sample_matches_reference)
+
+
+def test_asof_forward_tolerance_boundaries(spark, tmp_path):
+    """Boundary semantics of the forward as-of: a click at the exact
+    purchase instant is NOT 'strictly after'; a click at exactly +1h
+    is inside the tolerance (<=); the first admissible click wins even
+    with later ones present; no-click users emit null."""
+    import pandas as pd
+
+    from lakehouse_architecture_spark.queries.advanced import (
+        asof_join_forward_tolerance,
+    )
+
+    base = "2025-03-01 "
+    rows = []
+    eid = 0
+
+    def ev(uid, t, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, uid, base + t, typ, 1.0, "{}"))
+        return eid
+
+    p1 = ev(1, "10:00:00", "purchase")
+    ev(1, "10:00:00", "click")      # same instant: excluded
+    ev(1, "10:30:00", "click")      # first strictly-after: the answer
+    ev(1, "10:45:00", "click")      # later: ignored
+    p2 = ev(2, "10:00:00", "purchase")
+    ev(2, "11:00:00", "click")      # exactly +1h: included (<=)
+    p3 = ev(3, "10:00:00", "purchase")
+    ev(3, "11:00:01", "click")      # 1h + 1s: outside -> null
+    p4 = ev(4, "10:00:00", "purchase")  # no clicks at all -> null
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "ts_s", "event_type", "value", "props"],
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(pdf).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(sf + "/events.parquet")
+    got = {
+        r.event_id: r.next_click_ms
+        for r in asof_join_forward_tolerance(spark, sf).collect()
+    }
+    assert set(got) == {p1, p2, p3, p4}
+    from datetime import datetime, timezone
+
+    def ms(t):
+        return int(
+            datetime.fromisoformat(base + t)
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1000
+        )
+
+    assert got[p1] == ms("10:30:00")
+    assert got[p2] == ms("11:00:00")
+    assert got[p3] is None
+    assert got[p4] is None
