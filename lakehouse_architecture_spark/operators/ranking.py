@@ -40,10 +40,14 @@ this operator exists to remove. Now:
     group offset is the broadcast partition offset + the
     within-partition running sum.
 
-Both range boundaries and pids come from the SAME materialization of
-the counts relation (one shuffle, reused by Spark's shuffle-output
-reuse across the two jobs), so the pid seen by the collect and the pid
-seen by the window agree by construction.
+Both range boundaries and pids come from ONE materialization of the
+counts relation, pinned by an eager ``localCheckpoint`` — NOT from
+shuffle-output reuse, which is best-effort: RangePartitioner samples
+with an RDD-id-derived seed, so two separately-planned jobs over the
+same ``repartitionByRange`` could draw different boundaries, and the
+collected pid totals would silently disagree with the pids the
+running-sum job sees. The checkpoint makes the collect and the window
+read the same frozen partitions by construction.
 
 Semantics are EXACTLY ``row_number`` over (value_cols, tie_cols) — a
 deterministic total order requires ``tie_cols`` to complete a unique
