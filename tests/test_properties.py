@@ -636,6 +636,58 @@ def test_prefix_filter_join_matches_bruteforce(spark, docs, thresh):
     assert got == want
 
 
+def test_prefix_filter_warm_slot_shared_across_thresholds(spark):
+    """The r15 refactor's core claim, pinned: the persisted
+    ordered-prefix relation is THRESHOLD-INDEPENDENT, so two queries
+    probing different thresholds over the same corpus share one warm
+    slot — and the second threshold's results through the WARM slot
+    must equal its cold results. (Before the refactor prefix_len was
+    baked into the persisted relation; a warm hit from the other
+    threshold's key would have sliced the WRONG prefix length.)"""
+    from lakehouse_architecture_spark.operators.caching import (
+        release_slots,
+    )
+    from lakehouse_architecture_spark.operators.minhash import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "f"]),
+        (3, ["a", "b", "x", "y", "z"]),
+        (4, ["p", "q"]),
+        (5, ["p", "q"]),
+    ]
+    gv = spark.createDataFrame(
+        docs, "doc long, grams array<string>"
+    )
+
+    def run(t_num, t_den, slot=None, key=None):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+            for r in prefix_filter_jaccard_pairs(
+                gv, t_num=t_num, t_den=t_den, slot=slot, key=key
+            ).collect()
+        )
+
+    cold_loose = run(3, 10)
+    cold_strict = run(4, 5)
+    try:
+        # loose first warms the shared slot; strict must reuse it
+        warm_loose = run(3, 10, slot="t-pf-shared", key=("corpus", 1))
+        warm_strict = run(4, 5, slot="t-pf-shared", key=("corpus", 1))
+        assert warm_loose == cold_loose
+        assert warm_strict == cold_strict
+        # and in the driver-window order (strict first), the reverse
+        release_slots("t-pf-shared")
+        warm_strict2 = run(4, 5, slot="t-pf-shared", key=("corpus", 1))
+        warm_loose2 = run(3, 10, slot="t-pf-shared", key=("corpus", 1))
+        assert warm_strict2 == cold_strict
+        assert warm_loose2 == cold_loose
+    finally:
+        release_slots("t-pf-shared")
+
+
 @_settings
 @given(
     st.lists(
