@@ -340,10 +340,12 @@ def weighted_pagerank(
     # measure — a node whose out-weights sum to 0 despite having edges
     # is misclassified as dangling, and a negative-wdeg node neither
     # contributes nor counts as dangling, LEAKING rank mass with no
-    # error. One limit(1) probe on the persisted edge relation (it
-    # materializes here anyway for the first round).
+    # error. NaN is neither null nor <= 0 in SQL comparisons yet
+    # poisons every downstream wdeg sum, so it gets its own predicate
+    # (r15 ADVICE). One limit(1) probe on the persisted edge relation
+    # (it materializes here anyway for the first round).
     if (
-        e.filter(F.col("w").isNull() | (F.col("w") <= 0))
+        e.filter(F.col("w").isNull() | F.isnan("w") | (F.col("w") <= 0))
         .limit(1)
         .count()
         > 0
@@ -351,7 +353,7 @@ def weighted_pagerank(
         e.unpersist(blocking=False)
         raise ValueError(
             "weighted_pagerank requires strictly positive edge "
-            f"weights; found {weight} null or <= 0"
+            f"weights; found {weight} null, NaN, or <= 0"
         )
     nodes = loop_round(
         e.select(F.col("src").alias("node"))

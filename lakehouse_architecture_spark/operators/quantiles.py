@@ -26,35 +26,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_exact_percentiles(
+def _grouped_value_cum(
     df: DataFrame,
-    group_cols: Sequence[str],
+    gcols: list,
     value_col: str,
-    percentiles: Sequence[int],
-    n_buckets: int = 1000,
+    n_buckets: int,
 ) -> DataFrame:
-    """(group_cols..., pct, n_rows, pct_value): the exact discrete
-    percentile member of ``value_col`` per group, for each integer
-    percent in ``percentiles``. All percentiles share ONE counts
-    relation and one window pass — the percentile list broadcasts as a
-    tiny crossJoined relation, so asking for p25/p50/p75/p95 costs the
-    same shuffles as asking for one.
-
-    Scale shape: values collapse to (group, value) frequencies, then
-    coarse-bucket per group (bounds from one small aggregate), so the
-    running-count windows partition by (group, bucket) — bounded by
-    distinct-values-per-bucket even when the value column is
-    NEAR-UNIQUE (prices, durations), where the plain distinct-value
-    window would degenerate right back into the low-cardinality trap
-    one level down. Cross-bucket running totals ride a window over the
-    (group, bucket) aggregate (≤ n_buckets rows per group). Ascending
-    floor-bucketing is monotonic, so per-value cum reproduces the
-    naive global-per-group window exactly."""
-    if not percentiles:
-        raise ValueError("percentiles must be non-empty")
-    if not all(1 <= p <= 100 for p in percentiles):
-        raise ValueError(f"percentiles must be in [1, 100]: {percentiles}")
-    gcols = list(group_cols)
+    """(gcols..., value_col, cnt, n, cum): per-group per-distinct-value
+    frequency counts with the running cumulative count ``cum`` — each
+    value's sorted-rank interval is ``(cum - cnt, cum]`` — built so that
+    no window input exceeds one (group, bucket)'s distinct values. The
+    shared core of the exact-percentile operators below."""
     # null measurements have no place in an order statistic (and the
     # engines disagree on where ORDER BY puts them); a null GROUP key
     # is a legitimate group — joins below are null-safe for it
@@ -128,13 +110,45 @@ def grouped_exact_percentiles(
         )
         .select("b.*", "s.__cum_above")
     )
-    ranked = joined.select(
+    return joined.select(
         *gcols,
         value_col,
         "cnt",
         "n",
         (F.col("__cum_above") + F.sum("cnt").over(win)).alias("cum"),
     )
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[int],
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """(group_cols..., pct, n_rows, pct_value): the exact discrete
+    percentile member of ``value_col`` per group, for each integer
+    percent in ``percentiles``. All percentiles share ONE counts
+    relation and one window pass — the percentile list broadcasts as a
+    tiny crossJoined relation, so asking for p25/p50/p75/p95 costs the
+    same shuffles as asking for one.
+
+    Scale shape: values collapse to (group, value) frequencies, then
+    coarse-bucket per group (bounds from one small aggregate), so the
+    running-count windows partition by (group, bucket) — bounded by
+    distinct-values-per-bucket even when the value column is
+    NEAR-UNIQUE (prices, durations), where the plain distinct-value
+    window would degenerate right back into the low-cardinality trap
+    one level down. Cross-bucket running totals ride a window over the
+    (group, bucket) aggregate (≤ n_buckets rows per group). Ascending
+    floor-bucketing is monotonic, so per-value cum reproduces the
+    naive global-per-group window exactly."""
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    if not all(1 <= p <= 100 for p in percentiles):
+        raise ValueError(f"percentiles must be in [1, 100]: {percentiles}")
+    gcols = list(group_cols)
+    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets)
     pcts = df.sparkSession.createDataFrame(
         [(int(p),) for p in sorted(set(percentiles))], "pct int"
     )
@@ -148,6 +162,71 @@ def grouped_exact_percentiles(
             F.col("n").alias("n_rows"),
             F.col(value_col).alias("pct_value"),
         )
+    )
+
+
+def grouped_interpolated_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """(group_cols..., q, n_rows, q_value): the linearly INTERPOLATED
+    quantile per group — the ``quantile_cont`` / ``F.percentile``
+    convention (h = (n-1)·q; v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1]-v[⌊h⌋]) over
+    the 1-indexed sorted values) — computed through the same bucketed
+    running-count machinery as :func:`grouped_exact_percentiles`, so no
+    window input exceeds one (group, bucket)'s distinct values and no
+    aggregation buffer holds a per-group value→count map (the
+    ``F.percentile`` liability: memory bounded by distinct values per
+    group, which grows with data and OOMs at 100×; the r7 doctrine).
+
+    Each target rank's bracketing members (ranks ⌊h⌋+1 and ⌊h⌋+2,
+    clamped to n) are picked off the cum relation by interval filter —
+    one row per (group, q, side) survives — and a |groups|·|qs|-row
+    aggregate interpolates. When h is integral the fraction is exactly
+    0.0 and the upper member is multiplied away, so the result is the
+    raw lower member, bit-identical to the discrete statistic."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0, 1]: {quantiles}")
+    gcols = list(group_cols)
+    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets)
+    qs = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(set(quantiles))], "q double"
+    )
+    h = (F.col("n") - 1) * F.col("q")
+    r_lo = (F.floor(h) + 1).cast("long")
+    x = (
+        ranked.crossJoin(F.broadcast(qs))
+        .withColumn("__rlo", r_lo)
+        .withColumn("__rhi", F.least(r_lo + 1, F.col("n")))
+    )
+    lo_hit = (F.col("cum") >= F.col("__rlo")) & (
+        F.col("cum") - F.col("cnt") < F.col("__rlo")
+    )
+    hi_hit = (F.col("cum") >= F.col("__rhi")) & (
+        F.col("cum") - F.col("cnt") < F.col("__rhi")
+    )
+    agg = (
+        x.filter(lo_hit | hi_hit)
+        .groupBy(*gcols, "q", "n")
+        .agg(
+            F.max(F.when(lo_hit, F.col(value_col))).alias("__vlo"),
+            F.max(F.when(hi_hit, F.col(value_col))).alias("__vhi"),
+        )
+    )
+    frac = (F.col("n") - 1) * F.col("q") - F.floor((F.col("n") - 1) * F.col("q"))
+    return agg.select(
+        *gcols,
+        "q",
+        F.col("n").alias("n_rows"),
+        (
+            F.col("__vlo")
+            + frac * (F.col("__vhi").cast("double") - F.col("__vlo"))
+        ).alias("q_value"),
     )
 
 

@@ -10,6 +10,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.numeric import dsum
+from lakehouse_architecture_spark.operators.quantiles import (
+    grouped_interpolated_quantiles,
+)
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table, register_views
 
@@ -273,12 +276,26 @@ GROUP BY l_returnflag
 )
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (both engines: linear interpolation
-    over the sorted values — identical doubles, rounded 6)."""
+    over the sorted values — identical doubles, rounded 6).
+
+    r16: restated through
+    ``operators.quantiles.grouped_interpolated_quantiles`` — the
+    previous ``F.percentile`` form buffers a per-group value→count map
+    in ONE aggregation buffer, memory-bounded by distinct prices per
+    group, which does not survive 100× (the r7 doctrine). The bucketed
+    machinery gives the identical interpolated doubles with every
+    window bounded by one (group, bucket)'s distinct values."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    q = grouped_interpolated_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75]
+    )
+    pick = lambda p: F.round(  # noqa: E731
+        F.max(F.when(F.col("q") == p, F.col("q_value"))), 6
+    )
+    return q.groupBy("l_returnflag").agg(
+        pick(0.25).alias("p25"),
+        pick(0.5).alias("p50"),
+        pick(0.75).alias("p75"),
     )
 
 
@@ -302,18 +319,29 @@ def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle checks the exact columns plus tolerance-band booleans
     (approx within 5% of exact distinct / 1% of exact median) that the
     oracle asserts as literal TRUE. A sketch drifting out of tolerance
-    now FAILS the driver hash instead of hiding behind rows-only."""
+    now FAILS the driver hash instead of hiding behind rows-only.
+
+    r16: the exact-median anchor is restated through
+    ``operators.quantiles.grouped_interpolated_quantiles`` — the prior
+    ``F.percentile`` call buffered a per-group value→count map in one
+    aggregation buffer (memory bounded by distinct prices, an
+    executor-OOM shape at 100×; the r7 doctrine this query was the
+    last holdout against). The sketch columns and the compared surface
+    are unchanged; only the anchor's plan shape moved."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
-            "exact_median"
-        ),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
         ),
     )
+    med = grouped_interpolated_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5]
+    ).select(
+        "l_returnflag", F.round("q_value", 6).alias("exact_median")
+    )
+    agg = sk.join(F.broadcast(med), "l_returnflag")
     ok = lambda a, e, tol: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= F.col(e) * tol
     )

@@ -36,6 +36,65 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
         assert r.approx_orders_ok and r.approx_median_ok
 
 
+def test_exact_quantile_anchors_have_no_percentile_buffer(spark, sf_dir):
+    """r16 doctrine pin: the exact-median/quantile anchors must NOT go
+    through the Percentile aggregate (one per-group value→count map in
+    a single aggregation buffer — memory bounded by distinct values,
+    an executor-OOM shape at 100×). The optimized plans may contain
+    percentile_approx (a bounded sketch) but never plain percentile."""
+    from lakehouse_architecture_spark.queries.advanced import quantiles_exact
+
+    for fn in (approx_distinct_and_quantile, quantiles_exact):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        # 'percentile(' matches the exact aggregate only —
+        # percentile_approx( continues with '_', not '('
+        assert "percentile(" not in plan, fn.__name__
+
+
+def test_grouped_interpolated_quantiles_matches_percentile(spark):
+    """Value identity of the bucketed interpolated-quantile operator vs
+    F.percentile on a corpus with ties, odd/even group sizes, a
+    single-row group, null values (dropped), and a null group key
+    (kept)."""
+    from lakehouse_architecture_spark.operators.quantiles import (
+        grouped_interpolated_quantiles,
+    )
+
+    rows = []
+    # group a: 101 near-unique values (odd n, exercises many buckets)
+    rows += [("a", float((i * 37) % 101)) for i in range(101)]
+    # group b: even n with heavy ties
+    rows += [("b", float(v)) for v in [1, 1, 2, 2, 3, 3, 9, 9]]
+    # group c: a single row; group d: only a null value (drops out)
+    rows += [("c", 42.0), ("d", None)]
+    # null group key: legitimate group
+    rows += [(None, float(v)) for v in [5, 6, 7]]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {
+        (r.grp, r.q): r.q_value
+        for r in grouped_interpolated_quantiles(
+            df, ["grp"], "v", qs, n_buckets=7
+        ).collect()
+    }
+    want = {}
+    for r in (
+        df.filter(F.col("v").isNotNull())
+        .groupBy("grp")
+        .agg(*[
+            F.percentile("v", F.lit(q)).alias(f"p{i}")
+            for i, q in enumerate(qs)
+        ])
+        .collect()
+    ):
+        for i, q in enumerate(qs):
+            want[(r.grp, q)] = r[f"p{i}"]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert ("d", 0.5) not in got  # all-null group has no order statistic
+
+
 def test_asof_join_same_ts_click_counts(spark, sf_dir):
     out = asof_join_purchase_click(spark, sf_dir)
     rows = out.collect()
