@@ -176,13 +176,53 @@ EXTRA = [
     # iteration count, not a data-sized plan (the pagerank doctrine).
     "docs_overlap_coefficient_pairs",
     # r15: the production-regime prefix twin (t=0.8 — the pruning
-    # regime), the near-unique-key global_row_number witness, the
-    # forward as-of, and the charset census
+    # regime), the forward as-of, and the charset census
+    # (lineitem_price_equidepth_bands moved to HEADLINE in r16)
     "docs_prefix_filter_jaccard_join_strict",
-    "lineitem_price_equidepth_bands",
     "asof_join_forward_tolerance",
     "docs_script_census",
 ]
+
+# EXTRAS BUDGET POLICY (r16, verdict order #7): the extras block grows
+# linearly with the registry (78 rows / 95.3 s at r15) and was on course
+# to dominate bench wall. Rows named in EXTRA_ALWAYS — standing
+# regime/adjudication subjects whose figures bench notes cite, plus the
+# newest two rounds' additions while they are fresh — are timed every
+# run; the REMAINING rows rotate through a contiguous window of
+# EXTRA_ROTATE_N, keyed on a 6-hour wall-clock index so consecutive
+# driver rounds see different windows and every row is re-timed every
+# ~3 benches. Per-query medians stay comparable across rounds (keyed by
+# name); the extras TOTAL is only comparable between runs that timed
+# the same subset, so the payload carries "extras_policy" + the subset
+# size. The full EXTRA list remains append-only.
+EXTRA_ALWAYS = [
+    "docs_prefix_filter_jaccard_join",
+    "docs_prefix_filter_jaccard_join_strict",
+    "docs_curation_funnel",
+    "customers_fuzzy_pairs_d2_capped",
+    "emb_semantic_dedup",
+    "docs_source_shingle_overlap",
+    # newest-rounds block (r15)
+    "asof_join_forward_tolerance",
+    "docs_script_census",
+]
+EXTRA_ROTATE_N = 30
+
+
+def extras_window(now: float | None = None) -> list[str]:
+    """The extras subset this run times: EXTRA_ALWAYS + a rotating
+    contiguous window (wrapping) of EXTRA_ROTATE_N over the rest, in
+    EXTRA's order."""
+    rest = [e for e in EXTRA if e not in EXTRA_ALWAYS]
+    if len(rest) <= EXTRA_ROTATE_N:
+        return [e for e in EXTRA if e in EXTRA_ALWAYS or e in rest]
+    slot = int((now if now is not None else time.time()) // 21600)
+    start = (slot * EXTRA_ROTATE_N) % len(rest)
+    rotated = [
+        rest[(start + i) % len(rest)] for i in range(EXTRA_ROTATE_N)
+    ]
+    keep = set(EXTRA_ALWAYS) | set(rotated)
+    return [e for e in EXTRA if e in keep]
 
 # Round-scoped measurement conclusions, recorded into BENCH_DETAIL.json
 # so the numbers and their interpretation travel together. This list is
@@ -191,7 +231,10 @@ EXTRA = [
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
-    "r15/closing-ledger: final tree, 227 queries/227 oracles (+5 this round: docs_prefix_filter_jaccard_join_strict — the production-regime t=0.8 prefix-filter twin, 21% of postings indexed, 25 candidates vs 3,058 at t=0.3, 122x reduction with perfect precision; lineitem_price_equidepth_bands — equal-count 20-band price histogram, the third global_row_number consumer and the driver-gate witness for its near-unique-key regime; asof_join_forward_tolerance — FORWARD as-of with 1h tolerance, one-shuffle union-and-carry in descending time with strict-after tie handling; docs_script_census — per-source character-class census as regex MATCH COUNTS on both engines, never length arithmetic). Final-tree evidence: pytest 504/504 re-run on the closing tree (the three r15 test additions included); FIVE consecutive driver-order 50-window walks 50/50 in plain sessions (the r14 verdict's >=5x flake hunt — no flake found, consistent with the gini type-surface verdict); full plain sweeps 227/227 on FOUR corpora (driver sf0.01 + fresh seeds 1207, 4242, and the never-before-used 7777 generated this round); MAGNITUDE_r15.json — all 227 run at sf0.1, 0 errors, 478.7 s total (down from 555.9 at a larger registry, mostly the rcte fix); ORACLE_SF01_r15.json — 225/225 value-verified at sf0.1, 0 failures/timeouts, the 2 documented quadratic-oracle skips. Structural work: the r14 red killed (gini BIGINT restatement + decimal twin pinned), global_row_number two-phase range offsets (no unpartitioned window anywhere, property-tested across random corpora and partition counts), sql_recursive_cte_calendar carried-bounds fix (16.35 -> 0.84 s minima, 19x — a REAL plan defect found via the >10s-row audit), all four r14 ADVICE items closed in source, multipass bench doctrine encoded in bench.py. THREE multipass closing benches on the final tree: 15.454 s (pass totals 15.992/14.968), 15.382 s (16.106/14.570), and 19.941 s (29.821/13.619) — the third run is the doctrine CAUGHT WORKING: its first pass hit 29.8 s of host contention while the SAME session's second pass read 13.62 s, the round's floor, so the median-of-6 absorbed a 2.2x weather swing that a single-read bench would have minted as a regression (exactly the r13/r14 mover mechanism, now visible inside one payload). Six headline passes span 13.62-29.82 s with five of six in 13.6-16.1; pipeline e2e medians 7.417/7.919/7.187 s (all runs 6.85-10.81 — the r14 13.9 s watch item resolved WELL below the 9.64-13.69 spread), extras ~82 s while absorbing four new benched rows, 0 errors in all three. EXPLAIN.md regenerated byte-identical (headline plans untouched).",
+    "r16/pq-drift-adjudication: CLOSED as host weather. The r12-r15 sweep drift of emb_pq_quantization_qa (9.0 -> 13.3 -> 11.8 -> 18.4 s, all single non-interleaved reads) got the interleaved A/B the doctrine requires: 6 alternating reps against a stable control (emb_near_dup_pairs) in one sf0.1 session read pq median 13.91 / min 9.86 s with the control flat at median 2.20 / min 1.75 s. The 9.86 s floor matches the r12-era 9.0 s baseline within single-run noise, the control shows no session-wide slowdown, and no code touched this path since the r11 HOF-fold fix — the 18.4 s sweep reading was contention on a non-interleaved read. The row's inherent ~10 s is the documented train+encode+ADC work; no regressing stage exists to fix.",
+    "r16/quantile-anchor-restatement: approx_distinct_and_quantile (27.2 s, the slowest r15 sweep row and the one standing plan contradicting the 100x doctrine) and quantiles_exact no longer go through F.percentile's per-group value->count aggregation buffer (memory bounded by distinct prices per group — the executor-OOM shape the r7 bucketed rewrite removed from lineitem_price_percentiles_by_flag). Both now ride operators/quantiles.grouped_interpolated_quantiles: the same counts->coarse-bucket->running-count machinery as grouped_exact_percentiles, extended to the quantile_cont/F.percentile linear-interpolation convention by picking each target rank's two bracketing members off the rank-interval relation and interpolating in a |groups|x|qs|-row aggregate. Every window partitions by (group, bucket); no aggregation buffer grows with data. Compared surfaces unchanged, both rows oracle-green at sf0.01, plan assertion pins 'no percentile( in either optimized plan', value-identity unit test vs F.percentile covers ties/odd/even/single-row/null-value/null-group. Measured at sf0.1: 27.2 -> 2.5-3.5 s warm (11.6 cold), ~8x, removing the sweep's worst row.",
+    "r16/extras-budget-policy (verdict order #7): the extras block (78 rows, 95.3 s at r15) grows linearly with the registry and had come to dominate bench wall. bench.py now times EXTRA_ALWAYS (8 standing regime/adjudication rows + the newest rounds' additions) every run plus a rotating contiguous 30-row window over the rest, keyed on a 6-hour wall-clock slot so consecutive driver rounds cover different thirds; every row is re-timed every ~3 benches. Per-query medians remain comparable round-over-round; the extras TOTAL is only comparable between runs timing the same subset, so the payload now carries extras_policy {always, rotate_n, timed, of}. EXTRA itself stays append-only. Also r16: lineitem_price_equidepth_bands moved from extras to HEADLINE (verdict order #4 — the global_row_number near-unique-key witness gets driver-grain regression coverage), so headline totals from r16 on carry one structural +~2-3 s vs r15; compare per-query medians across that boundary.",
+    "r15/closing-ledger: final tree, 227 queries/227 oracles (+4 this round: docs_prefix_filter_jaccard_join_strict — the production-regime t=0.8 prefix-filter twin, 21% of postings indexed, 25 candidates vs 3,058 at t=0.3, 122x reduction with perfect precision; lineitem_price_equidepth_bands — equal-count 20-band price histogram, the third global_row_number consumer and the driver-gate witness for its near-unique-key regime; asof_join_forward_tolerance — FORWARD as-of with 1h tolerance, one-shuffle union-and-carry in descending time with strict-after tie handling; docs_script_census — per-source character-class census as regex MATCH COUNTS on both engines, never length arithmetic). Final-tree evidence: pytest 504/504 re-run on the closing tree (the three r15 test additions included); FIVE consecutive driver-order 50-window walks 50/50 in plain sessions (the r14 verdict's >=5x flake hunt — no flake found, consistent with the gini type-surface verdict); full plain sweeps 227/227 on FOUR corpora (driver sf0.01 + fresh seeds 1207, 4242, and the never-before-used 7777 generated this round); MAGNITUDE_r15.json — all 227 run at sf0.1, 0 errors, 478.7 s total (down from 555.9 at a larger registry, mostly the rcte fix); ORACLE_SF01_r15.json — 225/225 value-verified at sf0.1, 0 failures/timeouts, the 2 documented quadratic-oracle skips. Structural work: the r14 red killed (gini BIGINT restatement + decimal twin pinned), global_row_number two-phase range offsets (no unpartitioned window anywhere, property-tested across random corpora and partition counts), sql_recursive_cte_calendar carried-bounds fix (16.35 -> 0.84 s minima, 19x — a REAL plan defect found via the >10s-row audit), all four r14 ADVICE items closed in source, multipass bench doctrine encoded in bench.py. THREE multipass closing benches on the final tree: 15.454 s (pass totals 15.992/14.968), 15.382 s (16.106/14.570), and 19.941 s (29.821/13.619) — the third run is the doctrine CAUGHT WORKING: its first pass hit 29.8 s of host contention while the SAME session's second pass read 13.62 s, the round's floor, so the median-of-6 absorbed a 2.2x weather swing that a single-read bench would have minted as a regression (exactly the r13/r14 mover mechanism, now visible inside one payload). Six headline passes span 13.62-29.82 s with five of six in 13.6-16.1; pipeline e2e medians 7.417/7.919/7.187 s (all runs 6.85-10.81 — the r14 13.9 s watch item resolved WELL below the 9.64-13.69 spread), extras ~82 s while absorbing four new benched rows, 0 errors in all three. EXPLAIN.md regenerated byte-identical (headline plans untouched).",
     "r15/gini-red-adjudication: the r14 driver gate's ONE red (orders_customer_spend_gini, hash_match false with rows+schema true) adjudicated as a TYPE-SURFACE suspect and closed by restating the emitted determinants in plain BIGINT on both engines. Evidence for the verdict: the row passed every local harness before AND after the red — sf0.01 plain-session sweep, the exact 50-query driver-order window walk (twice in the builder's hands r14, twice in the judge's), the sf0.1 value sweep, two fresh-seed corpora — and the emitted surface was all-integer, so a deterministic cross-engine divergence would have reproduced somewhere; it never did. The ONLY property distinguishing this row from the 222 green ones was its type: the registry's sole decimal(38,0) aggregate (HUGEINT-cast on the oracle side), and the str()-normalizing local replica is structurally blind to a driver hasher that treats decimal128 scale/precision metadata or Decimal objects differently from int64. Remaining alternative (a rare driver-session nondeterminism) is made moot by the same fix: S0/S1 fit far below 2^63 at every shipped SF (sf0.1 S1 ~ 3.4e16; overflow needs ~sf100), the oracle keeps the rk*cents product in HUGEINT before the exact BIGINT cast, and the decimal(38,0) form of the SAME determinants stays pinned by tests/test_ranking.py as a value-identical twin so the wide-type doctrine path remains tested without riding the driver's hash.",
     "r15/global-row-number-range-offsets: the r14 verdict's scale flag on operators/ranking.global_row_number (the offsets running sum was a no-PARTITION window over the distinct-value relation — fine for deciles over doc lengths, but per-customer cents are NEAR-UNIQUE, and Spark logged 'WindowExec: No Partition Defined ... single partition' on the gini consumer: a billion-row single-task sort at 100x) closed with two-phase range offsets: repartitionByRange(value_cols) over the counts relation, per-range-partition totals (<= shuffle-partitions rows) collected as cumulative pid offsets and broadcast-joined back, within-partition running sum via Window.partitionBy(_pid). The range partitioning is pinned by an eager localCheckpoint because RangePartitioner samples with an RDD-id-derived seed — two separate jobs planning the same repartitionByRange can draw DIFFERENT boundaries, and the collected pid totals would then disagree with the pids the running-sum job sees, silently corrupting every rank (caught at design time, not by a failure). Rows bit-identical to the plain window on the mixed tied/near-unique test corpus; no unpartitioned window in either consumer's optimized plan (pinned by tests/test_ranking.py plan assertions on BOTH consumers).",
     "r15/prefix-filter-strict-receipt: the r14 verdict's order 5 shipped as docs_prefix_filter_jaccard_join_strict (t=0.8, 5*inter >= 4*union) — the production-regime twin of the deliberately-worst-regime t=0.3 row. Measured candidate reduction at sf0.01, same ordered relation both thresholds: t=0.8 indexes 5,533 of 26,136 postings (21%) and emits exactly 25 candidates — all 25 true pairs, perfect precision — vs t=0.3's 18,568 postings (71%) and 3,058 candidates into the same verify, a 122x reduction from the threshold alone. The persisted ordered-prefix relation was made threshold-independent (prefix_len computed at explode time) so both rows share one warm slot end-to-end; exactness unchanged (brute posting-join oracle at the same threshold + the t-parameterized hypothesis property test).",
@@ -439,6 +482,12 @@ HEADLINE = [
     "events_funnel",
     "emb_near_dup_pairs",
     "emb_knn_bruteforce",
+    # r16: the ranking family enters the headline — the r15 verdict
+    # ordered round-over-round regression coverage at driver grain for
+    # the global_row_number two-phase rebuild, and the near-unique-key
+    # consumer is its witness. Headline totals before/after r16 differ
+    # structurally by this row's ~2-3 s; compare per-query medians.
+    "lineitem_price_equidepth_bands",
 ]
 
 
@@ -616,25 +665,30 @@ def main() -> None:
     # directly instead of inferring it.
     raw_times: dict[str, list[float]] = {}
     pass_totals: list[float] = []
+    pass_run_counts: list[dict[str, int]] = []
     errors: dict[str, str] = {}
 
     def _headline_pass() -> None:
         total = 0.0
+        counts: dict[str, int] = {}
         for name in HEADLINE:
             try:
                 med, _mn, times = time_query(QUERIES[name], spark, sf_dir)
                 raw_times.setdefault(name, []).extend(times)
+                counts[name] = len(times)
                 total += med
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"bench query {name} failed: {exc}", file=sys.stderr)
         pass_totals.append(round(total, 3))
+        pass_run_counts.append(counts)
 
     _headline_pass()
 
     extra: dict[str, float] = {}
     extra_min: dict[str, float] = {}
-    for name in EXTRA:
+    extras_subset = extras_window()
+    for name in extras_subset:
         if name not in QUERIES:
             continue
         try:
@@ -651,6 +705,13 @@ def main() -> None:
         n: round(statistics.median(ts), 3) for n, ts in raw_times.items()
     }
     minima = {n: round(min(ts), 3) for n, ts in raw_times.items()}
+    # a query that failed in one pass but succeeded in the other has a
+    # median of fewer runs than timing.stat claims, and makes the two
+    # pass totals non-comparable — flag it explicitly (r15 ADVICE)
+    full_runs = TIMED_RUNS * 2
+    partial = sorted(
+        n for n, ts in raw_times.items() if len(ts) < full_runs
+    )
 
     # pipeline e2e: 3 passes, median reported (the r14 watch item was
     # a single 13.9 s read at the top of a 9.6-13.7 s same-day spread)
@@ -663,10 +724,16 @@ def main() -> None:
             print(f"pipeline_e2e failed: {exc}", file=sys.stderr)
     e2e_vals = [r["value"] for r in e2e_runs if "value" in r]
     if e2e_vals:
-        e2e = dict(e2e_runs[0])
+        # base the merged dict on the first SUCCESSFUL run: when run 0
+        # errored but later passes succeeded, dict(e2e_runs[0]) carried
+        # a stale 'err' alongside the median and lost the per-stage
+        # fields (r15 ADVICE)
+        e2e = dict(next(r for r in e2e_runs if "value" in r))
         e2e["value"] = round(statistics.median(e2e_vals), 3)
         e2e["runs"] = e2e_vals
         e2e["spread"] = round(max(e2e_vals) - min(e2e_vals), 3)
+        if len(e2e_vals) < len(e2e_runs):
+            e2e["failed_runs"] = len(e2e_runs) - len(e2e_vals)
     else:
         e2e = e2e_runs[0]
 
@@ -714,6 +781,8 @@ def main() -> None:
             "stat": "median-of-6",
         },
         "headline_pass_totals": pass_totals,
+        "headline_pass_run_counts": pass_run_counts,
+        "headline_partial_queries": partial,
         "pipeline_e2e": e2e,
         "errors": errors,
         "notes": NOTES
@@ -732,6 +801,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra_queries_total": round(sum(extra.values()), 3),
+        "extras_policy": {
+            "always": len(EXTRA_ALWAYS),
+            "rotate_n": min(
+                EXTRA_ROTATE_N, len(EXTRA) - len(EXTRA_ALWAYS)
+            ),
+            "timed": len(extra),
+            "of": len(EXTRA),
+        },
         "pipeline_e2e_sec": e2e.get("value"),
         "pipeline_e2e_runs": e2e.get("runs"),
         "headline_pass_totals": pass_totals,
@@ -740,6 +817,7 @@ def main() -> None:
             if len(pass_totals) >= 2
             else None
         ),
+        "headline_partial_queries": partial,
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
     }

@@ -1039,12 +1039,29 @@ def test_release_slots_for_path_nested_tuple_key(spark):
     assert one_slot_persist(df2, slot="n-keyed", key=abs_key) is warm
     assert release_slots("n-") == 1
 
+
+def test_release_slots_for_path_relative_and_cwd(spark):
+    """The r12/r13 ADVICE contracts on RELATIVE path keys, under their
+    own test name so a failure attributes to the right contract (they
+    were previously spliced into the nested-tuple test — r15 ADVICE):
+    a bare relative key releases via its absolute spelling, a
+    slash-free label never participates, and registration-time abspath
+    survives a CWD change before release."""
+    import os
+
+    from lakehouse_architecture_spark.operators.caching import (
+        _SLOTS,
+        one_slot_persist,
+        release_slots,
+        release_slots_for_path,
+    )
+
+    df1 = spark.createDataFrame([(1,)], "x long")
+
     # r12 ADVICE: a slot keyed with a BARE relative path (no ./ prefix)
     # must still be releasable by a writer rewriting under it — both
     # sides abspath-normalize at match time, so relative and absolute
     # spellings of the same dir compare equal.
-    import os
-
     bare = one_slot_persist(df1, slot="p-bare", key=("testdata/sfX", 8))
     assert (
         release_slots_for_path(
