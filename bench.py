@@ -181,6 +181,12 @@ EXTRA = [
     "docs_prefix_filter_jaccard_join_strict",
     "asof_join_forward_tolerance",
     "docs_script_census",
+    # r16: the leakage audit and the two-phase per-source sample are
+    # data-sized plans; lineitem_winsorized_price_stats doubles as the
+    # bench tracker for the restated quantile machinery
+    "docs_split_leakage_audit",
+    "docs_sample_topk_per_source",
+    "lineitem_winsorized_price_stats",
 ]
 
 # EXTRAS BUDGET POLICY (r16, verdict order #7): the extras block grows
@@ -202,9 +208,12 @@ EXTRA_ALWAYS = [
     "customers_fuzzy_pairs_d2_capped",
     "emb_semantic_dedup",
     "docs_source_shingle_overlap",
-    # newest-rounds block (r15)
+    # newest-rounds block (r15-r16)
     "asof_join_forward_tolerance",
     "docs_script_census",
+    "docs_split_leakage_audit",
+    "docs_sample_topk_per_source",
+    "lineitem_winsorized_price_stats",
 ]
 EXTRA_ROTATE_N = 30
 

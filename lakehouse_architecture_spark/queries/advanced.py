@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_architecture_spark.functions.numeric import dsum
+from lakehouse_architecture_spark.functions.numeric import dsum, dsum_expr
 from lakehouse_architecture_spark.operators.quantiles import (
     grouped_interpolated_quantiles,
 )
@@ -351,6 +351,80 @@ def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("approx_orders", "exact_orders", 0.05).alias("approx_orders_ok"),
         "exact_median",
         ok("approx_median", "exact_median", 0.01).alias("approx_median_ok"),
+    )
+
+
+WINSOR_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, q.p05, q.p95,
+       CAST(SUM(CASE WHEN l.l_extendedprice < q.p05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN l.l_extendedprice > q.p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high,
+       CAST(SUM(CAST(GREATEST(LEAST(l.l_extendedprice, q.p95), q.p05)
+                AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY l.l_returnflag, q.p05, q.p95
+"""
+
+
+@query("lineitem_winsorized_price_stats", oracle=WINSOR_ORACLE)
+def lineitem_winsorized_price_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized robust statistics: clip prices to their per-group
+    [p05, p95] band, then aggregate — the outlier-robust moment
+    estimator a quality/feature pipeline applies before fitting
+    anything on heavy-tailed measures. The band comes from the r16
+    scale-safe quantile machinery
+    (``operators.quantiles.grouped_interpolated_quantiles`` — every
+    window bounded by one (group, bucket)'s distinct values; no
+    per-group percentile buffer), rounded to 6 places BEFORE clipping
+    so both engines clip against the identical boundary double; the
+    clipped sum rides the decimal fixed-point doctrine
+    (``dsum_expr``); clip counts are pure integers.
+
+    Scale shape: one bounded-window quantile pass, the |groups|-row
+    band relation broadcast back, and one hash aggregation — the
+    corpus is scanned twice but never sorted, and nothing in the plan
+    holds per-group state proportional to distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = grouped_interpolated_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+    )
+    pick = lambda p: F.round(  # noqa: E731
+        F.max(F.when(F.col("q") == p, F.col("q_value"))), 6
+    )
+    bounds = q.groupBy("l_returnflag").agg(
+        pick(0.05).alias("p05"), pick(0.95).alias("p95")
+    )
+    price = F.col("l_extendedprice")
+    clipped = F.greatest(F.least(price, F.col("p95")), F.col("p05"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.sum(F.when(price < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(price > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            dsum_expr(clipped, 6).alias("winsorized_sum"),
+        )
+        .select(
+            "l_returnflag",
+            "p05",
+            "p95",
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_sum",
+        )
     )
 
 

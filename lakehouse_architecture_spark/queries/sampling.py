@@ -14,9 +14,10 @@ split filter prunes before anything downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.dedup import content_hash
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table
 
@@ -226,4 +227,132 @@ def docs_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("k"), F.asc("doc_id"))
         .limit(25)
         .select("doc_id", "weight")
+    )
+
+
+# DuckDB twin of operators.dedup.normalize_text (shared with text.py's
+# exact-dup family — the leakage audit must cluster on the SAME
+# canonical form the dedup ladder uses, or the two reports disagree).
+_SQL_NORM = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+LEAKAGE_ORACLE = f"""
+WITH per AS (
+  SELECT md5({_SQL_NORM}) AS h,
+         CASE WHEN {_sql_bucket('doc_id')} < 80 THEN 'train'
+              WHEN {_sql_bucket('doc_id')} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         COUNT(*) AS ns
+  FROM documents
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT h, SUM(ns) AS n, COUNT(*) AS n_splits,
+         SUM(ns * (ns - 1) // 2) AS within
+  FROM per GROUP BY h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_content_groups,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spanning_groups,
+       CAST(SUM(n * (n - 1) // 2 - within) AS BIGINT) AS leaky_pairs,
+       CAST(SUM(within) AS BIGINT) AS within_split_pairs
+FROM g
+"""
+
+
+@query("docs_split_leakage_audit", oracle=LEAKAGE_ORACLE)
+def docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit over exact-duplicate content: a
+    duplicated document whose copies land in DIFFERENT splits leaks
+    evaluation data into training — the failure mode dedup-unaware
+    hash splits silently create. Clusters come from the same
+    normalized content hash the dedup ladder uses
+    (``operators.dedup.content_hash``), splits from the same
+    never-moves md5 bucket as ``docs_hash_split_counts``, so this
+    report composes with both. Emits one summary row: content groups,
+    duplicated groups, groups spanning >1 split, and the cross-split
+    (leaky) vs within-split duplicate-pair counts — pure integers.
+
+    Scale shape: two hash-partitioned aggregations (group by
+    (hash, split), then by hash) and a 1-row combine; pair counts are
+    computed arithmetically per group (``C(n,2) - Σ C(n_s,2)``), never
+    by materializing pairs — linear at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    per = (
+        docs.select(
+            content_hash(F.col("text")).alias("h"), split.alias("split")
+        )
+        .groupBy("h", "split")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    g = per.groupBy("h").agg(
+        F.sum("ns").alias("n"),
+        F.count(F.lit(1)).alias("n_splits"),
+        F.sum(F.expr("ns * (ns - 1) DIV 2")).alias("within"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_content_groups"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spanning_groups"),
+        F.sum(F.expr("n * (n - 1) DIV 2 - within")).alias("leaky_pairs"),
+        F.sum("within").alias("within_split_pairs"),
+    )
+
+
+SAMPLE_TOPK_ORACLE = """
+SELECT source, rk, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= 5
+"""
+
+
+@query("docs_sample_topk_per_source", oracle=SAMPLE_TOPK_ORACLE)
+def docs_sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (k=5 per source): the rows with
+    the k smallest md5(doc_id) draws — a never-moves uniform sample,
+    reproducible across engines and re-runs like every split in this
+    module.
+
+    Scale shape: the naive plan (one ROW_NUMBER window partitioned by
+    source) funnels each source's ENTIRE row set through one sorter —
+    the low-cardinality trap, since sources number in the tens. This
+    runs the two-phase top-k instead: a first window over
+    (source, salt) keeps k rows per salt (64 salts), then the global
+    per-source window ranks the ≤ 64·k survivors — correct for any
+    salt assignment because the global top-k is contained in the union
+    of per-salt top-ks. The ORACLE is the naive single-window form, so
+    the gate proves the two-phase plan row-identical to it."""
+    k = 5
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(64))
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", h.alias("h"), salt.alias("salt")
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id")
     )

@@ -219,71 +219,71 @@ def test_driver_window_composition():
     # family-order filler) passed unnoticed without this
     assert len(listed) == 50, len(listed)
     assert window == set(listed)
-    # r15 new/touched surfaces must have a fresh driver row: the new
-    # production-regime prefix twin plus the five whose plans this
-    # round's changes touched (the gini BIGINT restatement riding the
-    # reworked global_row_number, its decile sibling, the BPE zero-row
-    # left join, the threshold-independent prefix slot refactor, and
-    # the weighted-pagerank weight guard)
-    touched_r15 = {
-        "docs_prefix_filter_jaccard_join_strict",  # new: first row
-        "lineitem_price_equidepth_bands",  # new: first row
-        "asof_join_forward_tolerance",  # new: first row
-        "docs_script_census",  # new: first row
-        "orders_customer_spend_gini",  # r14 red: BIGINT + rework
-        "docs_length_decile_profile",  # global_row_number rework
-        "docs_bpe_encode_stats",  # empty-doc zero rows (r14 ADVICE)
-        "docs_prefix_filter_jaccard_join",  # shared-slot refactor
-        "parts_coorder_weighted_pagerank",  # weight guard
-        "sql_recursive_cte_calendar",  # carried-hi recursion (19x)
+    # r16 new/touched surfaces must have a fresh driver row: the three
+    # new rows (split-leakage audit, two-phase per-source sample,
+    # winsorized robust stats) plus the three whose plans this round's
+    # changes touched (both exact-quantile anchors restated through the
+    # bucketed interpolated-quantile operator, and the weighted-
+    # pagerank guard extended to NaN weights)
+    touched_r16 = {
+        "docs_split_leakage_audit",  # new: first row
+        "docs_sample_topk_per_source",  # new: first row
+        "lineitem_winsorized_price_stats",  # new: first row
+        "approx_distinct_and_quantile",  # anchor restatement
+        "quantiles_exact",  # anchor restatement
+        "parts_coorder_weighted_pagerank",  # NaN weight guard
     }
-    assert touched_r15 <= window, sorted(touched_r15 - window)
-    # the rotation the r14 verdict ordered: ALL 38 remaining r10-stale
+    assert touched_r16 <= window, sorted(touched_r16 - window)
+    # the rotation the r15 verdict ordered: ALL 42 remaining r11-stale
     # rows get fresh driver rows this round — after this window no
-    # standing row is older than r11 (list computed from
-    # CORRECTNESS_r01..r14)
-    stale_r10 = {
-        "asof_join_purchase_click",
-        "customers_fuzzy_name_stats",
-        "docs_copied_span_profile",
-        "docs_curation_funnel",
-        "docs_ngram_jaccard_pairs",
-        "docs_shared_span_pairs",
-        "emb_knn_ivf",
-        "emb_semantic_dedup",
-        "events_chi2_type_dow",
-        "events_hll_intersection_qa",
-        "events_hll_sketch_rollup",
-        "events_kmv_daily_rollup",
-        "events_kmv_intersection_qa",
-        "events_stickiness_ratio",
-        "lineitem_key_skew_profile",
-        "not_exists_insert_guard",
-        "orders_bloom_prune_stats",
-        "parts_coorder_triangles",
-        "q13_customer_order_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q20_excess_shippers",
-        "q21_sole_late_supplier",
-        "q4_priority_late_ship",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "quantiles_exact",
-        "range_join_price_bands",
-        "simhash_near_pairs",
-        "sql_catalog_roundtrip",
-        "sql_insert_not_exists",
+    # standing row is older than r12 (list computed from
+    # CORRECTNESS_r01..r15)
+    stale_r11 = {
+        "agg_cube_flags",
+        "agg_grouping_sets",
+        "agg_rollup_status_priority",
+        "agg_stats_by_status",
+        "case_when_conditional_agg",
+        "correlated_min_per_group_join",
+        "dedup_latest_order_per_customer",
+        "distinct_segments",
+        "docs_bpe_merge_qa",
+        "docs_learned_filter_apply",
+        "docs_rare_token_ratio",
+        "emb_pq_quantization_qa",
+        "events_daily_new_vs_returning",
+        "events_signup_to_purchase_1h",
+        "events_trailing_24h_volume",
+        "events_value_quantile_rollup",
+        "join_cross_region_pairs",
+        "join_full_outer_nation_presence",
+        "join_inner_orders_customer",
+        "join_left_anti_inactive_customers",
+        "join_left_outer_order_counts",
+        "join_left_semi_active_customers",
+        "join_right_outer_part_lineitems",
+        "orders_incremental_rollup_state",
+        "pivot_status_by_priority",
+        "q22_dormant_customers",
+        "scalar_date_funcs",
+        "scalar_string_funcs",
+        "scalar_subquery_above_avg",
+        "setop_except_all_dup_aware",
+        "setop_except_no_order_customers",
+        "setop_intersect_keys",
+        "setop_union_all_parties",
+        "sql_bucketed_colocated_join",
+        "sql_probe_orders",
+        "sql_revenue_by_nation",
+        "topk_orders",
+        "window_lag_order_gaps",
+        "window_lead_ntile",
+        "window_moving_avg_frame",
+        "window_rank_orders",
+        "window_running_spend",
     }
-    assert len(stale_r10) == 38
-    assert stale_r10 <= window, sorted(stale_r10 - window)
+    assert len(stale_r11) == 42
+    assert stale_r11 <= window, sorted(stale_r11 - window)
 
 
 def test_readme_query_count_matches_registry():
