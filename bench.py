@@ -240,6 +240,7 @@ def extras_window(now: float | None = None) -> list[str]:
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r16/quadratic-oracle-midscale-receipt (verdict order #5): the only two registry rows never value-verified above sf0.01 — customers_entity_resolution and customers_fuzzy_pairs_d2, whose DUCKDB oracles are O(n^2) all-pairs scans and therefore skip the sf0.1 sweep (the Spark sides are fine and their production-regime twins ARE sf0.1-verified) — now carry a bounded-scale value receipt: both PASS a full value comparison at sf0.03 on a fresh-seed corpus (tools/gen_testdata.py 0.03 /tmp/sf003_2026 2026; ORACLE_CHECK_PLAIN=1 check_oracle, 2 pass / 0 fail), 3x the gate scale and within the band the r15 verdict asked to cover. No code change; evidence-only.",
     "r16/pq-drift-adjudication: CLOSED as host weather. The r12-r15 sweep drift of emb_pq_quantization_qa (9.0 -> 13.3 -> 11.8 -> 18.4 s, all single non-interleaved reads) got the interleaved A/B the doctrine requires: 6 alternating reps against a stable control (emb_near_dup_pairs) in one sf0.1 session read pq median 13.91 / min 9.86 s with the control flat at median 2.20 / min 1.75 s. The 9.86 s floor matches the r12-era 9.0 s baseline within single-run noise, the control shows no session-wide slowdown, and no code touched this path since the r11 HOF-fold fix — the 18.4 s sweep reading was contention on a non-interleaved read. The row's inherent ~10 s is the documented train+encode+ADC work; no regressing stage exists to fix.",
     "r16/quantile-anchor-restatement: approx_distinct_and_quantile (27.2 s, the slowest r15 sweep row and the one standing plan contradicting the 100x doctrine) and quantiles_exact no longer go through F.percentile's per-group value->count aggregation buffer (memory bounded by distinct prices per group — the executor-OOM shape the r7 bucketed rewrite removed from lineitem_price_percentiles_by_flag). Both now ride operators/quantiles.grouped_interpolated_quantiles: the same counts->coarse-bucket->running-count machinery as grouped_exact_percentiles, extended to the quantile_cont/F.percentile linear-interpolation convention by picking each target rank's two bracketing members off the rank-interval relation and interpolating in a |groups|x|qs|-row aggregate. Every window partitions by (group, bucket); no aggregation buffer grows with data. Compared surfaces unchanged, both rows oracle-green at sf0.01, plan assertion pins 'no percentile( in either optimized plan', value-identity unit test vs F.percentile covers ties/odd/even/single-row/null-value/null-group. Measured at sf0.1: 27.2 -> 2.5-3.5 s warm (11.6 cold), ~8x, removing the sweep's worst row.",
     "r16/extras-budget-policy (verdict order #7): the extras block (78 rows, 95.3 s at r15) grows linearly with the registry and had come to dominate bench wall. bench.py now times EXTRA_ALWAYS (8 standing regime/adjudication rows + the newest rounds' additions) every run plus a rotating contiguous 30-row window over the rest, keyed on a 6-hour wall-clock slot so consecutive driver rounds cover different thirds; every row is re-timed every ~3 benches. Per-query medians remain comparable round-over-round; the extras TOTAL is only comparable between runs timing the same subset, so the payload now carries extras_policy {always, rotate_n, timed, of}. EXTRA itself stays append-only. Also r16: lineitem_price_equidepth_bands moved from extras to HEADLINE (verdict order #4 — the global_row_number near-unique-key witness gets driver-grain regression coverage), so headline totals from r16 on carry one structural +~2-3 s vs r15; compare per-query medians across that boundary.",
