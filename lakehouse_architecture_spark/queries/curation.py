@@ -772,37 +772,29 @@ def docs_length_decile_profile(
 
     The global rank deliberately does NOT use
     ``ROW_NUMBER() OVER (ORDER BY ...)`` on the Spark side — an
-    unpartitioned window exchanges the whole corpus into ONE task. It
-    uses operators/ranking.global_row_number (within-value rank
-    partitioned by n_chars + cumulative offsets over the distinct-value
-    relation), which keeps every corpus-sized step parallel; the
-    DuckDB oracle states the same total order with the plain window.
-    The decile is integer arithmetic over (rank, N) — exact
-    cross-engine; this is index-decile binning (floor((rk-1)*10/N)+1),
-    deliberately NOT NTILE (whose remainder distribution differs)."""
+    unpartitioned window exchanges the whole corpus into ONE task.
+    r16: it does not rank rows at all — decile membership, count and
+    the char envelope are constant within an n_chars tie group (whose
+    ranks are contiguous), so the profile is closed-form integer
+    arithmetic on the (n_chars, count, offset) relation
+    (operators/ranking.equidepth_band_stats, guide §2.3/§2.4: the
+    full-row window sort and the rank join-back are gone). The DuckDB
+    oracle states the same total order with the plain window; this is
+    index-decile binning (floor((rk-1)*10/N)+1), deliberately NOT
+    NTILE (whose remainder distribution differs)."""
     from lakehouse_architecture_spark.operators.ranking import (
-        global_row_number,
+        equidepth_band_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars"
-    )
-    ranked = global_row_number(docs, ["n_chars"], ["doc_id"], out_col="rk")
-    tot = docs.agg(F.count(F.lit(1)).alias("_n"))
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        equidepth_band_stats(docs, "n_chars", 10)
         .select(
-            F.expr("CAST((rk - 1) * 10 DIV _n + 1 AS INT)").alias(
-                "decile"
-            ),
-            "n_chars",
-        )
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.sum("n_chars").alias("sum_chars"),
+            F.col("band").cast("int").alias("decile"),
+            F.col("n_rows").alias("n_docs"),
+            F.col("min_v").alias("min_chars"),
+            F.col("max_v").alias("max_chars"),
+            F.col("sum_v").alias("sum_chars"),
         )
         .orderBy("decile")
     )

@@ -2825,11 +2825,18 @@ def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinants are the contract; a 1-ulp libm or division difference
     can never fail the row).
 
-    The global rank uses operators/ranking.global_row_number, not an
-    unpartitioned window — per-customer totals at 100 TB are still a
-    billion-row relation, and this is exactly the shape (exact global
-    rank over a huge relation) the operator exists for; the oracle
-    states the same total order with DuckDB's plain window.
+    The global rank is stated by the oracle with DuckDB's plain
+    window; the Spark side (r16 rewrite, guide §2.3) needs NO per-row
+    rank at all: ties on cents occupy contiguous ranks
+    ``o+1 .. o+c``, so ``SUM(rk*cents)`` restricted to one tie group
+    is ``cents * (c*o + c*(c+1)/2)`` — closed-form on the
+    (cents, count, offset) relation from
+    operators/ranking.grouped_global_offsets (the same two-phase range
+    offsets ``global_row_number`` uses, minus the per-row join-back;
+    per-customer totals at 100 TB are still a billion-row relation, so
+    the distinct-value machinery stays fully partitioned). Which
+    customer gets which rank inside a tie group cannot move the sum,
+    because cents is constant there.
 
     r15 type-surface adjudication: the r14 driver row went RED on the
     value hash while rows+schema matched and every local harness —
@@ -2850,7 +2857,7 @@ def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-equality of the two surfaces), so the wide-type path remains
     tested without riding the driver's hash."""
     from lakehouse_architecture_spark.operators.ranking import (
-        global_row_number,
+        grouped_global_offsets,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2859,13 +2866,23 @@ def orders_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    ranked = global_row_number(
-        spend, ["cents"], ["o_custkey"], out_col="rk"
+    grouped, _total = grouped_global_offsets(
+        spend.select("cents"), ["cents"]
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("cents").alias("total_cents"),
-        F.sum(F.col("rk") * F.col("cents")).alias("rank_weighted_cents"),
+    # SUM over the group's contiguous ranks o+1..o+c of rk*cents =
+    # cents * (c*o + c*(c+1)/2); c*(c+1) is always even, so DIV 2 is
+    # exact. All-long arithmetic — identical values (and the identical
+    # BIGINT surface) to summing rk*cents per row.
+    return grouped.agg(
+        F.sum("_grp_n").alias("n_customers"),
+        F.sum(F.col("cents") * F.col("_grp_n")).alias("total_cents"),
+        F.sum(
+            F.col("cents")
+            * (
+                F.col("_grp_n") * F.col("_grp_off")
+                + F.expr("(_grp_n * (_grp_n + 1)) DIV 2")
+            )
+        ).alias("rank_weighted_cents"),
     )
 
 
@@ -2912,35 +2929,33 @@ def lineitem_price_equidepth_bands(
     (l_orderkey, l_linenumber) is the lineitem PK, so the rank is a
     deterministic total order; every emitted value is an exact BIGINT.
 
-    Scale shape: within-value rank parallelizes across distinct cents;
-    offsets are range-partitioned with one bounded (pid, total)
-    collect; the band rollup is a 20-row aggregate. The oracle states
-    the identical order with DuckDB's plain window."""
+    Scale shape (r16 rewrite, guide §2.3/§2.4): band membership, count,
+    min, max and sum are all constant within a cents tie-group, and tie
+    groups occupy contiguous ranks — so the whole profile is
+    closed-form integer arithmetic on the (cents, count, offset)
+    distinct-value relation (operators/ranking.equidepth_band_stats).
+    The per-row formulation's full-row window sort and rank join-back
+    are gone: lineitem is scanned ONCE, partial-aggregated at the scan,
+    and only the distinct-cents relation crosses the exchanges. The
+    tie-break (l_orderkey, l_linenumber) is the lineitem PK, so the
+    per-row rank the oracle states is a deterministic total order, and
+    it assigns bit-identical bands (which tied row gets which rank
+    inside a group cannot move any band statistic)."""
     from lakehouse_architecture_spark.operators.ranking import (
-        global_row_number,
+        equidepth_band_stats,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    ranked = global_row_number(
-        li, ["cents"], ["l_orderkey", "l_linenumber"], out_col="rk"
-    )
-    n_total = li.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(n_total))
+        equidepth_band_stats(li, "cents", 20)
         .select(
-            F.expr("((rk - 1) * 20) DIV _n + 1").alias("band"),
-            "cents",
-        )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("cents").alias("min_cents"),
-            F.max("cents").alias("max_cents"),
-            F.sum("cents").alias("sum_cents"),
+            "band",
+            "n_rows",
+            F.col("min_v").alias("min_cents"),
+            F.col("max_v").alias("max_cents"),
+            F.col("sum_v").alias("sum_cents"),
         )
         .orderBy("band")
     )
