@@ -25,7 +25,17 @@ def dedupe_by_key(
 ) -> DataFrame:
     """Deterministic PK dedup: keep the first row per key under
     ``order_by`` (defaults to all non-key columns ascending, which makes
-    re-runs and SQL oracles agree, unlike ``dropDuplicates``)."""
+    re-runs and SQL oracles agree, unlike ``dropDuplicates``).
+
+    r16 measured-and-rejected: a ``min_by(struct(all), (is-null,
+    value)-pairs)`` hash aggregate (guide §2.3 "aggregate before you
+    shuffle", exact for the default ordering because ties there are
+    whole-row duplicates) was A/B'd interleaved at sf0.1 on the 457k-row
+    order_items batch: window 0.895 s median vs min_by 1.153 s — the
+    per-row assembly of the wide value struct plus the 2-per-column
+    ordering struct costs more than the per-partition sort it removes.
+    The window also partial-sorts only, never spills at this width, and
+    keeps the plan identical for callers that pass explicit orderings."""
     if order_by is None:
         order_by = [F.col(c).asc_nulls_last() for c in df.columns if c not in keys]
         if not order_by:

@@ -166,11 +166,25 @@ def validate(
     fk_rules = fk_rules or []
 
     out = df
-    acc = F.array().cast("array<string>")
-    for rule in rules:
-        acc = F.when(
-            rule.condition(df), F.array_append(acc, F.lit(rule.message))
-        ).otherwise(acc)
+    # One flat expression, not a nested when/otherwise accumulator: the
+    # fold-style ``when(cond, append(acc,msg)).otherwise(acc)`` chain
+    # embeds the whole prior accumulator TWICE per rule — a 2^k
+    # expression tree for k rules (r16, guide §1.2 per-task work;
+    # measured on the 6-rule order_items batch as most of the
+    # validation stage's cost). ``array(when(c_i, msg_i)...)`` emits
+    # null for satisfied rules and ``array_compact`` drops them, which
+    # is exactly "append messages in rule order".
+    if rules:
+        acc = F.array_compact(
+            F.array(
+                *[
+                    F.when(rule.condition(df), F.lit(rule.message))
+                    for rule in rules
+                ]
+            )
+        )
+    else:
+        acc = F.array().cast("array<string>")
 
     # FK rules need joins: one left-outer join per FK against the distinct
     # key set, then the marker feeds the same accumulator.

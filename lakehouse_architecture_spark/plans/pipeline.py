@@ -120,9 +120,7 @@ def run_pipeline(
     results: dict[str, DatasetResult] = {}
     reference: dict[str, DataFrame] = {}
 
-    for name in ("products", "orders", "order_items"):
-        if name not in raw_paths:
-            continue
+    def run_table(name: str) -> DatasetResult:
         schema = SCHEMAS[name]
         raw = read_csv_typed(spark, raw_paths[name], schema)
         raw, _corrupt = split_corrupt(raw)
@@ -180,6 +178,33 @@ def run_pipeline(
         reference[name] = one_slot_persist(
             curated, slot=f"pipeline-ref-{name}"
         )
-        results[name] = res
+        return res
+
+    # products and orders have no dependency on each other — only
+    # order_items FK-joins both curated references — so their whole
+    # read->validate->dedup->write chains run as two CONCURRENT driver
+    # threads (guide §2.6 "overlap independent jobs": Spark schedules
+    # jobs from several threads at once, so one table's straggler/
+    # commit tail back-fills with the other's tasks; writes target
+    # disjoint directories and the slot registry is lock-guarded).
+    # order_items then runs alone, with both references warm.
+    dims = [n for n in ("products", "orders") if n in raw_paths]
+    if len(dims) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+            futures = {
+                n: pool.submit(inheritable_thread_target(spark)(run_table), n)
+                for n in dims
+            }
+            for n in dims:
+                results[n] = futures[n].result()
+    else:
+        for n in dims:
+            results[n] = run_table(n)
+    if "order_items" in raw_paths:
+        results["order_items"] = run_table("order_items")
 
     return results
