@@ -63,6 +63,24 @@ def _dists_expr(sub: Column, codebook: list[list[float]]) -> Column:
     )
 
 
+def _best_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """``struct(d, i)`` of the nearest centroid: distance + code in one
+    expression with the literal-heavy distance array referenced ONCE.
+    ``array_position(darr, array_min(darr))`` embeds ``darr`` (k
+    centroids of inlined literals) twice per block, doubling the
+    already planning-bound expression tree (r16: this query's wall is
+    ~100% analysis/codegen at any local SF — sf0.001 == sf0.1 timing).
+    Struct ordering compares ``d`` then ``i``, so ties break to the
+    LOWEST code id — exactly ``array_position``'s first-match rule."""
+    darr = _dists_expr(sub, codebook)
+    idx = F.sequence(F.lit(0), F.lit(len(codebook) - 1))
+    return F.array_min(
+        F.zip_with(
+            darr, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+        )
+    )
+
+
 def pq_train(
     emb: DataFrame,
     vec_col: str,
@@ -70,52 +88,69 @@ def pq_train(
     n_sub: int = 8,
     k: int = 16,
     iters: int = 2,
+    seed_codebooks: list[list[list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-block L2 codebooks, ``codebooks[j][c][t]``. Seeds are the k
-    md5-first rows' subvectors; each Lloyd iteration is one
-    assign-and-average aggregate per block (blocks are independent —
-    at scale they train concurrently). Empty clusters keep their
-    previous centroid, so k never shrinks."""
-    dim = len(emb.select(vec_col).first()[0])
-    if dim % n_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    sub_dim = dim // n_sub
-    h = F.md5(F.col(id_col).cast("string"))
-    seed_rows = (
-        emb.select(F.col(vec_col).alias("v"), h.alias("h"))
-        .orderBy("h", "v")
-        .limit(k)
-        .collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"need >= {k} vectors to seed {k} codes")
-    codebooks = [
-        [
-            [float(x) for x in r["v"][j * sub_dim : (j + 1) * sub_dim]]
-            for r in seed_rows
+    md5-first rows' subvectors (or ``seed_codebooks`` when the caller
+    already holds them — skips the md5 top-k scan); each Lloyd
+    iteration is ONE assign-and-average aggregate covering every block
+    (r16, guide §2.4: blocks are independent, so the per-block argmin
+    projections stack into a single scan and the per-(block, code,
+    position) means come back from one groupBy — iters x n_sub scan
+    jobs collapse to iters). Empty clusters keep their previous
+    centroid, so k never shrinks."""
+    if seed_codebooks is not None:
+        codebooks = [[list(c) for c in cb] for cb in seed_codebooks]
+        sub_dim = len(codebooks[0][0])
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        if dim % n_sub != 0:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        sub_dim = dim // n_sub
+        h = F.md5(F.col(id_col).cast("string"))
+        seed_rows = (
+            emb.select(F.col(vec_col).alias("v"), h.alias("h"))
+            .orderBy("h", "v")
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"need >= {k} vectors to seed {k} codes")
+        codebooks = [
+            [
+                [float(x) for x in r["v"][j * sub_dim : (j + 1) * sub_dim]]
+                for r in seed_rows
+            ]
+            for j in range(n_sub)
         ]
-        for j in range(n_sub)
-    ]
     for _ in range(iters):
+        code_cols = []
         for j in range(n_sub):
-            sub = emb.select(_block(vec_col, j, sub_dim).alias("s"))
-            darr = _dists_expr(F.col("s"), codebooks[j])
-            assigned = sub.select(
-                "s",
-                (F.array_position(darr, F.array_min(darr)) - 1).alias(
-                    "code"
-                ),
+            best = _best_code(_block(vec_col, j, sub_dim), codebooks[j])
+            code_cols.append(best["i"].cast("int"))
+        assigned = emb.select(
+            F.array(*code_cols).alias("codes"), F.col(vec_col).alias("v")
+        )
+        pos = F.col("pos")
+        block = (pos / sub_dim).cast("int")
+        means = (
+            assigned.select("codes", F.posexplode("v").alias("pos", "x"))
+            .select(
+                block.alias("block"),
+                F.element_at("codes", block + 1).alias("code"),
+                (pos % sub_dim).alias("sub_pos"),
+                F.col("x").cast("double").alias("x"),
             )
-            means = (
-                assigned.select("code", F.posexplode("s").alias("pos", "x"))
-                .groupBy("code", "pos")
-                .agg(F.avg(F.col("x").cast("double")).alias("m"))
-                .collect()
+            .groupBy("block", "code", "sub_pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: n_sub * k * sub_dim rows (= dim * k)
+        )
+        new_cbs = [[list(c) for c in cb] for cb in codebooks]
+        for r in means:
+            new_cbs[int(r["block"])][int(r["code"])][int(r["sub_pos"])] = (
+                float(r["m"])
             )
-            new_cb = [list(c) for c in codebooks[j]]
-            for r in means:
-                new_cb[int(r["code"])][int(r["pos"])] = float(r["m"])
-            codebooks[j] = new_cb
+        codebooks = new_cbs
     return codebooks
 
 
@@ -130,17 +165,31 @@ def pq_encode(
     corpus size."""
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    codes, errs = [], []
-    for j in range(n_sub):
-        darr = _dists_expr(_block(vec_col, j, sub_dim), codebooks[j])
-        codes.append(F.array_position(darr, F.array_min(darr)) - 1)
-        errs.append(F.array_min(darr))
-    total_err = errs[0]
-    for e in errs[1:]:
-        total_err = total_err + e
-    return emb.withColumn(
-        "pq_codes", F.array(*[c.cast("int") for c in codes])
-    ).withColumn("pq_sq_err", total_err)
+    # Two-stage projection: materialize each block's (d, i) struct once,
+    # then extract both fields — a single select would re-embed the
+    # literal-heavy struct expression per extraction (see _best_code).
+    bests = emb.select(
+        "*",
+        *[
+            _best_code(_block(vec_col, j, sub_dim), codebooks[j]).alias(
+                f"_pq_best_{j}"
+            )
+            for j in range(n_sub)
+        ],
+    )
+    total_err = F.col("_pq_best_0")["d"]
+    for j in range(1, n_sub):
+        total_err = total_err + F.col(f"_pq_best_{j}")["d"]
+    return bests.select(
+        *emb.columns,
+        F.array(
+            *[
+                F.col(f"_pq_best_{j}")["i"].cast("int")
+                for j in range(n_sub)
+            ]
+        ).alias("pq_codes"),
+        total_err.alias("pq_sq_err"),
+    )
 
 
 def pq_adc_expr(

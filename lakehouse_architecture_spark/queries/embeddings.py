@@ -990,23 +990,28 @@ def emb_pq_quantization_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_spark.operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r16 (guide §2.4/§1.2): seeds train once and feed the refined fit
+    # (skips a duplicate md5 top-k scan), and the seed-vs-trained
+    # reconstruction errors are two projections over the SAME rows, so
+    # one fused scan aggregates both (was two separate encode jobs).
     seeds_only = pq_train(emb, "embedding", "vec_id", iters=0)
-    trained = pq_train(emb, "embedding", "vec_id", iters=2)
-    err0 = (
-        pq_encode(emb, "embedding", seeds_only)
-        .agg(F.sum("pq_sq_err").alias("e"))
-        .first()
-        .e
+    trained = pq_train(
+        emb, "embedding", "vec_id", iters=2, seed_codebooks=seeds_only
+    )
+    enc = pq_encode(emb, "embedding", seeds_only).select(
+        "embedding", F.col("pq_sq_err").alias("seed_sq_err")
     )
     s = (
-        pq_encode(emb, "embedding", trained)
+        pq_encode(enc, "embedding", trained)
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum("seed_sq_err").alias("e0"),
             F.sum("pq_sq_err").alias("e"),
             F.max(F.size("embedding")).alias("dim"),
         )
         .first()
     )
+    err0 = s.e0
     var_sum = (
         emb.select(F.posexplode("embedding").alias("pos", "x"))
         .groupBy("pos")
