@@ -897,18 +897,44 @@ def prefix_filter_jaccard_pairs(
     prefix_len = F.expr(
         f"n - (({t_num} * n + {t_den - 1}) DIV {t_den}) + 1"
     )
+    # posexplode keeps each prefix token's 1-based position in ``og`` for
+    # the POSITIONAL filter below (PPJoin, Xiao et al.).
     pref = ov.select(
         "doc",
         "n",
-        F.explode(F.slice(F.col("og"), F.lit(1), prefix_len)).alias(
-            "shingle"
+        F.posexplode(F.slice(F.col("og"), F.lit(1), prefix_len)).alias(
+            "p", "shingle"
         ),
     )
     a = pref.select(
-        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+        F.col("doc").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        (F.col("p") + 1).alias("pa"),
+        "shingle",
     )
     b = pref.select(
-        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+        F.col("doc").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        (F.col("p") + 1).alias("pb"),
+        "shingle",
+    )
+    # Positional filter (r16, guide §2.3 "prune before the expensive
+    # step"): the former ``.distinct()`` becomes a same-shuffle groupBy
+    # carrying c (matched prefix tokens), the max matched positions and
+    # the set sizes. Both ``og`` arrays share ONE global token order, so
+    # for common tokens positions rise together; every common token NOT
+    # matched in both prefixes is globally after every matched one,
+    # hence occupies a position > mpa in A AND > mpb in B. Therefore
+    # inter <= c + min(n_a - mpa, n_b - mpb), while J >= t forces
+    # inter >= t_num*(n_a+n_b) / (t_num+t_den); for integer ubound the
+    # ceil folds away: keep iff (t_num+t_den)*ubound >= t_num*(n_a+n_b)
+    # — all-integer, no float boundary. Pairs failing the bound are
+    # provably below threshold and skip verification entirely (measured
+    # sf0.1, t=3/10: 596,550 -> 310,170 candidates, -48%, final rows
+    # identical; completeness re-proven by the brute-force property
+    # tests at t=0.3/0.5/0.8).
+    ubound = F.col("c") + F.least(
+        F.col("n_a") - F.col("mpa"), F.col("n_b") - F.col("mpb")
     )
     cands = (
         a.join(b, "shingle")
@@ -919,8 +945,19 @@ def prefix_filter_jaccard_pairs(
                 >= t_num * F.greatest("n_a", "n_b")
             )
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa").alias("mpa"),
+            F.max("pb").alias("mpb"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(
+            (t_num + t_den) * ubound
+            >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(
         "shuffle_hash"
