@@ -181,32 +181,80 @@ def fuzzy_pairs_d2(
     id_col: str,
     max_bucket: int | None = None,
     variants: DataFrame | None = None,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Verified pairs (id_a, id_b, dist) with Levenshtein distance
     <= 2, id_a < id_b — COMPLETE for d<=2 by the deletion-neighborhood
     theorem (two substitutions need del2 x del2: both sides delete both
     differing positions). Names are NOT carried through the distinct:
-    the verify happens inside the streamed join (both sides carry name
-    for the levenshtein), collision pairs die in the codegen stage,
-    and the (id_a, id_b, dist) distinct holds ids only — callers join
-    names back from the dimension if they need them. ``max_bucket``
+    the verify happens inside the streamed pair generation (both sides
+    carry name for the levenshtein), collision pairs die in the codegen
+    stage, and the (id_a, id_b, dist) distinct holds ids only — callers
+    join names back from the dimension if they need them. ``max_bucket``
     trades bounded recall for bounded buckets, as in the d1 tier.
     ``variants`` lets a caller that already built (and persisted) the
     deletion-<=2 relation — e.g. to report bucket statistics alongside
-    the pairs — pass it in instead of paying the explode twice."""
+    the pairs — pass it in instead of paying the explode twice;
+    ``bucket_counts`` likewise shares a precomputed (var, n) relation
+    (callers that report key statistics already have one).
+
+    Join shape is regime-dispatched (r16, guide §2.4):
+
+    - **capped** (``max_bucket`` set): buckets are <= max_bucket rows
+      by construction AFTER the keep-filter, so pairs come from ONE
+      groupBy on the variant key + the chained posexplode /
+      explode(slice) generators (the minhash candidate_pairs pattern —
+      peak memory O(bucket), never the O(bucket²) array). That is one
+      shuffle of the variant relation and half the pair stream (i<j
+      generated, not filtered), where the self-join paid two sorted
+      shuffle writes and streamed the full Σ|bucket|² cross product.
+      Interleaved A/B on the capped customers row at sf0.1: 8.1 → ~4 s
+      warm. The keep-filter runs BEFORE collect_list, so a pathological
+      key never materializes a giant bucket list.
+    - **uncapped**: the pinned sort-merge self-join (unbounded buckets
+      must stream; an AQE broadcast of the multi-million-row variant
+      relation OOMed at sf0.1, and collect_list on an uncapped bucket
+      would re-create exactly that OOM)."""
     v = (
         variants
         if variants is not None
         else deletion_variants_d2(df, text_col, id_col)
     )
     if max_bucket is not None:
-        keep = (
-            v.groupBy("var")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("var")
+        kc = (
+            bucket_counts
+            if bucket_counts is not None
+            else v.groupBy("var").agg(F.count(F.lit(1)).alias("n"))
         )
-        v = v.join(keep, "var")
+        keep = kc.filter(F.col("n") <= max_bucket).select("var")
+        vk = v.join(keep, "var")
+        buckets = (
+            vk.groupBy("var")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("id", "name"))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") >= 2)
+        )
+        lefts = buckets.select("ms", F.posexplode("ms").alias("i", "ma"))
+        pairs = lefts.select(
+            F.col("ma.id").alias("id_a"),
+            F.col("ma.name").alias("name_a"),
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("mb"),
+        )
+        return (
+            pairs.select(
+                "id_a",
+                F.col("mb.id").alias("id_b"),
+                F.levenshtein("name_a", F.col("mb.name")).alias("dist"),
+            )
+            .filter(F.col("dist") <= 2)
+            .distinct()
+            .select("id_a", "id_b", "dist")
+        )
     a = v.select(
         "var", F.col("id").alias("id_a"), F.col("name").alias("name_a")
     )

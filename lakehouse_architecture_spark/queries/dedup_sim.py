@@ -1364,7 +1364,14 @@ def customers_fuzzy_pairs_d2_capped(
         slot="dedup-sim-fuzzy-d2-variants",
         key=(sf_dir,),
     )
-    kc = v.groupBy("var").agg(F.count(F.lit(1)).alias("n"))
+    # r16: the (var, n) bucket counts feed BOTH the key statistics and
+    # the operator's keep-filter — persisted once instead of two full
+    # groupBy shuffles over the variant relation (guide §2.4).
+    kc = one_slot_persist(
+        v.groupBy("var").agg(F.count(F.lit(1)).alias("n")),
+        slot="dedup-sim-fuzzy-d2-bucket-counts",
+        key=(sf_dir,),
+    )
     stats = kc.agg(
         F.count(F.lit(1)).alias("n_keys_total"),
         F.sum(F.when(F.col("n") > B, 1).otherwise(0))
@@ -1372,7 +1379,12 @@ def customers_fuzzy_pairs_d2_capped(
         .alias("n_keys_dropped"),
     ).crossJoin(v.agg(F.count(F.lit(1)).alias("n_variants")))
     pairs = fuzzy_pairs_d2(
-        cust, "c_name", "c_custkey", max_bucket=B, variants=v
+        cust,
+        "c_name",
+        "c_custkey",
+        max_bucket=B,
+        variants=v,
+        bucket_counts=kc,
     )
     return (
         pairs.groupBy("dist")
