@@ -31,20 +31,33 @@ def _grouped_value_cum(
     gcols: list,
     value_col: str,
     n_buckets: int,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(gcols..., value_col, cnt, n, cum): per-group per-distinct-value
     frequency counts with the running cumulative count ``cum`` — each
     value's sorted-rank interval is ``(cum - cnt, cum]`` — built so that
     no window input exceeds one (group, bucket)'s distinct values. The
-    shared core of the exact-percentile operators below."""
+    shared core of the exact-percentile operators below.
+
+    ``counts`` lets a caller that already built (and persisted) the
+    (gcols..., value_col, cnt) frequency relation pass it in — the
+    relation is consumed by several branches of this DAG (bounds, the
+    bucket join), and a caller aggregating OTHER statistics over the
+    same frequencies can share one persisted copy instead of
+    re-expanding the groupBy subtree per consumer (r16, guide §2.4).
+    Null measurement rows in a provided ``counts`` are filtered here,
+    so callers may pass the unfiltered frequency relation."""
     # null measurements have no place in an order statistic (and the
     # engines disagree on where ORDER BY puts them); a null GROUP key
     # is a legitimate group — joins below are null-safe for it
-    counts = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gcols, value_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if counts is None:
+        counts = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*gcols, value_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    else:
+        counts = counts.filter(F.col(value_col).isNotNull())
     bounds = counts.groupBy(*gcols).agg(
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
@@ -125,6 +138,7 @@ def grouped_exact_percentiles(
     value_col: str,
     percentiles: Sequence[int],
     n_buckets: int = 1000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(group_cols..., pct, n_rows, pct_value): the exact discrete
     percentile member of ``value_col`` per group, for each integer
@@ -148,7 +162,7 @@ def grouped_exact_percentiles(
     if not all(1 <= p <= 100 for p in percentiles):
         raise ValueError(f"percentiles must be in [1, 100]: {percentiles}")
     gcols = list(group_cols)
-    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets)
+    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets, counts=counts)
     pcts = df.sparkSession.createDataFrame(
         [(int(p),) for p in sorted(set(percentiles))], "pct int"
     )
@@ -171,6 +185,7 @@ def grouped_interpolated_quantiles(
     value_col: str,
     quantiles: Sequence[float],
     n_buckets: int = 1000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(group_cols..., q, n_rows, q_value): the linearly INTERPOLATED
     quantile per group — the ``quantile_cont`` / ``F.percentile``
@@ -193,7 +208,7 @@ def grouped_interpolated_quantiles(
     if not all(0.0 <= q <= 1.0 for q in quantiles):
         raise ValueError(f"quantiles must be in [0, 1]: {quantiles}")
     gcols = list(group_cols)
-    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets)
+    ranked = _grouped_value_cum(df, gcols, value_col, n_buckets, counts=counts)
     qs = df.sparkSession.createDataFrame(
         [(float(q),) for q in sorted(set(quantiles))], "q double"
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.numeric import dsum, dsum_expr
+from lakehouse_architecture_spark.operators.caching import one_slot_persist
 from lakehouse_architecture_spark.operators.quantiles import (
     grouped_interpolated_quantiles,
 )
@@ -389,13 +390,30 @@ def lineitem_winsorized_price_stats(
     clipped sum rides the decimal fixed-point doctrine
     (``dsum_expr``); clip counts are pure integers.
 
-    Scale shape: one bounded-window quantile pass, the |groups|-row
-    band relation broadcast back, and one hash aggregation — the
-    corpus is scanned twice but never sorted, and nothing in the plan
-    holds per-group state proportional to distinct values."""
+    Scale shape (r16): ONE scan builds the (flag, price, cnt) frequency
+    relation, persisted for the duration of the query; the quantile
+    machinery consumes it (``counts=`` passthrough — without it the
+    groupBy subtree re-expanded under every DAG branch: 10 parquet
+    scans / 13 Exchanges in the before-plan) and the final winsorized
+    aggregate runs over the SAME relation with cnt weights. Weighted
+    equivalence is exact: clip(v) is identical for equal v, the
+    decimal(18,6) cast is exact, and decimal × integer count is exact,
+    so Σ_rows decimal(clip(v)) == Σ_values cnt·decimal(clip(v)) —
+    bit-identical to the row-wise ``dsum_expr`` (l_extendedprice is
+    NOT NULL by schema; a null measurement group would be excluded by
+    the order statistic on both engines). Nothing in the plan holds
+    per-group state proportional to distinct values."""
     li = load_table(spark, sf_dir, "lineitem")
+    counts = one_slot_persist(
+        li.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        slot="winsor-price-counts",
+        key=(sf_dir,),
+    )
     q = grouped_interpolated_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95],
+        counts=counts,
     )
     pick = lambda p: F.round(  # noqa: E731
         F.max(F.when(F.col("q") == p, F.col("q_value"))), 6
@@ -406,16 +424,18 @@ def lineitem_winsorized_price_stats(
     price = F.col("l_extendedprice")
     clipped = F.greatest(F.least(price, F.col("p95")), F.col("p05"))
     return (
-        li.join(F.broadcast(bounds), "l_returnflag")
+        counts.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag", "p05", "p95")
         .agg(
-            F.sum(F.when(price < F.col("p05"), 1).otherwise(0))
+            F.sum(F.when(price < F.col("p05"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_clipped_low"),
-            F.sum(F.when(price > F.col("p95"), 1).otherwise(0))
+            F.sum(F.when(price > F.col("p95"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_clipped_high"),
-            dsum_expr(clipped, 6).alias("winsorized_sum"),
+            F.sum(clipped.cast("decimal(18,6)") * F.col("cnt"))
+            .cast("double")
+            .alias("winsorized_sum"),
         )
         .select(
             "l_returnflag",
