@@ -1930,12 +1930,16 @@ def docs_incremental_copied_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     never re-shingled per batch. All-integer compared surface.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r16: both sides derive from the span family's SHARED persisted
+    # posting relation (word_spans is row-wise, so filtering the
+    # persisted full relation is exactly filtering the input first) —
+    # one warm tokenize/explode pass instead of two per run, shared
+    # with the other span queries' slot (guide §2.4).
+    spans = _persist_spans(_word_spans(docs, 8), sf_dir, 8)
     corpus_spans = (
-        _word_spans(docs.filter(F.col("doc_id") < 400), 8)
-        .select("span")
-        .distinct()
+        spans.filter(F.col("doc_id") < 400).select("span").distinct()
     )
-    batch_spans = _word_spans(docs.filter(F.col("doc_id") >= 400), 8)
+    batch_spans = spans.filter(F.col("doc_id") >= 400)
     per_doc = (
         batch_spans.join(
             corpus_spans.withColumn("hit", F.lit(1)), "span", "left"
