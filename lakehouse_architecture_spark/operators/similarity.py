@@ -104,18 +104,32 @@ def sign_lsh_candidates(
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing any sign-LSH band
     cell. One narrow map computes all band keys, a posexplode fans out
-    n_bands rows per vector, and the self-join on (band, key) generates
-    candidates per LSH cell (sum of |cell|^2, never n^2); DISTINCT
-    collapses multi-band hits."""
+    n_bands rows per vector, and pairs stream per LSH cell from ONE
+    groupBy + the chained posexplode/explode(slice) generators (the
+    minhash candidate_pairs pattern, adopted r16 — the former
+    self-join on (band, key) shuffled and sorted the band relation
+    twice and streamed the full Σ|cell|² cross product with id_a <
+    id_b filtered after; the generators pay one shuffle and emit only
+    i<j). DISTINCT collapses multi-band hits. Peak memory is O(cell)
+    (the collected id list) — same bound class as the join's per-cell
+    stream; a cell of millions of vectors means the band geometry is
+    wrong for the corpus (the loose-config lesson in
+    emb_lsh_candidate_stats), not that the pairing strategy should
+    change."""
     bands = sign_lsh_bands(df, n_bands, band_bits, vec_col, id_col)
+    cells = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    lefts = cells.select("vs", F.posexplode("vs").alias("i", "id_a"))
     return (
-        bands.select(F.col("vec_id").alias("id_a"), "band", "key")
-        .join(
-            bands.select(F.col("vec_id").alias("id_b"), "band", "key"),
-            ["band", "key"],
+        lefts.select(
+            "id_a",
+            F.explode(
+                F.slice("vs", F.col("i") + 2, F.size("vs"))
+            ).alias("id_b"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
