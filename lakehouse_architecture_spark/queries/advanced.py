@@ -328,15 +328,30 @@ def approx_distinct_and_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation buffer (memory bounded by distinct prices, an
     executor-OOM shape at 100×; the r7 doctrine this query was the
     last holdout against). The sketch columns and the compared surface
-    are unchanged; only the anchor's plan shape moved."""
+    are unchanged; only the anchor's plan shape moved.
+
+    r16 second finding — the row's REAL historic cost: putting
+    ``countDistinct`` and ``percentile_approx`` in ONE aggregate is a
+    pathological pairing — the distinct rewrite runs the non-distinct
+    aggregates through a two-level path that drags the KLL object
+    buffer (accuracy 10000) through every expanded row. Measured
+    isolated at sf0.1: each aggregate alone ≤1 s, the
+    countDistinct+percentile_approx pair **33–46 s** (this, not the
+    exact anchor, was the bulk of the 27–34 s sweep history). The
+    sketches now aggregate separately from the exact distinct and
+    broadcast-join back on the 3-row group key — identical values,
+    one extra cheap scan."""
     li = load_table(spark, sf_dir, "lineitem")
-    sk = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
         ),
     )
+    sk = exact.join(F.broadcast(sketches), "l_returnflag")
     med = grouped_interpolated_quantiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5]
     ).select(

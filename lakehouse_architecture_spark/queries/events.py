@@ -1344,36 +1344,55 @@ def events_hll_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day = F.dayofmonth("ts")
 
-    def stats(a, b):
-        # cached: each side feeds ~4 actions (own sketch, union sketch,
-        # distinct count, semi-join) — uncached, every action rescans
-        # raw events (the chi2 contingency lesson). This function is
-        # EAGER (every consumer is an action inside it), so unlike the
-        # lazy-query one-slot sites it can release in a finally.
-        a, b = a.cache(), b.cache()  # eager: released in finally below
-        try:
-            est = lambda d: d.agg(  # noqa: E731
-                F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("e")
-            ).first().e
-            ea, eb, eu = est(a), est(b), est(a.union(b))
-            da, db = a.distinct(), b.distinct()
-            xa, xb = da.count(), db.count()
-            xi = da.join(db, "c", "left_semi").count()
-        finally:
-            a.unpersist()
-            b.unpersist()
-        return ea, eb, eu, xa, xb, xi
+    def stats(in_a, in_b):
+        # r16 (guide §1.2): both regimes' six numbers come from TWO
+        # actions over one tagged pass instead of six per regime (own
+        # sketch x2, union sketch, two distinct counts, a semi-join —
+        # plus the cache they forced). ``in_a``/``in_b`` are row
+        # predicates over the events scan; an aggregate's sketch/count
+        # sees exactly the rows its filter admits, so every sketch is
+        # built over the identical value set as the old per-side
+        # relations (HLL is duplicate-insensitive, so the union sketch
+        # over in_a|in_b rows equals the old a.union(b) sketch), and
+        # the exact triple counts distinct cells per membership class.
+        tagged = ev.select(
+            cell.alias("c"), in_a.alias("ia"), in_b.alias("ib")
+        ).filter(F.col("ia") | F.col("ib"))
+        est_row = tagged.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.when(F.col("ia"), F.col("c")))
+            ).alias("ea"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.when(F.col("ib"), F.col("c")))
+            ).alias("eb"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("c")).alias("eu"),
+        ).first()
+        exact_row = (
+            tagged.groupBy("c")
+            .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+            .agg(
+                F.count_if(F.col("ia")).alias("xa"),
+                F.count_if(F.col("ib")).alias("xb"),
+                F.count_if(F.col("ia") & F.col("ib")).alias("xi"),
+            )
+            .first()
+        )
+        return (
+            est_row.ea,
+            est_row.eb,
+            est_row.eu,
+            exact_row.xa,
+            exact_row.xb,
+            exact_row.xi,
+        )
 
     ca, cb, cu, cxa, cxb, cxi = stats(
-        ev.filter(F.col("event_type") == "click").select(cell.alias("c")),
-        ev.filter(F.col("event_type") == "purchase").select(cell.alias("c")),
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
     )
     co_err = abs((ca + cb - cu) - cxi)
     co_ok = bool(co_err <= 0.05 * (ca + cb + cu))
-    wa, wb, wu, wxa, wxb, wxi = stats(
-        ev.filter(day <= 20).select(cell.alias("c")),
-        ev.filter(day >= 11).select(cell.alias("c")),
-    )
+    wa, wb, wu, wxa, wxb, wxi = stats(day <= 20, day >= 11)
     w_ok = bool(abs((wa + wb - wu) - wxi) <= 0.10 * wxi)
     return spark.createDataFrame(
         [
