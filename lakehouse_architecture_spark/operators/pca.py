@@ -36,6 +36,38 @@ from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.vectors import dot
 
+# Above this dimensionality the dim×dim second-moment matrix (and the
+# n·dim² per-task gemm work) stops being "bounded small state" and the
+# matrix-free per-iteration application is the right trade again:
+# 1024² doubles = 8 MB driver-side is fine, but the cap also bounds the
+# dim² row group count of the partial shuffle.
+_GRAM_DIM_CAP = 1024
+
+
+def _second_moment_matrix(vecs: DataFrame, dim: int) -> "np.ndarray":
+    """Σ_i x_i x_iᵀ in ONE Arrow pass: each task gemms its batches
+    (B.T @ B, float64) and emits a single dim² row; the driver sums the
+    per-task partials — shuffle volume is tasks × dim² floats, never a
+    function of n (guide §4.2: let BLAS do the per-batch flops)."""
+    import pandas as pd
+
+    def gram(batches):
+        S = np.zeros((dim, dim))
+        saw = False
+        for pdf in batches:
+            if len(pdf):
+                B = np.array(list(pdf["e"]), dtype=np.float64)
+                S += B.T @ B
+                saw = True
+        if saw:
+            yield pd.DataFrame({"s": [S.reshape(-1).tolist()]})
+
+    parts = vecs.mapInPandas(gram, schema="s array<double>").collect()
+    S = np.zeros((dim, dim))
+    for r in parts:
+        S += np.array(r["s"], dtype=np.float64).reshape(dim, dim)
+    return S
+
 
 def top_principal_component(
     df: DataFrame, vec_col: str = "embedding", iters: int = 15
@@ -78,36 +110,60 @@ def top_principal_component(
         lam = 0.0
         w = v.copy()
         v_prev = v
-        for _ in range(iters):
-            v_prev = v
-            vlit = F.array(*[F.lit(float(c)) for c in v])
-            mv = float(mean @ v)
-            scored = vecs.select(
-                "e", (dot(F.col("e"), vlit) - F.lit(mv)).alias("score")
-            )
-            # summing score grouped by dim index yields Σ score in every
-            # group (each row contributes each index exactly once), so
-            # one pass produces both Σ x_ij·s_i and Σ s_i
-            rows = (
-                scored.select("score", F.posexplode("e").alias("i", "x"))
-                .groupBy("i")
-                .agg(
-                    F.sum(x * F.col("score")).alias("xs"),
-                    F.sum("score").alias("ss"),
+        if dim <= _GRAM_DIM_CAP:
+            # r16 (guide §1.2 "the distributed algorithm"): the loop
+            # below re-scans the corpus once PER ITERATION to apply C to
+            # the current vector — 50 iterations = 50 full passes. But
+            # C itself is dim²-bounded: one Arrow pass computes the
+            # second-moment matrix (per-task B.T @ B partials, a
+            # partitions × dim² shuffle — never n rows), and the power
+            # iterations then run on the driver's dim×dim matrix in
+            # microseconds. Same operator in exact arithmetic:
+            # w = (Σ_i x_i (x_i·v))/n − (mean·v)·mean == C v (the loop's
+            # update, after Σ s_i = 0 cancellation). 50 scans → 1.
+            S = _second_moment_matrix(vecs, dim)
+            C = S / n - np.outer(mean, mean)
+            for _ in range(iters):
+                v_prev = v
+                w = C @ v
+                lam = float(v @ w)
+                norm = float(np.linalg.norm(w))
+                if norm == 0.0:
+                    break  # zero-variance corpus: v arbitrary, λ = 0
+                v = w / norm
+        else:
+            # dim² driver state too large: fall back to the
+            # matrix-free distributed application of C per iteration.
+            for _ in range(iters):
+                v_prev = v
+                vlit = F.array(*[F.lit(float(c)) for c in v])
+                mv = float(mean @ v)
+                scored = vecs.select(
+                    "e", (dot(F.col("e"), vlit) - F.lit(mv)).alias("score")
                 )
-                .collect()  # dim rows
-            )
-            xs = np.zeros(dim)
-            ssum = 0.0
-            for r in rows:
-                xs[r.i] = r.xs
-                ssum = r.ss
-            w = (xs - mean * ssum) / n  # = C v
-            lam = float(v @ w)
-            norm = float(np.linalg.norm(w))
-            if norm == 0.0:
-                break  # zero-variance corpus: v is arbitrary, λ = 0
-            v = w / norm
+                # summing score grouped by dim index yields Σ score in
+                # every group (each row contributes each index exactly
+                # once), so one pass produces both Σ x_ij·s_i and Σ s_i
+                rows = (
+                    scored.select("score", F.posexplode("e").alias("i", "x"))
+                    .groupBy("i")
+                    .agg(
+                        F.sum(x * F.col("score")).alias("xs"),
+                        F.sum("score").alias("ss"),
+                    )
+                    .collect()  # dim rows
+                )
+                xs = np.zeros(dim)
+                ssum = 0.0
+                for r in rows:
+                    xs[r.i] = r.xs
+                    ssum = r.ss
+                w = (xs - mean * ssum) / n  # = C v
+                lam = float(v @ w)
+                norm = float(np.linalg.norm(w))
+                if norm == 0.0:
+                    break  # zero-variance corpus: v is arbitrary, λ = 0
+                v = w / norm
         # ‖C v − λ v‖ / λ for the v that PRODUCED w (v_prev), the
         # standard eigenpair residual certificate
         residual = (
