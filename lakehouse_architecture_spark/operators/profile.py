@@ -27,15 +27,23 @@ def _render(col: Column, dtype: str) -> Column:
 def profile_table(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     """Profile ``cols`` (name -> Spark type name) of ``df`` in one pass:
     (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)."""
-    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    # Two aggregates, not one (r16, guide §1.2): mixing the per-column
+    # DISTINCT aggregates with the plain ones routes everything through
+    # the multi-distinct Expand (rows × (n_cols+1)) and drags the
+    # null/min/max terms through it — measured 3.4–4.1 s combined vs
+    # ~1 s for each aggregate alone on the 6-column orders profile at
+    # sf0.1. The distincts keep their Expand to themselves; the plain
+    # aggregate stays single-level; both are 1-row, crossJoined back.
+    plain = [F.count(F.lit(1)).alias("_n_rows")]
+    distincts = []
     for c, t in cols.items():
-        aggs += [
+        plain += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             _render(F.min(c), t).alias(f"{c}__min"),
             _render(F.max(c), t).alias(f"{c}__max"),
         ]
-    one = df.agg(*aggs)
+        distincts.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    one = df.agg(*plain).crossJoin(df.agg(*distincts))
     parts = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
     )
