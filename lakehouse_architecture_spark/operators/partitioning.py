@@ -93,3 +93,22 @@ def zorder_key(df, cols: list[str], bits: int = 8):
                 * F.lit(1 << (bit * len(cells) + i)).cast("long")
             )
     return aug, key
+
+
+def scan_size_bytes(df: DataFrame) -> int | None:
+    """Metadata-only size estimate of a relation: the optimizer's
+    ``sizeInBytes`` statistic (for a parquet scan, the summed file
+    lengths). Runs NO Spark job — the currency of every size-adaptive
+    dispatch in this engine (similarity crossovers, the quantile
+    rollups' grain-vs-rescan choice). Returns ``None`` when stats are
+    unavailable (``_jdf`` is a classic-session private API, absent
+    under Spark Connect); callers must treat ``None`` as "assume BIG"
+    or measure for real, never as "small" — a silent small default
+    would route an arbitrarily large input down a local-only plan."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j returns small statistics as plain Python ints and big
+        # ones as java BigInt objects; str() round-trips both.
+        return int(str(size))
+    except Exception:
+        return None

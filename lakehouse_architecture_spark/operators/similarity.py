@@ -578,6 +578,7 @@ def near_dup_candidates_blocked(
     id_col: str = "vec_id",
     n_blocks: int = 16,
     slack: float = 1e-6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine candidates via BLOCKED gemm — the way to
     do exact O(n^2) similarity without ever materializing n^2 rows in
@@ -593,6 +594,15 @@ def near_dup_candidates_blocked(
     Emitted pairs are candidates (double precision); callers wanting
     bit-reproducible scores re-score them exactly (queries/dedup_sim.py
     re-runs the decimal fold on the survivors).
+
+    ``group_col`` (r16) restricts the pair space to WITHIN-GROUP pairs
+    (SemDeDup's per-cluster search): the group key simply joins the
+    (ba, bb) grid key in the applyInPandas grouping, so a task holds
+    two bounded blocks OF ONE GROUP and cross-group pairs are never
+    scored — total flops drop from O(n^2) to O(sum |group|^2), the
+    cluster-pruned contract. Each id belongs to exactly one group, so
+    a pair still lives in exactly one task and no engine-level
+    distinct is needed.
     """
     import pandas as pd
 
@@ -601,16 +611,18 @@ def near_dup_candidates_blocked(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "ba int, bb int",
     )
+    gcols = [group_col] if group_col is not None else []
     tagged = corpus.select(
+        *gcols,
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         (F.col(id_col) % n_blocks).cast("int").alias("blk"),
     )
     a = grid.join(tagged, tagged.blk == grid.ba).select(
-        "ba", "bb", "vid", "vec", F.lit(0).alias("side")
+        *gcols, "ba", "bb", "vid", "vec", F.lit(0).alias("side")
     )
     b = grid.join(tagged, tagged.blk == grid.bb).select(
-        "ba", "bb", "vid", "vec", F.lit(1).alias("side")
+        *gcols, "ba", "bb", "vid", "vec", F.lit(1).alias("side")
     )
     both = a.union(b)
 
@@ -619,7 +631,8 @@ def near_dup_candidates_blocked(
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        ba, bb = key
+        # key is (ba, bb) or (group, ba, bb); only `side` steers the
+        # scoring, so the key itself is unused either way.
         left = pdf[pdf["side"] == 0]
         right = pdf[pdf["side"] == 1]
         if len(left) == 0 or len(right) == 0:
@@ -640,10 +653,11 @@ def near_dup_candidates_blocked(
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
 
     # No trailing distinct(): a cross-block pair lives in exactly one
-    # (ba, bb) group and diagonal groups dedupe their two orientations
-    # in-batch — an engine-level distinct would add a full shuffle for
-    # nothing.
-    return both.groupBy("ba", "bb").applyInPandas(
+    # (ba, bb) group (each id belongs to one group_col value, so the
+    # grouped form preserves this) and diagonal groups dedupe their two
+    # orientations in-batch — an engine-level distinct would add a full
+    # shuffle for nothing.
+    return both.groupBy(*gcols, "ba", "bb").applyInPandas(
         score, schema="id_a long, id_b long"
     )
 
@@ -696,14 +710,16 @@ def estimated_corpus_rows(
 
     ``_jdf`` is a classic-session-only private API (absent under Spark
     Connect, and stats can be missing for non-scan frames); when it
-    fails the fallback is a real ``count()`` — pay one job rather than
-    silently route an arbitrarily large corpus down the O(n^2) JVM
-    nested-loop path by defaulting to "small"."""
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # stats unavailable != small: measure for real
+    fails (``scan_size_bytes`` returns None) the fallback is a real
+    ``count()`` — pay one job rather than silently route an
+    arbitrarily large corpus down the O(n^2) JVM nested-loop path by
+    defaulting to "small"."""
+    from lakehouse_architecture_spark.operators.partitioning import (
+        scan_size_bytes,
+    )
+
+    size = scan_size_bytes(df)
+    if size is None:  # stats unavailable != small: measure for real
         return df.count()
     return size // bytes_per_row
 

@@ -884,10 +884,11 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale contract is the whole point (and the paper's): the pair
     stage costs sum(|c|^2) instead of n^2. Here k=8 (the shared
     oracle-checkable seeding); at 100 TB k grows with the corpus
-    (SemDeDup uses ~50k) so |c| stays bounded, the self-join shuffles
-    on centroid_id (high-cardinality at production k — no
-    low-cardinality key trap), and assignment is a broadcast of k
-    centroids, never a corpus shuffle. Global cross-cluster recall is
+    (SemDeDup uses ~50k) so |c| stays bounded, the pair search runs
+    the grouped blocked gemm per (cluster, block-pair) task
+    (high-cardinality grouping at production k — no low-cardinality
+    key trap; per-task memory bounded by block size), and assignment
+    is a broadcast of k centroids, never a corpus shuffle. Global cross-cluster recall is
     measured separately by emb_lsh_candidate_stats' exact twin
     (emb_near_dup_pairs), which this cluster-bucketed plan replaces on
     the 100 TB path."""
@@ -912,6 +913,34 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="emb-semantic-assignment",
         key=(sf_dir,),
     )
+    # Within-cluster pair search (r16, guide §4.2): the former JVM
+    # decimal-dot self-join evaluated the 64-dim decimal fold on EVERY
+    # within-cluster pair (sum |c|^2 folds — 2.27 s of this query's
+    # wall at sf0.1, the dominant stage). Candidates now come from the
+    # grouped blocked gemm (group_col=centroid_id restricts the pair
+    # space to within-cluster, preserving the SemDeDup sum(|c|^2)
+    # contract; BLAS flops + float64 with 1e-6 slack generate a provable
+    # SUPERSET of the decimal >= 0.45 set — same argument as
+    # emb_near_dup_pairs), and the bit-reproducible decimal cosine
+    # re-scores only the tiny survivor set, so the emitted counts are
+    # identical to the all-decimal join.
+    from lakehouse_architecture_spark.operators.similarity import (
+        adaptive_n_blocks,
+        estimated_corpus_rows,
+        near_dup_candidates_blocked,
+    )
+
+    cand = near_dup_candidates_blocked(
+        assigned.select("centroid_id", "vec_id", "embedding"),
+        threshold=0.45,
+        # blocks bound per-task gemm memory by the (balanced) cluster
+        # size; parallelism comes from k x grid-cells, so min_blocks
+        # stays small (k=8 here; at production k the grid is huge).
+        n_blocks=adaptive_n_blocks(
+            max(1, estimated_corpus_rows(emb) // 8), min_blocks=2
+        ),
+        group_col="centroid_id",
+    )
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),
@@ -919,18 +948,14 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_dot("embedding", "embedding").alias("na"),
     )
     b = assigned.select(
-        F.col("centroid_id").alias("centroid_b"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         dec_dot("embedding", "embedding").alias("nb"),
     )
     cos = dec_dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
     dups = (
-        a.join(
-            b,
-            (F.col("centroid_id") == F.col("centroid_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .filter(cos >= 0.45)
         .select("centroid_id", "id_a", "id_b")
     )

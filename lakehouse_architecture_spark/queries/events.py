@@ -18,8 +18,26 @@ from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.numeric import davg, dsum
 from lakehouse_architecture_spark.operators.caching import one_slot_persist
+from lakehouse_architecture_spark.operators.partitioning import (
+    scan_size_bytes,
+)
 from lakehouse_architecture_spark.queries.registry import query
 from lakehouse_architecture_spark.sources.tables import load_table
+
+# Crossover for the quantile-rollup scan-count dispatch: below this
+# estimated events-scan size, the (day[, type], cents) count grain
+# barely collapses the raw rows (at sf0.1: 84k grain rows from 100k
+# events) and materializing it costs MORE than the second cheap scan it
+# saves (measured: 3.02 s two-scan vs 4.26 s grain, interleaved A/B);
+# above it, a second raw scan dwarfs the domain-bounded grain
+# (<= |days| x ~50k distinct cents x |types|), so the grain path's
+# single scan wins by construction. 256 MiB sits far above every local
+# test SF and far below any production table, so the bench keeps the
+# measured-faster local shape while 100 TB inputs never scan twice.
+# None from scan_size_bytes (stats unavailable) routes to the grain
+# path: at unknown size, never risk scanning an arbitrarily large
+# table twice.
+_VQ_GRAIN_SCAN_BYTES = 256 * 1024 * 1024
 
 SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -1980,12 +1998,16 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal double (q), or a boolean — rank targets mirror the exact
     arithmetic form CEIL(q * n) literally on both engines (the r7
     rank-rounding lesson); bucket bounds are integer shifts, never
-    POWER. Plan: one scan to (day, bucket) counts (the stored
-    relation, |days| × ~16 rows here), a ≤|buckets|-row cumulative
-    window, and the exact anchor aggregates at the CENTS-VALUE grain —
-    bounded by the value DOMAIN (~50k distinct cents), not by row
-    count, so the anchor survives 100 TB where a row-grain global sort
-    would not; the 3-row quantile spec joins via tiny-side broadcast."""
+    POWER. Plan (r16, size-adaptive — see _VQ_GRAIN_SCAN_BYTES): at
+    scale, ONE scan to the (day, cents) count grain — bounded by
+    |days| x the value DOMAIN (~50k distinct cents), not by row
+    count — from which both the stored histogram (bucket is a
+    deterministic function of vc) and the exact rank anchor are exact
+    regroups, so the raw table is never scanned twice; at local test
+    sizes, the measured-faster two-scan shape. Either way: a
+    ≤|buckets|-row cumulative window and tiny-side broadcast joins for
+    the 3-row quantile spec; the anchor survives 100 TB where a
+    row-grain global sort would not."""
     day = F.col("ts").cast("date").alias("day")
     vc = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vc")
     ev = load_table(spark, sf_dir, "events")
@@ -1995,15 +2017,36 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.length(F.bin(F.col("vc"))))
         .alias("bucket")
     )
-    # the stored artifact: |days| x ~16 rows — one-slot persisted so
-    # the merged/cum/meta consumers share ONE raw scan instead of
-    # re-scanning events per consumer (the exact anchor's value-grain
-    # pass below is the only other raw scan in the plan)
-    hist = one_slot_persist(
-        base.groupBy("day", bucket).agg(F.count(F.lit(1)).alias("cnt")),
-        slot="events-vq-hist",
-        key=(sf_dir,),
-    )
+    # Size-adaptive scan count (r16, guide §2 scale-adaptive shapes;
+    # both regimes measured at sf0.1, identity-checked row-for-row):
+    # ABOVE the crossover, ONE raw scan builds the persisted (day, vc)
+    # COUNT grain — bounded by |days| x the cents value domain (~50k),
+    # never by row count — and BOTH downstream grains are exact
+    # regroups of it (bucket is a deterministic function of vc, and
+    # integer counts re-sum exactly), so the raw table is never
+    # scanned twice. BELOW it, the grain barely collapses (84k grain
+    # rows from 100k events at sf0.1) and materializing it costs more
+    # than the second cheap scan it saves (interleaved A/B: 3.02 s
+    # two-scan vs 4.26 s grain at sf0.1) — so small inputs keep the
+    # two-scan shape: persisted (day, bucket) histogram + a direct
+    # value-grain anchor pass.
+    if (scan_size_bytes(ev) or _VQ_GRAIN_SCAN_BYTES + 1) > _VQ_GRAIN_SCAN_BYTES:
+        grain = one_slot_persist(
+            base.groupBy("day", "vc").agg(F.count(F.lit(1)).alias("cnt")),
+            slot="events-vq-grain",
+            key=(sf_dir,),
+        )
+        hist = grain.groupBy("day", bucket).agg(
+            F.sum("cnt").alias("cnt")
+        )
+        vcc_src = grain.groupBy("vc").agg(F.sum("cnt").alias("cnt"))
+    else:
+        hist = one_slot_persist(
+            base.groupBy("day", bucket).agg(F.count(F.lit(1)).alias("cnt")),
+            slot="events-vq-hist",
+            key=(sf_dir,),
+        )
+        vcc_src = base.groupBy("vc").agg(F.count(F.lit(1)).alias("cnt"))
     merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     tot = merged.agg(F.sum("cnt").alias("n_total"))
     w_b = Window.orderBy("bucket").rowsBetween(
@@ -2029,7 +2072,7 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_label")
         .agg(F.min("bucket").alias("bucket"))
     )
-    vcc = base.groupBy("vc").agg(F.count(F.lit(1)).alias("cnt"))
+    vcc = vcc_src
     w_v = Window.orderBy("vc").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2493,12 +2536,16 @@ def events_value_quantile_rollup_by_type(
     Compared-surface doctrine as the global twin: every emitted column
     is an exact integer, a literal double (q), or a boolean; rank
     targets mirror CEIL(q * n_type) literally; bucket bounds are
-    integer shifts. Plan: one scan to the stored relation (now
-    |types| x |days| x ~16 rows), per-type cumulative windows
-    PARTITIONED BY event_type (parallel across types, each partition
-    domain-bounded: ~16 buckets / ~50k distinct cents per type —
-    never a row-grain global sort), and the 3-row quantile spec joins
-    via tiny-side broadcast."""
+    integer shifts. Plan (r16, size-adaptive like the global twin): at
+    scale, ONE scan to the (type, day, cents) count grain — bounded by
+    |types| x |days| x the value domain — from which the stored
+    histogram (bucket = f(vc)) and the exact anchor grain are exact
+    regroups, so the raw table is never scanned twice; at local test
+    sizes, the measured-faster two-scan shape. Either way: per-type
+    cumulative windows PARTITIONED BY event_type (parallel across
+    types, each partition domain-bounded: ~16 buckets / ~50k distinct
+    cents per type — never a row-grain global sort); the 3-row
+    quantile spec joins via tiny-side broadcast."""
     day = F.col("ts").cast("date").alias("day")
     vc = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vc")
     ev = load_table(spark, sf_dir, "events")
@@ -2508,16 +2555,40 @@ def events_value_quantile_rollup_by_type(
         .otherwise(F.length(F.bin(F.col("vc"))))
         .alias("bucket")
     )
-    # the stored artifact at the per-group grain; one-slot persisted so
-    # merged/cum share one raw scan (the exact anchor's value-grain
-    # pass is the only other raw scan)
-    hist = one_slot_persist(
-        base.groupBy("event_type", "day", bucket).agg(
+    # Size-adaptive scan count — same dispatch and crossover as the
+    # global twin (see _VQ_GRAIN_SCAN_BYTES): big inputs build ONE
+    # persisted (type, day, vc) count grain — bounded by |types| x
+    # |days| x the cents domain — and derive BOTH the stored histogram
+    # (bucket = f(vc), integer counts re-sum exactly) and the exact
+    # anchor's (type, vc) grain from it; small inputs keep the
+    # measured-faster two-scan shape.
+    if (
+        scan_size_bytes(ev) or _VQ_GRAIN_SCAN_BYTES + 1
+    ) > _VQ_GRAIN_SCAN_BYTES:
+        grain = one_slot_persist(
+            base.groupBy("event_type", "day", "vc").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ),
+            slot="events-vq-grain-by-type",
+            key=(sf_dir,),
+        )
+        hist = grain.groupBy("event_type", "day", bucket).agg(
+            F.sum("cnt").alias("cnt")
+        )
+        vcc_src = grain.groupBy("event_type", "vc").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    else:
+        hist = one_slot_persist(
+            base.groupBy("event_type", "day", bucket).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ),
+            slot="events-vq-hist-by-type",
+            key=(sf_dir,),
+        )
+        vcc_src = base.groupBy("event_type", "vc").agg(
             F.count(F.lit(1)).alias("cnt")
-        ),
-        slot="events-vq-hist-by-type",
-        key=(sf_dir,),
-    )
+        )
     merged = hist.groupBy("event_type", "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
@@ -2549,9 +2620,7 @@ def events_value_quantile_rollup_by_type(
         .groupBy("event_type", "q_label")
         .agg(F.min("bucket").alias("bucket"))
     )
-    vcc = base.groupBy("event_type", "vc").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    vcc = vcc_src
     w_v = (
         Window.partitionBy("event_type")
         .orderBy("vc")

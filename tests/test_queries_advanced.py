@@ -357,3 +357,24 @@ def test_asof_forward_tolerance_boundaries(spark, tmp_path):
     assert got[p2] == ms("11:00:00")
     assert got[p3] is None
     assert got[p4] is None
+
+
+def test_vq_rollup_grain_path_matches_two_scan_path(spark, sf_dir, monkeypatch):
+    """The r16 size-adaptive dispatch in the quantile rollups: the
+    at-scale single-scan (day[, type], vc)-grain branch must emit
+    EXACTLY the rows of the local two-scan branch (bucket = f(vc) and
+    integer counts re-sum exactly, so both are the same relation by
+    construction — this pins it). Local data sits far below the
+    crossover, so the grain branch is forced by dropping the threshold."""
+    import lakehouse_architecture_spark.queries.events as events_mod
+
+    for fn in (
+        events_mod.events_value_quantile_rollup,
+        events_mod.events_value_quantile_rollup_by_type,
+    ):
+        small = sorted(map(str, fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(events_mod, "_VQ_GRAIN_SCAN_BYTES", -1)
+        big = sorted(map(str, fn(spark, sf_dir).collect()))
+        monkeypatch.undo()
+        assert small == big, f"{fn.__name__}: grain path diverged"
+        assert small, f"{fn.__name__}: degenerate empty result"

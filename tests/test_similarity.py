@@ -280,6 +280,45 @@ def test_blocked_near_dup_candidates_small_corpus(spark):
     assert pairs == {(0, 1), (0, 35), (1, 35)}
 
 
+def test_blocked_near_dup_candidates_group_col(spark):
+    """group_col (r16, the SemDeDup per-cluster search): candidates are
+    exactly the within-group subset of the ungrouped result — pairs of
+    the same cluster survive, cross-cluster pairs are never scored —
+    and no pair is emitted twice even when blocks split a group."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        near_dup_candidates_blocked,
+    )
+
+    # Two clusters of mutual near-dups; every cross-cluster cosine is
+    # also high (all vectors near [1, eps]) so the group restriction —
+    # not the threshold — must be what drops cross pairs.
+    rows = [
+        (i, [1.0, 0.001 * i], i % 2) for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+    grouped = [
+        (r.id_a, r.id_b)
+        for r in near_dup_candidates_blocked(
+            emb, threshold=0.9, n_blocks=3, group_col="cluster"
+        ).collect()
+    ]
+    assert len(grouped) == len(set(grouped)), "duplicate pair emitted"
+    ungrouped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_candidates_blocked(
+            emb, threshold=0.9, n_blocks=3
+        ).collect()
+    }
+    expected = {(a, b) for a, b in ungrouped if a % 2 == b % 2}
+    assert set(grouped) == expected
+    assert expected, "degenerate test: no within-group pairs"
+    assert any(a % 2 != b % 2 for a, b in ungrouped), (
+        "degenerate test: no cross-group pairs to exclude"
+    )
+
+
 def test_sign_lsh_bands_rejects_short_vectors(spark):
     """A vector with fewer dims than n_bands*band_bits must raise, not
     silently hash on truncated (constant-zero) key bits."""
