@@ -48,6 +48,15 @@ _SLICES_PER_SEED = 4
 _SLICE_HEX_WIDTH = 7
 _SLICE_BITS = 28
 
+# Cap on the (doc, grams) source-relation size estimate under which the
+# prefix-filter verify joins may BROADCAST the per-doc ordered arrays
+# instead of the pinned shuffle_hash (guide §3.1): the broadcast
+# relation is ~the corpus token footprint, so a sub-128 MiB source
+# frames to at most a few hundred MB — fine for one build; a 100 TB
+# corpus is far above the cap and keeps the scale-safe shuffle_hash.
+# Unknown size (None) also keeps shuffle_hash.
+_VERIFY_BROADCAST_BYTES = 128 * 1024 * 1024
+
 
 def _seed_hex(i: int):
     """The md5 digest column for signature ``i``'s seed group, applied
@@ -959,11 +968,30 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
+    # Verify-side join strategy (r16, guide §3.1): the per-doc ordered-
+    # array relation is BOUNDED by corpus token volume — when the
+    # SOURCE relation's metadata-only size estimate sits under the cap,
+    # broadcasting it replaces two shuffles of the full og arrays
+    # (measured 2x on the verify stage at sf0.1). The cap keeps the r13
+    # lesson intact: the statically-unsized QUADRATIC candidate
+    # relation must never be a broadcast build side, and an
+    # over-cap/unknown-size corpus keeps the pinned shuffle_hash (the
+    # at-scale shape; None → shuffle_hash, never "assume small").
+    from lakehouse_architecture_spark.operators.partitioning import (
+        scan_size_bytes,
+    )
+
+    gv_bytes = scan_size_bytes(gv)
+    verify_hint = (
+        "broadcast"
+        if gv_bytes is not None and gv_bytes < _VERIFY_BROADCAST_BYTES
+        else "shuffle_hash"
+    )
     ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(
-        "shuffle_hash"
+        verify_hint
     )
     gb = ov.select(F.col("doc").alias("doc_b"), F.col("og").alias("gb")).hint(
-        "shuffle_hash"
+        verify_hint
     )
     return (
         cands.join(ga, "doc_a")
