@@ -1533,13 +1533,17 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine; the oracle replicates the sketches themselves, not just
     the answers. Plan: ONE scan tags all four sides (conditional-array
     explode, not a 4-way union), the distinct (side, h) relation is
-    one-slot persisted (sketch build + two intersection semi-joins
-    read it), sketch build is the two-stage top-k window
+    one-slot persisted, sketch build is the two-stage top-k window
     (per-partition cap, then ≤ k·partitions rows per side — never the
     last-reducer sort), exact unions come free by inclusion-exclusion
-    on exact counts, and every downstream combine is a 1-row cross
-    join. Measured 2.35 s at sf0.1 (was 4.9 with the unioned scans +
-    distinct-union passes)."""
+    on exact counts. r16 (§10b pattern): both regimes' side stats come
+    from ONE pivot aggregate of the sketch relation and both exact
+    intersections from ONE co-presence pass over hs (groupBy h +
+    per-side bool_or + count_if), checkpointed as a single 1-row
+    relation the two regime branches read — replacing six per-regime
+    subtrees (filter+first aggregates, semi-join counts) over the
+    persisted relations. Measured 2.35 s at sf0.1 before the r16 fold
+    (was 4.9 with the unioned scans + distinct-union passes)."""
     from lakehouse_architecture_spark.operators.kmv import (
         kmv_estimate,
         kmv_hash,
@@ -1578,65 +1582,97 @@ def events_kmv_intersection_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch_by(hs, "side", K)
 
-    def regime_row(name: str, ta: str, tb: str) -> DataFrame:
-        # agg-with-defaults, NOT filter-then-crossJoin: an EMPTY side
-        # has no sk row, and a crossJoin against zero rows would drop
-        # the regime row entirely while the oracle's scalar subqueries
-        # still emit it (n=0, empty sketch) — the estimator must
-        # degrade to exact-0 on degenerate data, on both engines.
-        def sided(t: str, p: str) -> DataFrame:
-            return sk.filter(F.col("side") == t).agg(
-                F.coalesce(F.first("n"), F.lit(0)).alias(f"n_{p}"),
-                F.coalesce(
-                    F.first("kmv"), F.array().cast("array<long>")
-                ).alias(f"kmv_{p}"),
-            )
+    # r16 (the events_hll_intersection_qa §10b pattern): the former
+    # shape built SIX independent subtrees per regime over the
+    # persisted relations (two filter+first aggregates for the sides,
+    # a semi-join count for the exact intersection, crossJoined). Both
+    # regimes' inputs now come from TWO aggregates computed once:
+    # a 1-row PIVOT of the 4-row sketch relation (first(when(side=t))
+    # is deterministic — exactly one sk row per side — and coalesce
+    # keeps the empty-side n=0/empty-sketch defaults the old
+    # agg-with-defaults form guaranteed), and ONE co-presence pass
+    # over hs (groupBy h + per-side bool_or, then count_if of both
+    # flags — identical to the per-regime semi-join counts because hs
+    # is distinct per (side, h)). The combined 1-row relation is
+    # pinned by an eager localCheckpoint so the two regime branches
+    # read one materialization instead of re-running the aggregates.
+    sides = ("clk", "pur", "a20", "b11")
+    piv = sk.agg(
+        *[
+            F.coalesce(
+                F.first(
+                    F.when(F.col("side") == t, F.col("n")),
+                    ignorenulls=True,
+                ),
+                F.lit(0),
+            ).alias(f"n_{t}")
+            for t in sides
+        ],
+        *[
+            F.coalesce(
+                F.first(
+                    F.when(F.col("side") == t, F.col("kmv")),
+                    ignorenulls=True,
+                ),
+                F.array().cast("array<long>"),
+            ).alias(f"kmv_{t}")
+            for t in sides
+        ],
+    )
+    pres = hs.groupBy("h").agg(
+        *[F.max(F.col("side") == t).alias(f"in_{t}") for t in sides]
+    )
+    inter = pres.agg(
+        F.count_if(F.col("in_clk") & F.col("in_pur")).alias("inter_type"),
+        F.count_if(F.col("in_a20") & F.col("in_b11")).alias("inter_win"),
+    )
+    one = piv.crossJoin(inter).localCheckpoint(eager=True)
 
-        a = sided(ta, "a")
-        b = sided(tb, "b")
-        xi = (
-            hs.filter(F.col("side") == ta)
-            .select("h")
-            .join(
-                hs.filter(F.col("side") == tb).select("h"), "h", "left_semi"
-            )
-            .agg(F.count(F.lit(1)).alias("exact_inter"))
-        )
-        ku = kmv_union(F.col("kmv_a"), F.col("kmv_b"), K)
+    def regime_row(name: str, ta: str, tb: str, inter_col: str) -> DataFrame:
+        ku = kmv_union(F.col(f"kmv_{ta}"), F.col(f"kmv_{tb}"), K)
         est_u_raw = kmv_estimate(F.col("n_u"), F.col("ku"), K)
         return (
-            a.crossJoin(b)
-            .crossJoin(xi)
+            one
             # exact union by inclusion-exclusion on EXACT counts (no
             # third distinct pass): |A∪B| = |A| + |B| - |A∩B|
-            .withColumn("n_u", F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+            .withColumn(
+                "n_u",
+                F.col(f"n_{ta}") + F.col(f"n_{tb}") - F.col(inter_col),
+            )
             .withColumn("ku", ku)
             .select(
                 F.lit(name).alias("regime"),
-                F.col("n_a").alias("exact_a"),
-                F.col("n_b").alias("exact_b"),
+                F.col(f"n_{ta}").alias("exact_a"),
+                F.col(f"n_{tb}").alias("exact_b"),
                 F.col("n_u").alias("exact_union"),
-                "exact_inter",
-                F.round(kmv_estimate(F.col("n_a"), F.col("kmv_a"), K), 6)
-                .alias("est_a"),
-                F.round(kmv_estimate(F.col("n_b"), F.col("kmv_b"), K), 6)
-                .alias("est_b"),
+                F.col(inter_col).alias("exact_inter"),
+                F.round(
+                    kmv_estimate(F.col(f"n_{ta}"), F.col(f"kmv_{ta}"), K), 6
+                ).alias("est_a"),
+                F.round(
+                    kmv_estimate(F.col(f"n_{tb}"), F.col(f"kmv_{tb}"), K), 6
+                ).alias("est_b"),
                 F.round(est_u_raw, 6).alias("est_union"),
-                kmv_matches(F.col("kmv_a"), F.col("kmv_b"), F.col("ku"))
+                kmv_matches(
+                    F.col(f"kmv_{ta}"), F.col(f"kmv_{tb}"), F.col("ku")
+                )
                 .cast("long")
                 .alias("matches"),
                 F.round(
                     kmv_intersect_estimate(
-                        F.col("kmv_a"), F.col("kmv_b"), F.col("ku"), est_u_raw
+                        F.col(f"kmv_{ta}"),
+                        F.col(f"kmv_{tb}"),
+                        F.col("ku"),
+                        est_u_raw,
                     ),
                     6,
                 ).alias("est_inter"),
             )
         )
 
-    return regime_row("type_cooccurrence", "clk", "pur").unionByName(
-        regime_row("window_overlap", "a20", "b11")
-    )
+    return regime_row(
+        "type_cooccurrence", "clk", "pur", "inter_type"
+    ).unionByName(regime_row("window_overlap", "a20", "b11", "inter_win"))
 
 
 @query(
