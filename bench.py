@@ -27,8 +27,10 @@ Payload budget (round 5): the driver records only a bounded TAIL of
 stdout, and round 4's full payload outgrew it (BENCH_r04.json ended up
 "parsed: null" — the headline number was unverifiable). The stdout line
 now carries ONLY the driver-contract fields (metric/value/unit/queries/
-sf) plus scalar summaries; everything else (per-query minima, extras,
-pipeline row counts, errors) goes to BENCH_DETAIL.json at the repo root.
+sf) plus scalar summaries and the headline per-query minima ("queries_min",
+r16 verdict order #7 — the noise floor PERF adjudicates movers against,
+~700 bytes); everything else (extras, pipeline row counts, errors) goes
+to BENCH_DETAIL.json at the repo root.
 """
 
 from __future__ import annotations
@@ -809,6 +811,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # Per-query MINIMA over the same 6 runs (additions-only, r16
+        # verdict order #7): the low-noise floor PERF can adjudicate a
+        # nominal regression against — a mover whose min matches the
+        # prior round's level is host weather, not a plan change.
+        "queries_min": minima,
         "sf": sf,
         "extra_queries_total": round(sum(extra.values()), 3),
         "extras_policy": {

@@ -905,8 +905,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scans (at 100 TB the assignment is materialized as a
     # table anyway) — and released by the next slot user instead of
     # accumulating across a multi-query session.
+    # Shared centroid count: the seeding and the block-sizing divisor
+    # below must agree (r16 ADVICE — a literal 8 in one place silently
+    # desyncs per-task gemm sizing if k ever changes).
+    K = 8
     assigned = one_slot_persist(
-        _md5_seeded_scores(emb)
+        _md5_seeded_scores(emb, k=K)
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id"),
@@ -935,9 +939,9 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         # blocks bound per-task gemm memory by the (balanced) cluster
         # size; parallelism comes from k x grid-cells, so min_blocks
-        # stays small (k=8 here; at production k the grid is huge).
+        # stays small (K=8 here; at production k the grid is huge).
         n_blocks=adaptive_n_blocks(
-            max(1, estimated_corpus_rows(emb) // 8), min_blocks=2
+            max(1, estimated_corpus_rows(emb) // K), min_blocks=2
         ),
         group_col="centroid_id",
     )

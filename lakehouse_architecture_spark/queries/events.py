@@ -1754,7 +1754,16 @@ def events_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="events-kmv-daily-hs",
         key=(sf_dir,),
     )
-    daily = kmv_sketch_by(hs, "day", K)
+    # The daily-sketch relation feeds TWO consumers (the output rows
+    # and the sketch merge) — without the persist the whole two-stage
+    # top-k window subtree ran twice in one plan (r17, guide §2.4;
+    # before-plan: the WindowGroupLimit chain appears twice over two
+    # InMemoryTableScans of hs). |days| rows x k longs: tiny.
+    daily = one_slot_persist(
+        kmv_sketch_by(hs, "day", K),
+        slot="events-kmv-daily-sketches",
+        key=(sf_dir,),
+    )
     # Merge from the SKETCHES only: k smallest across all daily arrays.
     # |days| x k rows -> one bounded collect_list fold (no window, no
     # second raw-data pass).
@@ -2065,8 +2074,11 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the second cheap scan it saves (interleaved A/B: 3.02 s
     # two-scan vs 4.26 s grain at sf0.1) — so small inputs keep the
     # two-scan shape: persisted (day, bucket) histogram + a direct
-    # value-grain anchor pass.
-    if (scan_size_bytes(ev) or _VQ_GRAIN_SCAN_BYTES + 1) > _VQ_GRAIN_SCAN_BYTES:
+    # value-grain anchor pass. Only UNKNOWN size routes to the grain
+    # path (r16 ADVICE: a legitimate 0-byte estimate is small, not
+    # unknown).
+    ev_bytes = scan_size_bytes(ev)
+    if ev_bytes is None or ev_bytes > _VQ_GRAIN_SCAN_BYTES:
         grain = one_slot_persist(
             base.groupBy("day", "vc").agg(F.count(F.lit(1)).alias("cnt")),
             slot="events-vq-grain",
@@ -2597,10 +2609,10 @@ def events_value_quantile_rollup_by_type(
     # |days| x the cents domain — and derive BOTH the stored histogram
     # (bucket = f(vc), integer counts re-sum exactly) and the exact
     # anchor's (type, vc) grain from it; small inputs keep the
-    # measured-faster two-scan shape.
-    if (
-        scan_size_bytes(ev) or _VQ_GRAIN_SCAN_BYTES + 1
-    ) > _VQ_GRAIN_SCAN_BYTES:
+    # measured-faster two-scan shape. Only UNKNOWN size routes to the
+    # grain path (r16 ADVICE: a 0-byte estimate is small, not unknown).
+    ev_bytes = scan_size_bytes(ev)
+    if ev_bytes is None or ev_bytes > _VQ_GRAIN_SCAN_BYTES:
         grain = one_slot_persist(
             base.groupBy("event_type", "day", "vc").agg(
                 F.count(F.lit(1)).alias("cnt")
