@@ -19,7 +19,8 @@ so each iteration is ONE corpus scan: a per-row JVM fold for the score
 s_i, then a posexploded per-dim partial aggregate — dim rows cross the
 wire, never the corpus. The corpus projection is persisted for the
 duration of the loop and unpersisted after; every driver collect here
-is dim-bounded (64 floats) or 1 row, by construction.
+is dim²-bounded (≤ _GRAM_DIM_CAP² scalar rows for the Gram pass, dim
+rows elsewhere) — never a function of n or the task count.
 
 At 100 TB each iteration is a map + one dim-keyed shuffle whose partial
 aggregation collapses map-side; 10-20 iterations dominate convergence
@@ -46,9 +47,13 @@ _GRAM_DIM_CAP = 1024
 
 def _second_moment_matrix(vecs: DataFrame, dim: int) -> "np.ndarray":
     """Σ_i x_i x_iᵀ in ONE Arrow pass: each task gemms its batches
-    (B.T @ B, float64) and emits a single dim² row; the driver sums the
-    per-task partials — shuffle volume is tasks × dim² floats, never a
-    function of n (guide §4.2: let BLAS do the per-batch flops)."""
+    (B.T @ B, float64) and emits a single dim² row; the per-task
+    partials then reduce EXECUTOR-SIDE (a single-group applyInPandas
+    sum) so the driver collects exactly ONE dim² row — never O(n_tasks)
+    rows (r16 verdict order #2: at 100 TB the task count is 10⁵-10⁶ and
+    a per-task collect pushes n_tasks × dim² doubles through the
+    driver). Shuffle volume is tasks × dim² floats, never a function of
+    n (guide §4.2: let BLAS do the per-batch flops)."""
     import pandas as pd
 
     def gram(batches):
@@ -62,11 +67,21 @@ def _second_moment_matrix(vecs: DataFrame, dim: int) -> "np.ndarray":
         if saw:
             yield pd.DataFrame({"s": [S.reshape(-1).tolist()]})
 
-    parts = vecs.mapInPandas(gram, schema="s array<double>").collect()
-    S = np.zeros((dim, dim))
-    for r in parts:
-        S += np.array(r["s"], dtype=np.float64).reshape(dim, dim)
-    return S
+    # The reduction is keyed by the flattened (i, j) index, NOT a
+    # single constant key: every reducer sums n_tasks/R values, so no
+    # single task (or the driver) ever holds the full n_tasks × dim²
+    # partial stream; the driver sees exactly dim² scalar rows.
+    rows = (
+        vecs.mapInPandas(gram, schema="s array<double>")
+        .select(F.posexplode("s").alias("ij", "v"))
+        .groupBy("ij")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    S = np.zeros(dim * dim)
+    for r in rows:
+        S[r["ij"]] = r["v"]
+    return S.reshape(dim, dim)
 
 
 def top_principal_component(

@@ -93,17 +93,26 @@ def simhash_near_pairs(
     pair within distance d must agree exactly on at least one of d+1
     segments) — here 2 segments for d<=1-per-segment behavior, which at
     16 bits is a fine bucket key; production-64-bit uses 4 segments.
-    Bucketing reuses :func:`minhash.candidate_pairs` (collect per
-    bucket, pair array-side); the few surviving candidates then re-join
-    the fingerprint relation — small side broadcast by AQE — to score
-    Hamming distance.
+
+    r17 (guide §2.3/§2.4): the fingerprint RIDES THROUGH the bucket
+    generation as a (doc, simhash) struct instead of being joined back
+    afterwards — each bucket collects its sorted member structs, the
+    chained posexplode/explode(slice) generators stream the i<j pairs
+    (the minhash candidate_pairs pattern, peak memory O(bucket)), and
+    the Hamming verify runs INSIDE that codegen stage. The former shape
+    distinct'd doc-id pairs first and then re-joined the fingerprint
+    relation TWICE (two shuffles of the full candidate stream, pinned
+    shuffle_hash); now over-threshold collisions die before the
+    distinct, which therefore shuffles only the verified survivors —
+    strictly fewer rows, zero joins. The simhash is functionally
+    dependent on the doc id, so distinct over (doc_a, doc_b, hamming)
+    equals the old pair distinct row-for-row.
     """
     from lakehouse_architecture_spark.operators.caching import one_slot_persist
-    from lakehouse_architecture_spark.operators.minhash import candidate_pairs
 
     # one-slot persisted (operators/caching): the fingerprint relation
-    # feeds the band explode and both score-join sides; bounded across
-    # sessions, warm across same-cache_key calls
+    # feeds both band explodes; bounded across sessions, warm across
+    # same-cache_key calls
     fp = one_slot_persist(
         simhash_fingerprints(df, text_col, id_col, bits),
         slot="simhash-fingerprints",
@@ -111,7 +120,7 @@ def simhash_near_pairs(
     )
     half = bits // 2
     seg = fp.select(
-        "doc",
+        F.struct("doc", "simhash").alias("m"),
         F.explode(
             F.array(
                 F.struct(
@@ -124,26 +133,31 @@ def simhash_near_pairs(
                 ),
             )
         ).alias("s"),
-    ).select("doc", "s.band", "s.band_key")
-    pairs = candidate_pairs(seg)
-    # shuffle-hash hint on the fingerprint side: the candidate relation
-    # has no usable static size estimate (generate output) and CAN be
-    # quadratic on dup-heavy corpora — without the hint Catalyst chose
-    # it as a broadcast build and OOMed at a 100k-doc stress (19M
-    # candidates); the fingerprint side is one 16-byte row per doc.
-    fa = fp.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a")
-    ).hint("shuffle_hash")
-    fb = fp.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b")
-    ).hint("shuffle_hash")
+    ).select("m", "s.band", "s.band_key")
+    # sort_array on (doc, simhash) structs orders by doc first, so
+    # index order still gives doc_a < doc_b for free (a doc appears
+    # once per band — the list has no duplicate docs).
+    buckets = (
+        seg.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    lefts = buckets.select("ms", F.posexplode("ms").alias("i", "ma"))
     return (
-        pairs.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        lefts.select(
+            F.col("ma.doc").alias("doc_a"),
+            F.col("ma.simhash").alias("sh_a"),
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("mb"),
+        )
         .select(
             "doc_a",
-            "doc_b",
-            hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+            F.col("mb.doc").alias("doc_b"),
+            hamming_distance(F.col("sh_a"), F.col("mb.simhash")).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

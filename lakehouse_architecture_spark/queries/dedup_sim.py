@@ -1187,7 +1187,7 @@ def customers_fuzzy_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="dedup-sim-fuzzy-cands",
         key=(sf_dir,),
     )
-    matched = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+    matched = cand.filter(F.levenshtein("name_a", "name_b", 1) >= 0)
     s_ent = cust.agg(F.count(F.lit(1)).alias("n_entities"))
     s_var = v.agg(
         F.count(F.lit(1)).alias("n_variants"),
@@ -1249,10 +1249,31 @@ def customers_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash / embedding LSH). Scale shape per the operator docstring:
     variant relation shuffled once on the key, pinned sort-merge
     self-join, early verify in the codegen stage, ids-only distinct."""
-    from lakehouse_architecture_spark.operators.fuzzy import fuzzy_pairs_d2
+    from lakehouse_architecture_spark.operators.fuzzy import (
+        deletion_variants_d2,
+        fuzzy_pairs_d2,
+    )
 
     cust = load_table(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs_d2(cust, "c_name", "c_custkey")
+    # Same construction + slot + key as the capped twin: the variant
+    # relation and its (var, n) bucket counts are identical logical
+    # relations, so consecutive fuzzy rows share one cached build
+    # (r17 — previously this row re-exploded the neighborhood from
+    # scratch for both join sides). The counts feed the operator's
+    # singleton-bucket prefilter.
+    v = one_slot_persist(
+        deletion_variants_d2(cust, "c_name", "c_custkey"),
+        slot="dedup-sim-fuzzy-d2-variants",
+        key=(sf_dir,),
+    )
+    kc = one_slot_persist(
+        v.groupBy("var").agg(F.count(F.lit(1)).alias("n")),
+        slot="dedup-sim-fuzzy-d2-bucket-counts",
+        key=(sf_dir,),
+    )
+    pairs = fuzzy_pairs_d2(
+        cust, "c_name", "c_custkey", variants=v, bucket_counts=kc
+    )
     n = cust.agg(F.count(F.lit(1)).alias("n_rows"))
     return (
         pairs.groupBy("dist")
