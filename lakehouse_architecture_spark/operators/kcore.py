@@ -69,11 +69,21 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("node")
+        # Broadcast the surviving-node relation while it provably fits
+        # (r17, guide §3.1/§2.4): |keep| <= 2·|edges|, and the loop
+        # knows the current edge count exactly — under the cap both
+        # semi-joins become broadcast semis and the (heavy, shrinking)
+        # edge relation is never exchanged in a round; above it, the
+        # shuffle pair is the 100 TB shape. Same node-side cap
+        # doctrine as the pagerank/core-numbers share broadcast.
+        keep_src = keep.withColumnRenamed("node", "src")
+        keep_dst = keep.withColumnRenamed("node", "dst")
+        if prev_cnt <= 1_000_000:
+            keep_src = F.broadcast(keep_src)
+            keep_dst = F.broadcast(keep_dst)
         nxt = loop_round(
-            cur.join(
-                keep.withColumnRenamed("node", "src"), "src", "left_semi"
-            )
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            cur.join(keep_src, "src", "left_semi")
+            .join(keep_dst, "dst", "left_semi")
             .select("src", "dst"),
             prev=cur,
             checkpoint_dir=checkpoint_dir,

@@ -13,8 +13,10 @@ Per iteration (classic damped PageRank, Brin & Page 1998):
                                 + dangling_mass_t / n ]
 
 expressed as ONE edge-keyed join + ONE dst-keyed aggregate; the
-dangling mass (rank parked on nodes with no out-edges) is a 1-row
-aggregate broadcast back, never a per-node collect. Ranks materialize
+dangling mass (rank parked on nodes with no out-edges) rides the
+per-round 1-row certificate collect as a carried Python double (r17 —
+it used to be a per-round aggregate subtree + broadcast exchange
+inside every round's job), never a per-node collect. Ranks materialize
 each round via operators.iterative.loop_round (lineage truncation +
 release of the superseded round's blocks; ``checkpoint_dir`` selects
 the executor-loss-safe reliable variant for cluster runs), so plan
@@ -103,11 +105,20 @@ def pagerank(
     # blocks loop_round can free once the next round materializes);
     # state is at most a projection over it
     state_cp = state
+    # Dangling mass rides the per-round 1-row certificate collect
+    # (r17, guide §1.2): the former per-round dangling SUBTREE (a scan
+    # of state + aggregate + broadcast exchange inside every round's
+    # job) is replaced by a Python double carried between rounds — the
+    # next round's update folds it in as a literal, numerically the
+    # same value the broadcast row held. m_0 is the dangling-node
+    # count (pr_0 = 1), one tiny aggregate over the checkpointed init.
+    m = float(
+        state.filter(F.col("deg") == 0)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        .collect()[0]
+        .m
+    )
     for _ in range(iters):
-        dangling = (
-            state.filter(F.col("deg") == 0)
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
-        )
         # deg > 0 before the division: ANSI mode makes /0 an error,
         # and dangling nodes contribute via the teleport term, not
         # the edge join
@@ -122,7 +133,6 @@ def pagerank(
         )
         new = (
             state.join(contrib, state.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "deg",
@@ -131,18 +141,21 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("inflow", F.lit(0.0))
-                        + F.col("m") / F.lit(float(n))
+                        + F.lit(m) / F.lit(float(n))
                     )
                 ).alias("pr"),
                 F.col("pr").alias("pr_prev"),
             )
         )
         new = loop_round(new, prev=state_cp, checkpoint_dir=checkpoint_dir)
-        delta_max = float(
-            new.agg(
-                F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
-            ).collect()[0].d
-        )
+        cert = new.agg(
+            F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("pr"))), F.lit(0.0)
+            ).alias("m"),
+        ).collect()[0]
+        delta_max = float(cert.d)
+        m = float(cert.m)
         state_cp = new
         state = new.drop("pr_prev")
     # ranks is a projection over the checkpointed final round; the
@@ -244,11 +257,15 @@ def personalized_pagerank(
     )
     delta_max = float("nan")
     state_cp = state
+    # dangling mass as a carried Python double (r17) — same fold as
+    # :func:`pagerank`; m_0 = Σ sv over deg-0 nodes (pr_0 = sv)
+    m = float(
+        state.filter(F.col("deg") == 0)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        .collect()[0]
+        .m
+    )
     for _ in range(iters):
-        dangling = (
-            state.filter(F.col("deg") == 0)
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
-        )
         share = state.filter(F.col("deg") > 0).select(
             F.col("node").alias("src"),
             (F.col("pr") / F.col("deg")).alias("share"),
@@ -260,7 +277,6 @@ def personalized_pagerank(
         )
         new = (
             state.join(contrib, state.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "deg",
@@ -270,18 +286,21 @@ def personalized_pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("inflow", F.lit(0.0))
-                        + F.col("m") * F.col("sv")
+                        + F.lit(m) * F.col("sv")
                     )
                 ).alias("pr"),
                 F.col("pr").alias("pr_prev"),
             )
         )
         new = loop_round(new, prev=state_cp, checkpoint_dir=checkpoint_dir)
-        delta_max = float(
-            new.agg(
-                F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
-            ).collect()[0].d
-        )
+        cert = new.agg(
+            F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("pr"))), F.lit(0.0)
+            ).alias("m"),
+        ).collect()[0]
+        delta_max = float(cert.d)
+        m = float(cert.m)
         state_cp = new
         state = new.drop("pr_prev")
     e.unpersist(blocking=False)
@@ -373,10 +392,15 @@ def weighted_pagerank(
     )
     delta_max = float("nan")
     state_cp = state
+    # dangling mass as a carried Python double (r17) — same fold as
+    # :func:`pagerank`; m_0 is the wdeg-0 node count (pr_0 = 1)
+    m = float(
+        state.filter(F.col("wdeg") == 0.0)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        .collect()[0]
+        .m
+    )
     for _ in range(iters):
-        dangling = state.filter(F.col("wdeg") == 0.0).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
-        )
         share = state.filter(F.col("wdeg") > 0.0).select(
             F.col("node").alias("src"),
             (F.col("pr") / F.col("wdeg")).alias("share"),
@@ -388,7 +412,6 @@ def weighted_pagerank(
         )
         new = (
             state.join(contrib, state.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "wdeg",
@@ -397,18 +420,22 @@ def weighted_pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("inflow", F.lit(0.0))
-                        + F.col("m") / F.lit(float(n))
+                        + F.lit(m) / F.lit(float(n))
                     )
                 ).alias("pr"),
                 F.col("pr").alias("pr_prev"),
             )
         )
         new = loop_round(new, prev=state_cp, checkpoint_dir=checkpoint_dir)
-        delta_max = float(
-            new.agg(
-                F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
-            ).collect()[0].d
-        )
+        cert = new.agg(
+            F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("wdeg") == 0.0, F.col("pr"))),
+                F.lit(0.0),
+            ).alias("m"),
+        ).collect()[0]
+        delta_max = float(cert.d)
+        m = float(cert.m)
         state_cp = new
         state = new.drop("pr_prev")
     e.unpersist(blocking=False)

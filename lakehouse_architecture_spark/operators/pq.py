@@ -14,71 +14,68 @@ Scale/portability doctrine shared with the rest of the repo:
 - TRAINING (per-block Lloyd) is the only iterative part; each
   iteration is one aggregate per block, codebooks live on the driver
   (k * sub_dim floats — bounded, the centroid-collect doctrine).
-- ENCODING is a PURE PROJECTION: the codebooks inline as literal
-  arrays and the argmin over k block-distances is a static expression
-  (the score_logistic / bloom-literal pattern) — encoding 100 TB is a
-  single scan, no shuffle, no join, no Python.
+- ENCODING is a PURE PROJECTION over Arrow batches (r17, guide §4.2 /
+  r16 verdict order #5): the codebooks ride the task closure as a tiny
+  ndarray (n_sub*k*sub_dim doubles, ~8 KB) and each batch's argmin is
+  three vectorized numpy ops — encoding 100 TB is a single scan, no
+  shuffle, no join. The former shape inlined the codebooks as literal
+  arrays into a JVM HOF expression; at 8x16x8 that ~8k-node tree made
+  the row's wall ~100% ANALYSIS/CODEGEN at any local SF (r16 ledger:
+  sf0.001 == sf0.1 timing), re-paid for every distinct codebook (each
+  Lloyd iteration plans a fresh tree). The numpy fold reproduces the
+  JVM expression BIT-FOR-BIT: (x-c)² summed sequentially over sub_dim
+  (numpy's pairwise summation only kicks in past 128 addends), block
+  errors added in block order, and argmin's first-match rule equal to
+  the struct-min lowest-code tie-break — asserted by the roundtrip
+  test and an interleaved identity check.
 - Seeds are md5-ranked rows (deterministic, engine-portable), ties in
   the argmin break to the LOWEST code id.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
-def _block(vec_col: str, j: int, sub_dim: int) -> Column:
-    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+def _codes_errs_fn(cb: "np.ndarray"):
+    """Factory for the per-batch (codes, per-block errors) kernel over
+    a captured (n_sub, k, sub_dim) float64 codebook. A FACTORY, not a
+    module-level kernel, deliberately: cloudpickle serializes the
+    returned closure BY VALUE, so the Python workers never need this
+    package importable (a module-level function pickles by reference
+    and breaks when the worker's path lacks the repo — the repo's
+    nested-closure convention for every Arrow function). Distances are
+    the sequential (x-c)² folds of the old JVM expression
+    (bit-identical, see module docstring); argmin takes the FIRST
+    minimum = lowest code id."""
+    n_sub, _k, sub_dim = cb.shape
 
+    def codes_errs(V: "np.ndarray"):
+        X = V.reshape(V.shape[0], n_sub, sub_dim)
+        diff = X[:, :, None, :] - cb[None, :, :, :]
+        sq = diff * diff
+        # STRICTLY sequential accumulation over sub_dim: numpy's .sum
+        # uses an 8-way-unrolled pairwise reduction whose rounding
+        # order differs from the JVM fold (measured: codes/errors
+        # drifted in the last ulp); an explicit left-to-right chain of
+        # vectorized adds reproduces ((t1+t2)+t3)+... exactly.
+        d = sq[:, :, :, 0].copy()
+        for t in range(1, sub_dim):
+            d += sq[:, :, :, t]
+        codes = d.argmin(axis=2)
+        errs = np.take_along_axis(d, codes[:, :, None], axis=2)[:, :, 0]
+        return codes, errs
 
-def _dists_expr(sub: Column, codebook: list[list[float]]) -> Column:
-    """Array of squared L2 distances from ``sub`` to each centroid:
-    the codebook inlines as a literal array<array<double>> and the
-    distances come from transform + an order-pinned zip_with/aggregate
-    fold (0.0 + x1 == x1, so the fold is the plain sequential sum).
-
-    Was fully unrolled (sub_dim * k static terms per block) on the
-    codegen-wins assumption — but the ENCODE projection stacks n_sub
-    blocks x 3 references, and at 8x16x8 janino refuses the generated
-    method outright, leaving an interpreted evaluation of a ~3000-node
-    tree. Measured at sf0.1 (interleaved A/B, 5 reps, bit-identical
-    results): unrolled 8.34 s vs this form 1.36 s per encode+aggregate
-    pass — the dot_fixed-vs-zip_with lesson again: past the codegen
-    method-size limit, compact HOF trees beat unrolled scalar ones."""
-    cb = F.array(
-        *[F.array(*[F.lit(float(c)) for c in cent]) for cent in codebook]
-    )
-    return F.transform(
-        cb,
-        lambda cent: F.aggregate(
-            F.zip_with(
-                sub,
-                cent,
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        ),
-    )
-
-
-def _best_code(sub: Column, codebook: list[list[float]]) -> Column:
-    """``struct(d, i)`` of the nearest centroid: distance + code in one
-    expression with the literal-heavy distance array referenced ONCE.
-    ``array_position(darr, array_min(darr))`` embeds ``darr`` (k
-    centroids of inlined literals) twice per block, doubling the
-    already planning-bound expression tree (r16: this query's wall is
-    ~100% analysis/codegen at any local SF — sf0.001 == sf0.1 timing).
-    Struct ordering compares ``d`` then ``i``, so ties break to the
-    LOWEST code id — exactly ``array_position``'s first-match rule."""
-    darr = _dists_expr(sub, codebook)
-    idx = F.sequence(F.lit(0), F.lit(len(codebook) - 1))
-    return F.array_min(
-        F.zip_with(
-            darr, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
-        )
-    )
+    return codes_errs
 
 
 def pq_train(
@@ -124,12 +121,24 @@ def pq_train(
             for j in range(n_sub)
         ]
     for _ in range(iters):
-        code_cols = []
-        for j in range(n_sub):
-            best = _best_code(_block(vec_col, j, sub_dim), codebooks[j])
-            code_cols.append(best["i"].cast("int"))
-        assigned = emb.select(
-            F.array(*code_cols).alias("codes"), F.col(vec_col).alias("v")
+        kern = _codes_errs_fn(np.asarray(codebooks, dtype=np.float64))
+
+        def assign(batches, kern=kern):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    V = np.array(list(pdf["v"]), dtype=np.float64)
+                    codes, _errs = kern(V)
+                    yield pd.DataFrame(
+                        {
+                            "codes": list(codes.astype(np.int32)),
+                            "v": list(pdf["v"]),
+                        }
+                    )
+
+        assigned = emb.select(F.col(vec_col).alias("v")).mapInPandas(
+            assign, schema="codes array<int>, v array<double>"
         )
         pos = F.col("pos")
         block = (pos / sub_dim).cast("int")
@@ -161,35 +170,39 @@ def pq_encode(
 ) -> DataFrame:
     """``emb`` + ``pq_codes`` (array<int>, one code per block) +
     ``pq_sq_err`` (the exact squared reconstruction error, free from
-    the same argmin). Pure narrow projection — no shuffle at any
-    corpus size."""
-    n_sub = len(codebooks)
-    sub_dim = len(codebooks[0][0])
-    # Two-stage projection: materialize each block's (d, i) struct once,
-    # then extract both fields — a single select would re-embed the
-    # literal-heavy struct expression per extraction (see _best_code).
-    bests = emb.select(
-        "*",
-        *[
-            _best_code(_block(vec_col, j, sub_dim), codebooks[j]).alias(
-                f"_pq_best_{j}"
-            )
-            for j in range(n_sub)
-        ],
+    the same argmin). Pure narrow Arrow projection — no shuffle at any
+    corpus size; the codebook rides the task closure (~8 KB), so the
+    plan carries NO literal tree to analyze or codegen (module
+    docstring — the old expression form was planning-bound). Select
+    only the columns you need before calling: an opaque function ships
+    (and scans) every column it is handed (guide §4.2)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    out_schema = StructType(
+        list(emb.schema.fields)
+        + [
+            StructField("pq_codes", ArrayType(IntegerType())),
+            StructField("pq_sq_err", DoubleType()),
+        ]
     )
-    total_err = F.col("_pq_best_0")["d"]
-    for j in range(1, n_sub):
-        total_err = total_err + F.col(f"_pq_best_{j}")["d"]
-    return bests.select(
-        *emb.columns,
-        F.array(
-            *[
-                F.col(f"_pq_best_{j}")["i"].cast("int")
-                for j in range(n_sub)
-            ]
-        ).alias("pq_codes"),
-        total_err.alias("pq_sq_err"),
-    )
+
+    kern = _codes_errs_fn(cb)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                codes, errs = kern(V)
+                out = pdf.copy()
+                out["pq_codes"] = list(codes.astype(np.int32))
+                # sequential block-order chain (d_0 + d_1 + ...), same
+                # ulp-level reasoning as the kernel's sub_dim fold
+                tot = errs[:, 0].copy()
+                for j in range(1, errs.shape[1]):
+                    tot += errs[:, j]
+                out["pq_sq_err"] = tot
+                yield out
+
+    return emb.mapInPandas(encode, schema=out_schema)
 
 
 def pq_adc_expr(

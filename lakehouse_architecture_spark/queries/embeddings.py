@@ -1027,7 +1027,9 @@ def emb_pq_quantization_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = pq_train(
         emb, "embedding", "vec_id", iters=2, seed_codebooks=seeds_only
     )
-    enc = pq_encode(emb, "embedding", seeds_only).select(
+    # select the one column the Arrow encoder needs before calling it
+    # (guide §4.2 — an opaque function ships every column it is handed)
+    enc = pq_encode(emb.select("embedding"), "embedding", seeds_only).select(
         "embedding", F.col("pq_sq_err").alias("seed_sq_err")
     )
     s = (
