@@ -242,6 +242,8 @@ def extras_window(now: float | None = None) -> list[str]:
 # session must not drop a conclusion recorded mid-round — the r9
 # adjudication was lost exactly that way).
 NOTES: list[str] = [
+    "r17/winsorized-sf1-receipt (r16 verdict order #6): the r16 one-persisted-frequency-relation restatement of lineitem_winsorized_price_stats, locally neutral at sf0.1, got its at-scale receipt: interleaved A/B at sf1 (tools/gen_testdata.py 1 /tmp/sf1 — lineitem 6M rows, 10x the bench corpus), 3 alternating reps, rows identical: old (r15 shape, old window-quantile operator) median 7.662 s / min 7.330 vs new 5.660 / 5.452 — 1.35x. The structural claim (10 -> 1 scan locations) is now measured where the data-proportional term dominates.",
+    "r17/sign-lsh-shape-remeasured (r16 verdict order #6, verdict REVERSED per guide 'measure first'): the r16 grouped-generator rewrite of sign_lsh_candidates carried only an at-scale argument; measured where the quadratic term dominates (40k vectors / 94M strict-config candidates, interleaved, counts identical) the generator form lost in BOTH sessions: unhinted r15 SMJ 122.3 vs generators 148.7 s median (0.82x), and the final merge-hinted SMJ 58.8 vs generators 188.6 s median (3.2x) in its own interleaved session — explode(slice(vs,...)) copies O(|cell|^2) array elements per cell, and LSH cells are |corpus|/2^bits-sized by construction (unlike the small minhash/simhash buckets where the generator pattern wins). At sf1 (500k vectors) the r15 shape additionally died with an executor heap OOM from AQE broadcasting the statically-unsized generate output — the REAL r16 hazard. Resolution: sign_lsh_candidates reverted to the band self-join with a pinned merge hint (no broadcast build side possible, no array copying); bench-corpus wall unchanged (both forms were measured neutral at sf0.1 in r16). The loose 12x4 config remains corpus-pathological at 500k vectors in ANY shape (~n^2/16 candidates filled 80 GB of shuffle temp) — that is the documented negative-example geometry, not a plan property.",
     "r16/quadratic-oracle-midscale-receipt (verdict order #5): the only two registry rows never value-verified above sf0.01 — customers_entity_resolution and customers_fuzzy_pairs_d2, whose DUCKDB oracles are O(n^2) all-pairs scans and therefore skip the sf0.1 sweep (the Spark sides are fine and their production-regime twins ARE sf0.1-verified) — now carry a bounded-scale value receipt: both PASS a full value comparison at sf0.03 on a fresh-seed corpus (tools/gen_testdata.py 0.03 /tmp/sf003_2026 2026; ORACLE_CHECK_PLAIN=1 check_oracle, 2 pass / 0 fail), 3x the gate scale and within the band the r15 verdict asked to cover. No code change; evidence-only.",
     "r16/pq-drift-adjudication: CLOSED as host weather. The r12-r15 sweep drift of emb_pq_quantization_qa (9.0 -> 13.3 -> 11.8 -> 18.4 s, all single non-interleaved reads) got the interleaved A/B the doctrine requires: 6 alternating reps against a stable control (emb_near_dup_pairs) in one sf0.1 session read pq median 13.91 / min 9.86 s with the control flat at median 2.20 / min 1.75 s. The 9.86 s floor matches the r12-era 9.0 s baseline within single-run noise, the control shows no session-wide slowdown, and no code touched this path since the r11 HOF-fold fix — the 18.4 s sweep reading was contention on a non-interleaved read. The row's inherent ~10 s is the documented train+encode+ADC work; no regressing stage exists to fix.",
     "r16/quantile-anchor-restatement: approx_distinct_and_quantile (27.2 s, the slowest r15 sweep row and the one standing plan contradicting the 100x doctrine) and quantiles_exact no longer go through F.percentile's per-group value->count aggregation buffer (memory bounded by distinct prices per group — the executor-OOM shape the r7 bucketed rewrite removed from lineitem_price_percentiles_by_flag). Both now ride operators/quantiles.grouped_interpolated_quantiles: the same counts->coarse-bucket->running-count machinery as grouped_exact_percentiles, extended to the quantile_cont/F.percentile linear-interpolation convention by picking each target rank's two bracketing members off the rank-interval relation and interpolating in a |groups|x|qs|-row aggregate. Every window partitions by (group, bucket); no aggregation buffer grows with data. Compared surfaces unchanged, both rows oracle-green at sf0.01, plan assertion pins 'no percentile( in either optimized plan', value-identity unit test vs F.percentile covers ties/odd/even/single-row/null-value/null-group. Measured at sf0.1: 27.2 -> 2.5-3.5 s warm (11.6 cold), ~8x, removing the sweep's worst row.",

@@ -981,10 +981,24 @@ def prefix_filter_jaccard_pairs(
         scan_size_bytes,
     )
 
+    # Two INDEPENDENT estimates must agree the relation is small (r16
+    # ADVICE: size-only stat propagation through explode/aggregate
+    # nodes with array columns is unreliable, and the forced broadcast
+    # hint bypasses autoBroadcastJoinThreshold): the SOURCE relation's
+    # stats AND the ordered-array relation's own propagated stats both
+    # have to sit under the cap — either unknown or oversized falls
+    # back to the pinned shuffle_hash, the at-scale shape. Measured at
+    # sf0.1 the two estimates track each other (4.6 MB gv / 5.7 MB ov).
     gv_bytes = scan_size_bytes(gv)
+    ov_bytes = scan_size_bytes(ov)
     verify_hint = (
         "broadcast"
-        if gv_bytes is not None and gv_bytes < _VERIFY_BROADCAST_BYTES
+        if (
+            gv_bytes is not None
+            and gv_bytes < _VERIFY_BROADCAST_BYTES
+            and ov_bytes is not None
+            and ov_bytes < _VERIFY_BROADCAST_BYTES
+        )
         else "shuffle_hash"
     )
     ga = ov.select(F.col("doc").alias("doc_a"), F.col("og").alias("ga")).hint(

@@ -104,32 +104,39 @@ def sign_lsh_candidates(
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing any sign-LSH band
     cell. One narrow map computes all band keys, a posexplode fans out
-    n_bands rows per vector, and pairs stream per LSH cell from ONE
-    groupBy + the chained posexplode/explode(slice) generators (the
-    minhash candidate_pairs pattern, adopted r16 — the former
-    self-join on (band, key) shuffled and sorted the band relation
-    twice and streamed the full Σ|cell|² cross product with id_a <
-    id_b filtered after; the generators pay one shuffle and emit only
-    i<j). DISTINCT collapses multi-band hits. Peak memory is O(cell)
-    (the collected id list) — same bound class as the join's per-cell
-    stream; a cell of millions of vectors means the band geometry is
-    wrong for the corpus (the loose-config lesson in
-    emb_lsh_candidate_stats), not that the pairing strategy should
-    change."""
+    n_bands rows per vector, and candidates come from the PINNED
+    sort-merge self-join on (band, key) — Σ|cell|² per cell, never n².
+    DISTINCT collapses multi-band hits.
+
+    Shape history (r17 re-measurement of the r16 rewrite): the r16
+    grouped-generator form (collect_list cells + chained posexplode /
+    explode(slice), the minhash candidate_pairs pattern) was adopted on
+    an at-scale argument but measured SLOWER once the quadratic term
+    actually dominated — 40k vectors / 94M candidates (8x8 cells of
+    ~156 ids), counts identical: unhinted SMJ 122 vs generators 149 s,
+    and THIS merge-hinted form 58.8 vs 188.6 s (3.2x) in its own
+    interleaved session — because explode(slice(...))
+    COPIES the remaining id array per left element: O(|cell|²) array
+    elements materialized per cell where the merge join streams the
+    cross product without copying. The minhash/simhash buckets where
+    the generator form wins are much smaller (pair volume ~ bucket²
+    per key is tiny next to the two sorted shuffles it saves); an LSH
+    cell is |corpus| / 2^band_bits — big by construction. The real r16
+    hazard was AQE picking a BROADCAST build for the statically-unsized
+    generate output (the r12 OOM); the merge hint closes exactly that
+    without the copy cost, and is the only shape that survives 100 TB
+    cells. Bench-corpus wall is unchanged (r16 already measured the
+    two forms neutral at sf0.1)."""
     bands = sign_lsh_bands(df, n_bands, band_bits, vec_col, id_col)
-    cells = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
-        .filter(F.size("vs") >= 2)
-    )
-    lefts = cells.select("vs", F.posexplode("vs").alias("i", "id_a"))
     return (
-        lefts.select(
-            "id_a",
-            F.explode(
-                F.slice("vs", F.col("i") + 2, F.size("vs"))
-            ).alias("id_b"),
+        bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+        .hint("merge")
+        .join(
+            bands.select(F.col("vec_id").alias("id_b"), "band", "key"),
+            ["band", "key"],
         )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
